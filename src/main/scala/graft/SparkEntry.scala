@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MessageFunctions._
+import graft.pipeline.{Enrich, GraftConfig}
+import graft.queries._
+import graft.sources.Tables
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * Exercises the reference's whole hot path in one plan: decode-stand-in
+    * → enrich (month bucket, AES-CBC encrypt, null-drop) → month-filtered
+    * read-back with decryption (the "message history for a user, by
+    * month" use case, SURVEY.md §7.2).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = GraftConfig.dev
+    val enriched = Enrich(Tables.messages(spark, "/root/testdata/sf0.001"), cfg)
+    enriched
+      .filter(col("date_partition") === "202401M")
+      .withColumn("stanza_plain",
+        decryptStanza(col("stanza"), cfg.encryptionKey, cfg.initVector))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    MessageQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    MessageQueries.oracleSql
 }

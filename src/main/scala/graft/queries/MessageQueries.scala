@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MessageFunctions._
+import graft.pipeline.{Enrich, GraftConfig}
+import graft.sources.Tables
+
+/** Reference-domain queries (SURVEY.md §2.1-§2.6) over the `events`
+  * stand-in stream (FIXTURES.md §2 column mapping).
+  *
+  * Every oracle-checked query is pure built-in Catalyst; crypto/avro
+  * paths are covered by rows-only checks plus unit/property tests.
+  */
+object MessageQueries {
+
+  /** event_type → MessageType code (X8 demo dimension; the events table
+    * has no native codes, so this CASE is the declared mapping).
+    */
+  private def eventCode(c: org.apache.spark.sql.Column) =
+    when(c === "purchase", "T")
+      .when(c === "view", "P")
+      .when(c === "signup", "R")
+      .when(c === "click", "B")
+      .when(c === "error", "MC")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1+X4+X5+X6: the whole hot path minus crypto, oracle-checkable
+    "msg_enrich" -> ((s, d) =>
+      Enrich.plain(Tables.messages(s, d)).orderBy("message_id")),
+
+    // A1: summary distinct set
+    "msg_summary" -> ((s, d) =>
+      Enrich.summary(Enrich.plain(Tables.messages(s, d)))
+        .orderBy("username", "jid", "first_date_partition")),
+
+    // the reference's raison d'être: one user's history in one month
+    // bucket (partition-pruned when the table is written partitioned)
+    "msg_history_month" -> ((s, d) =>
+      Enrich.plain(Tables.messages(s, d))
+        .filter(col("date_partition") === "202401M" && col("username") === "user13")
+        .orderBy("message_id")),
+
+    // X8: taxonomy lookup through the MessageTypes dictionary
+    "msg_classify" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("code", eventCode(col("event_type")))
+        .withColumn("type_name", classifyType(col("code")))
+        .groupBy("event_type", "code", "type_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // X1+F1: full enrich incl. AES — rows-only check (crypto not
+    // expressible in the oracle; golden vectors cover it)
+    "msg_pipeline_encrypted" -> ((s, d) =>
+      Enrich(Tables.messages(s, d), GraftConfig.dev).orderBy("message_id")),
+
+    // X2 round-trip: decrypt(encrypt(stanza)) == stanza, as a query the
+    // oracle CAN check (it must equal the plaintext projection)
+    "msg_roundtrip" -> ((s, d) => {
+      val cfg = GraftConfig.dev
+      Enrich(Tables.messages(s, d), cfg)
+        .select(col("message_id"),
+          decryptStanza(col("stanza"), cfg.encryptionKey, cfg.initVector).as("stanza"))
+        .orderBy("message_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "msg_enrich" ->
+      """SELECT 'm'||event_id AS message_id,
+        |       'user'||user_id AS username,
+        |       event_type||'@chat.example' AS jid,
+        |       strftime(ts,'%Y%m')||'M' AS date_partition,
+        |       make_timestamp((epoch_us(ts)//1000)*1000) AS sent_time,
+        |       props AS stanza
+        |FROM events ORDER BY message_id""".stripMargin,
+    "msg_summary" ->
+      """SELECT DISTINCT 'user'||user_id AS username,
+        |       event_type||'@chat.example' AS jid,
+        |       strftime(ts,'%Y%m')||'M' AS first_date_partition
+        |FROM events ORDER BY username, jid, first_date_partition""".stripMargin,
+    "msg_history_month" ->
+      """SELECT 'm'||event_id AS message_id,
+        |       'user'||user_id AS username,
+        |       event_type||'@chat.example' AS jid,
+        |       strftime(ts,'%Y%m')||'M' AS date_partition,
+        |       make_timestamp((epoch_us(ts)//1000)*1000) AS sent_time,
+        |       props AS stanza
+        |FROM events
+        |WHERE strftime(ts,'%Y%m')||'M' = '202401M' AND 'user'||user_id = 'user13'
+        |ORDER BY message_id""".stripMargin,
+    "msg_classify" ->
+      """SELECT event_type,
+        |       CASE event_type WHEN 'purchase' THEN 'T' WHEN 'view' THEN 'P'
+        |            WHEN 'signup' THEN 'R' WHEN 'click' THEN 'B'
+        |            WHEN 'error' THEN 'MC' END AS code,
+        |       CASE event_type WHEN 'purchase' THEN 'TEXT' WHEN 'view' THEN 'PHOTO'
+        |            WHEN 'signup' THEN 'REGISTER' WHEN 'click' THEN 'BUZZ'
+        |            WHEN 'error' THEN 'MISSED_CALL' END AS type_name,
+        |       count(*) AS n
+        |FROM events GROUP BY 1,2,3 ORDER BY event_type""".stripMargin,
+    "msg_roundtrip" ->
+      """SELECT 'm'||event_id AS message_id, props AS stanza
+        |FROM events ORDER BY message_id""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent keyed upsert into a parquet-backed table — the engine's
+  * stand-in for the reference's Cassandra INSERT-as-upsert
+  * (CassandraOutputFormat.java:101-137). Cassandra gives last-write-wins
+  * per primary key for free; on files we realize the same contract with
+  * key-dedup on merge, so at-least-once replay converges to the same
+  * table (the reference's effectively-once argument, SURVEY.md §2.8).
+  *
+  * Scale notes (100 TB): the table is partitioned by a bucket column
+  * (`date_partition` for history — one month per partition); a merge only
+  * rewrites partitions present in the incoming batch (dynamic partition
+  * overwrite), so cost is O(touched months), not O(table). A real
+  * cluster deployment would swap this for the Cassandra connector or a
+  * merge-on-read table format behind the same trait.
+  */
+trait UpsertSink {
+  /** Upsert `batch` by `keys`; later writes win within a batch via
+    * `versionCol` ordering (ties broken deterministically).
+    */
+  def upsert(batch: DataFrame, keys: Seq[String], versionCol: String): Unit
+}
+
+final class ParquetUpsertSink(
+    spark: SparkSession,
+    path: String,
+    partitionCol: Option[String] = None,
+    retry: RetryPolicy = RetryPolicy.default
+) extends UpsertSink {
+
+  import ParquetUpsertSink._
+
+  /** Distinct-set materialization (the summary table's converged upsert
+    * semantics, SURVEY.md §2.6 A1): every column is the key; replay is a
+    * set-union no-op.
+    */
+  def upsertDistinct(batch: DataFrame): Unit =
+    retry.run {
+      val existing = ParquetUpsertSink.readExisting(spark, path, batch)
+      write(existing.unionByName(batch).distinct(), path, partitionCol)
+    }
+
+  def upsert(batch: DataFrame, keys: Seq[String], versionCol: String): Unit =
+    retry.run {
+      val existing = readExisting(spark, path, batch)
+      // restrict the merge to partitions the batch touches
+      val (base, merged) = partitionCol match {
+        case Some(p) =>
+          val touched = batch.select(p).distinct()
+          val relevant = existing.join(broadcast(touched), Seq(p), "left_semi")
+          (relevant, dedupByKey(relevant.unionByName(batch), keys, versionCol))
+        case None =>
+          (existing, dedupByKey(existing.unionByName(batch), keys, versionCol))
+      }
+      write(merged, path, partitionCol)
+    }
+
+  private def write(df: DataFrame, path: String, pcol: Option[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    pcol match {
+      case Some(p) =>
+        // only replace partitions present in df
+        w.option("partitionOverwriteMode", "dynamic").partitionBy(p).parquet(path)
+      case None => w.parquet(path)
+    }
+  }
+
+  def read(): DataFrame = spark.read.parquet(path)
+}
+
+object ParquetUpsertSink {
+
+  /** Last-write-wins per key: max(versionCol) row kept; ties broken by a
+    * total order over all columns so replays are deterministic.
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val orderCols = col(versionCol).desc +:
+      df.columns.filterNot(keys.contains).filterNot(_ == versionCol)
+        .map(c => col(c).desc).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private[sink] def readExisting(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      spark.read.schema(like.schema).parquet(path)
+    else like.limit(0)
+  }
+}
+
+/** Retention-as-predicate: parquet has no row TTL (Cassandra's `USING TTL
+  * n`, CassandraOutputFormat.java:86-90); the equivalent contract is a
+  * read-side filter plus a compaction that physically drops expired rows.
+  */
+object Retention {
+  def live(df: DataFrame, tsCol: String, ttlSeconds: Long, nowEpochSec: Long): DataFrame =
+    if (ttlSeconds <= 0) df
+    else df.filter(unix_timestamp(col(tsCol)) > lit(nowEpochSec - ttlSeconds))
+}

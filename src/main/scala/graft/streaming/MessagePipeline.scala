@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.avro.AvroCodec
+import graft.pipeline.{Enrich, GraftConfig}
+import graft.sink.{ParquetUpsertSink, RetryPolicy}
+
+/** The whole reference job (BackupMessageConsumer.java:33-63) as a
+  * Structured Streaming assembly:
+  *
+  *   source(bytes) → avro-decode → enrich → foreachBatch {
+  *     detail upsert (MESSAGE_HISTORY) + summary distinct upsert
+  *     (MESSAGE_HISTORY_SUMMARY) }
+  *
+  * Checkpointed micro-batches + idempotent keyed upserts reproduce the
+  * reference's effectively-once contract (checkpointed Kafka offsets +
+  * Cassandra primary-key upsert, SURVEY.md §2.8) without its
+  * silent-drop-on-async-failure hole (R2).
+  *
+  * Kafka is a config swap (`format("kafka")`) when the connector jar is
+  * present; offline, callers pass any streaming DataFrame with a binary
+  * `value` column (MemoryStream in tests, file source in production).
+  */
+object MessagePipeline {
+
+  /** raw binary `value` column → decoded message columns. */
+  def decode(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    val dec = AvroCodec.decodeUdf(spark)
+    raw.select(dec(col("value")).as("m")).select("m.*")
+  }
+
+  /** Attach the sink stage to an enriched (history-schema) stream. */
+  def start(
+      history: DataFrame,
+      detailPath: String,
+      summaryPath: String,
+      checkpointDir: String,
+      retry: RetryPolicy = RetryPolicy.default,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val spark = history.sparkSession
+    history.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          new ParquetUpsertSink(spark, detailPath, Some("date_partition"), retry)
+            .upsert(b, Seq("message_id"), "sent_time")
+          new ParquetUpsertSink(spark, summaryPath, None, retry)
+            .upsertDistinct(Enrich.summary(b))
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** End-to-end: raw byte stream → decoded → enriched → sinks. */
+  def run(
+      raw: DataFrame,
+      cfg: GraftConfig,
+      detailPath: String,
+      summaryPath: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    start(Enrich(decode(raw), cfg), detailPath, summaryPath, checkpointDir)
+}
