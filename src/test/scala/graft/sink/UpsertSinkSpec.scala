@@ -1,0 +1,76 @@
+package graft.sink
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert is an idempotent keyed merge (at-least-once replay converges)") {
+    val dir = tmpDir("upsert")
+    val sink = new ParquetUpsertSink(spark, dir)
+    val b1 = Seq(("k1", 1L, "a"), ("k2", 1L, "b")).toDF("id", "v", "payload")
+    sink.upsert(b1, Seq("id"), "v")
+    sink.upsert(b1, Seq("id"), "v") // replay of the same batch: no-op
+    assert(sink.read().count() == 2)
+
+    // newer version wins; older replay loses
+    val b2 = Seq(("k1", 2L, "a2"), ("k3", 1L, "c")).toDF("id", "v", "payload")
+    sink.upsert(b2, Seq("id"), "v")
+    sink.upsert(b1, Seq("id"), "v") // stale replay must not undo k1@2
+    val out = sink.read().orderBy("id").as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("k1", 2L, "a2"), ("k2", 1L, "b"), ("k3", 1L, "c")))
+  }
+
+  test("partitioned upsert only rewrites touched partitions") {
+    val dir = tmpDir("upsert_part")
+    val sink = new ParquetUpsertSink(spark, dir, Some("p"))
+    sink.upsert(Seq(("k1", 1L, "202401M"), ("k2", 1L, "202402M")).toDF("id", "v", "p"),
+      Seq("id"), "v")
+    // second batch touches only 202402M
+    sink.upsert(Seq(("k2", 2L, "202402M")).toDF("id", "v", "p"), Seq("id"), "v")
+    val out = sink.read().orderBy("id").as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("k1", 1L, "202401M"), ("k2", 2L, "202402M")))
+  }
+
+  test("distinct-set upsert converges under replay (summary semantics)") {
+    val dir = tmpDir("upsert_set")
+    val sink = new ParquetUpsertSink(spark, dir)
+    val s = Seq(("u1", "j1", "202401M"), ("u1", "j1", "202401M")).toDF("u", "j", "p")
+    sink.upsertDistinct(s)
+    sink.upsertDistinct(s)
+    sink.upsertDistinct(Seq(("u2", "j1", "202401M")).toDF("u", "j", "p"))
+    assert(sink.read().count() == 2)
+  }
+
+  test("retention predicate drops expired rows, keeps all when ttl<=0") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("b", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).toDF("id", "ts")
+    val now = java.sql.Timestamp.valueOf("2024-06-02 00:00:00").getTime / 1000
+    assert(Retention.live(df, "ts", 7 * 86400, now).count() == 1)
+    assert(Retention.live(df, "ts", -1, now).count() == 2)
+  }
+
+  test("retry ladder degrades then fails (strict) or drops (lenient)") {
+    var levels = Vector.empty[String]
+    val strict = RetryPolicy(maxRetries = 3)
+    intercept[RuntimeException] {
+      strict.runWith[Unit] { l => levels :+= l; throw new RuntimeException("down") }
+    }
+    assert(levels == Vector("QUORUM", "THREE", "TWO"))
+
+    val lenient = RetryPolicy(maxRetries = 2, lenient = true)
+    assert(lenient.runWith[Unit] { _ => throw new RuntimeException("x") }.isEmpty)
+
+    // succeeds on a later rung
+    var n = 0
+    val got = RetryPolicy(maxRetries = 5).runWith { l =>
+      n += 1; if (n < 3) throw new RuntimeException("retry me") else l
+    }
+    assert(got.contains("TWO") && n == 3)
+
+    intercept[IllegalArgumentException] { RetryPolicy(maxRetries = 0) }
+  }
+}
