@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-time capability over the `events` stream table — windows,
+  * sessionization, JSON projection, replay dedup (SURVEY.md §2.8: all
+  * absent in the reference, declared engine extensions). Batch forms are
+  * oracle-checked; the streaming forms of the same ops are exercised in
+  * StreamingWindowSpec.
+  */
+object EventQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // tumbling event-time window (1h) per type
+    "ev_tumbling_hour" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_d"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("value_d"), col("n_users"))
+        .orderBy("window_start", "event_type")),
+
+    // sliding window: 1h size, 30m slide (each event lands in 2 windows)
+    "ev_sliding_30m" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_d"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("value_d"))
+        .orderBy("window_start", "event_type")),
+
+    // session windows (30-minute inactivity gap) per user, batch form:
+    // lag + cumulative-flag sessionization
+    "ev_sessions_30m" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), dsum(col("value")).as("value_d"))
+        .orderBy("user_id", "session_idx")}),
+
+    // scalar JSON projection + aggregate over extracted field
+    "ev_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
+    // exact dedup under at-least-once replay: the doubled stream
+    // converges to single-delivery counts
+    "ev_dedup_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.unionByName(ev)
+        .dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")})
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_tumbling_hour" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_d,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sliding_30m" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |         - o * INTERVAL '30 minutes' AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_d
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessions_30m" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR epoch(CAST(ts AS TIMESTAMP))::BIGINT
+        |              - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)::BIGINT > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), sessions AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_d
+        |FROM sessions
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "ev_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_dedup_replay" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT DISTINCT event_id, event_type FROM (
+        |    SELECT event_id, event_type FROM events
+        |    UNION ALL SELECT event_id, event_type FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

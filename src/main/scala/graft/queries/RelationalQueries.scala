@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY.md §2.9: joins, windows, sorts,
+  * set ops, rollup/cube, distinct) over the TPC-H-ish tables, each with a
+  * DuckDB oracle.
+  *
+  * Float discipline for cross-engine hash parity: money aggregates are
+  * summed as DECIMAL (exact, order-independent) and only the final value
+  * is cast to DOUBLE; averages divide two exact aggregates in one double
+  * op. Whole-valued doubles (quantities) sum exactly in IEEE and need no
+  * cast. Every query carries a total ORDER BY.
+  */
+object RelationalQueries {
+
+  /** Exact money sum: Σ DECIMAL(18,2) → double at the very end. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** extendedprice * (1 - discount) in exact decimal arithmetic. */
+  private def revenue: Column =
+    (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(12,2)"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // hash aggregate with partial (map-side) combine; filter pushed to scan
+    "rel_q1_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // 3-way join: broadcast dim (customer filter) into fact-fact join,
+    // then top-k by aggregated revenue
+    "rel_q3_top_orders" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(revenue).cast("double").as("revenue_d"))
+        .orderBy(col("revenue_d").desc, col("o_orderkey"))
+        .limit(10)}),
+
+    // star join through two broadcast dims + group on dim attribute
+    "rel_q5_nation_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("o_totalprice")).as("revenue_d"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")}),
+
+    // left-semi (EXISTS) and left-anti (NOT EXISTS) as one tagged result
+    "rel_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("tag"), col("c_custkey"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      semi.unionByName(anti).orderBy("tag", "c_custkey")}),
+
+    // window function: rank within partition, top-3 per customer
+    "rel_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")}),
+
+    // running aggregate with an explicit ROWS frame and total tie order
+    "rel_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")}),
+
+    // set operators: INTERSECT / EXCEPT over key sets
+    "rel_setops" -> ((s, d) => {
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ordered = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val both = building.intersect(ordered)
+        .select(lit("building_with_orders").as("tag"), col("c_custkey"))
+      val only = building.except(ordered)
+        .select(lit("building_no_orders").as("tag"), col("c_custkey"))
+      both.unionByName(only).orderBy("tag", "c_custkey")}),
+
+    // hierarchical aggregate: ROLLUP with grouping indicators
+    "rel_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")),
+
+    // full CUBE over two dims
+    "rel_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_d"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_d"))
+        .orderBy("status", "priority")),
+
+    // global sort + limit (top-k by price, total tie order)
+    "rel_topk_price" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+
+    // distinct projection
+    "rel_distinct_pairs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // approx distinct (HLL): rows-only check (not bit-replayable in the
+    // oracle); accuracy asserted against exact count in scalatest
+    "rel_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue_d
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_d DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "rel_q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_d,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "rel_semi_anti" ->
+      """SELECT 'has_orders' AS tag, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "rel_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "rel_window_running" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "rel_setops" ->
+      """SELECT 'building_with_orders' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'building_no_orders' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "rel_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "rel_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_d
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "rel_topk_price" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+    "rel_distinct_pairs" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
