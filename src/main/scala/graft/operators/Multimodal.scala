@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video ride through the engine
+  * as opaque `binary` columns with a typed metadata struct. The Spark
+  * side — schema, partition-wise batch processing, column contracts — is
+  * real and tested; the *decoders* are deliberately stubbed (this
+  * container ships no image/audio codecs) behind [[MediaDecoder]], with a
+  * deterministic fake for tests. Swapping in a real codec is a one-class
+  * change that does not touch any plan shape.
+  *
+  * Scale notes: decode runs as `mapPartitions` so a real decoder
+  * amortizes its init per partition (not per row), mirroring how a
+  * Python pipeline would use mapInPandas with batch-level model setup.
+  * Binary payloads stay columnar parquet; metadata extraction is
+  * projection-only and never forces payload reads when pruned.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a media payload. */
+  final case class MediaMeta(
+      doc_id: Long,
+      format: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int
+  )
+
+  final case class MediaRow(doc_id: Long, blob: Array[Byte])
+
+  /** Decoder contract: byte payload → typed metadata + frame bytes.
+    * Real implementations (JPEG/PNG/WAV/MP4) plug in here.
+    */
+  trait MediaDecoder extends Serializable {
+    def init(): Unit // heavyweight setup, once per partition
+    def probe(blob: Array[Byte]): (String, Int, Int, Int) // format, w, h, frames
+    def frame(blob: Array[Byte], idx: Int): Array[Byte]
+  }
+
+  /** Deterministic stub: "decodes" metadata from a stable hash of the
+    * payload so tests are reproducible. A real codec replaces this class
+    * only.
+    */
+  final class StubDecoder extends MediaDecoder {
+    def init(): Unit = ()
+    def probe(blob: Array[Byte]): (String, Int, Int, Int) = {
+      val h = java.util.Arrays.hashCode(blob)
+      val fmts = Array("jpeg", "png", "wav", "mp4")
+      (fmts(math.floorMod(h, fmts.length)),
+        64 + math.floorMod(h >> 2, 1920),
+        64 + math.floorMod(h >> 4, 1080),
+        1 + math.floorMod(h >> 6, 300))
+    }
+    def frame(blob: Array[Byte], idx: Int): Array[Byte] =
+      blob.slice(idx, math.min(idx + 16, blob.length))
+  }
+
+  implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
+  implicit private val rowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+
+  /** Partition-wise metadata extraction: one decoder init per partition,
+    * then a streapmed per-row probe — the batch shape a real codec needs.
+    */
+  def extractMeta(media: DataFrame, decoder: () => MediaDecoder): Dataset[MediaMeta] = {
+    val ds = media.select(col("doc_id"), col("blob")).as[MediaRow](rowEnc)
+    ds.mapPartitions { it =>
+      val d = decoder(); d.init()
+      it.map { r =>
+        val (fmt, w, h, frames) = d.probe(r.blob)
+        MediaMeta(r.doc_id, fmt, r.blob.length.toLong, w, h, frames)
+      }
+    }(metaEnc)
+  }
+
+  /** Frame sampling: every `stride`-th frame index up to the probed frame
+    * count, emitted as (doc_id, frame_idx, frame_bytes).
+    */
+  def sampleFrames(media: DataFrame, decoder: () => MediaDecoder, stride: Int): DataFrame = {
+    val ds = media.select(col("doc_id"), col("blob")).as[MediaRow](rowEnc)
+    ds.mapPartitions { it =>
+      val d = decoder(); d.init()
+      it.flatMap { r =>
+        val (_, _, _, frames) = d.probe(r.blob)
+        (0 until frames by stride).map(i => (r.doc_id, i, d.frame(r.blob, i)))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
+      .toDF("doc_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Pure-column metadata that needs no codec: payload size and a content
+    * digest (dedup key for media). Oracle-expressible.
+    */
+  def blobStats(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), length(col("blob")).as("byte_len"),
+      sha2(col("blob"), 256).as("content_sha"))
+
+  /** Test/bench media table derived from `documents`: the text bytes act
+    * as the opaque payload (deterministic, non-trivial sizes).
+    */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text").cast("binary").as("blob"))
+}

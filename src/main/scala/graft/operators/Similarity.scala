@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, same contract:
+  *  - brute-force cosine top-k: exact; O(|Q|·n) — the baseline and the
+  *    verification oracle. Scales by broadcasting the (small) query set
+  *    against the partitioned corpus — no shuffle of the corpus at all.
+  *  - LSH (random hyperplane) bucketed top-k: approximate; candidates
+  *    come from an equi-join on bucket signature, so corpus pairs never
+  *    materialize — the 100 TB path (IVF with learned centroids would
+  *    slot into the same shape: replace signature with nearest-centroid
+  *    id).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * with a single sequential fold per row (deterministic, engine-
+    * portable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. The query set is
+    * broadcast; ranking is deterministic (score desc, neighbor id asc).
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · h_i). Deterministic
+    * seeded planes; `planes` controls bucket granularity (2^planes
+    * buckets).
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int = 8, seed: Long = 7L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hs = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    hs.zipWithIndex.map { case (h, i) =>
+      val harr = array(h.map(lit): _*)
+      val d = aggregate(zip_with(vec, harr, (v, w) => v.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH: `tables`
+    * independent signatures of `planes` bits each; a corpus vector is a
+    * candidate when it shares ANY table's bucket with the query. Fewer
+    * planes per table = higher per-table collision probability; more
+    * tables = higher union recall. Candidates (not all pairs) are scored
+    * exactly, so the pair space never materializes — the 100 TB path.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      planes: Int = 4, tables: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // (table_id, bucket) keys: one signature per table, seeded independently
+    def tableKeys(vec: Column): Column = array(
+      (0 until tables).map(t => struct(lit(t).as("t"),
+        hyperplaneSignature(vec, dim, planes, seed = 7L + t).as("b"))): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      explode(tableKeys(col(vecCol))).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(tableKeys(col(vecCol))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Exact near-duplicate pairs by cosine within blocking keys (the
+    * embedding analog of Dedup.ngramJaccardBlocked).
+    */
+  def cosineNearDupsBlocked(
+      df: DataFrame, blockCols: Seq[String], topPairs: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = df.select(Seq(col(idCol).as("id_a"), col(vecCol).as("va")) ++
+      blockCols.map(col): _*)
+    val r = df.select(Seq(col(idCol).as("id_b"), col(vecCol).as("vb")) ++
+      blockCols.map(col): _*)
+    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topPairs)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

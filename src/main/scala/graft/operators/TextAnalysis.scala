@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure `Column`
+  * compositions of built-ins (higher-order array functions evaluate
+  * natively per row — no UDF/serialization cost; the plan stays a narrow
+  * map that scales linearly).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word chunks + standalone punctuation marks
+    * (a cheap proxy for a byte-pair tokenizer's piece count).
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+
+  /** Punctuation density: non-word non-space chars / total chars. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9_\\s]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** English-ish stopword list used by the ratio/quality features. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Mean token length (characters per whitespace token). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), lit("\\s+"), lit(""))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and a natural stopword rate. Deterministic
+    * arithmetic only (no floats-by-accumulation), so it hash-matches an
+    * oracle re-expression.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(64.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(lenScore * lit(0.5) + (lit(1.0) - punctPenalty) * lit(0.25) +
+      swScore * lit(0.25), 6)
+  }
+
+  /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
+    * Tiny by design: language ID at corpus scale is a per-row map; the
+    * dictionary rides along as a literal (no join, no shuffle).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for", "this"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "para", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "pour", "une"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "le", "zai", "ren", "you")
+  )
+
+  /** Per-language marker hit count. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = array(langMarkers(lang).map(lit): _*)
+    size(filter(tokens(text), t => array_contains(markers, lower(t))))
+  }
+
+  /** Heuristic language ID: argmax marker-hit count, ties broken by
+    * language code ascending; "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val ordered = langMarkers.keys.toSeq.sorted
+    val best = ordered.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters (Karp-Rabin
+    * style): order-sensitive, so re-orderings fingerprint differently;
+    * stable across engines (pure integer arithmetic).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
+}

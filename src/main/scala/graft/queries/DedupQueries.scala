@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication query surface over `documents` (north-star extension).
+  * The exact paths are oracle-checked; the hash-based approximate paths
+  * (MinHash/LSH, SimHash) are rows-only here and verified against the
+  * exact ground truth in DedupSpec.
+  */
+object DedupQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: digest-grouped duplicate census
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")),
+
+    // exact dedup: surviving rows after dropping duplicates
+    "dedup_drop_exact" -> ((s, d) =>
+      Dedup.dropExact(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // exact n-gram Jaccard near-dups within (lang, source) blocks
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardBlocked(Tables.documents(s, d), "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash+LSH near-dups (hash-based candidates; rows-only — ground
+    // truth asserted in DedupSpec against dedup_ngram_jaccard)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dups within blocks (rows-only)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id",
+        Seq("lang", "source"), maxDist = 8)
+        .orderBy("id_a", "id_b"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_drop_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3 THEN
+        |      list_distinct([
+        |        string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+2]
+        |        for i in range(1, len(string_split_regex(trim(text), '\s+')) - 1)])
+        |    ELSE [] END AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM toks a JOIN toks b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Similarity-search + multimodal query surface over `embeddings` and
+  * the synthetic media table (north-star extensions).
+  */
+object SimilarityQueries {
+
+  private val Dim = 64 // embedding dimensionality of the testdata tables
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact brute-force cosine top-5 for a 10-query panel
+    "sim_bruteforce_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
+    // LSH-bucketed approximate top-5, same panel (rows-only; recall vs
+    // brute force asserted in SimilaritySpec)
+    "sim_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        dim = Dim, planes = 4, tables = 12)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
+    // exact embedding near-dups: top-20 same-label pairs by cosine
+    "sim_neardup_cosine" -> ((s, d) =>
+      Similarity.cosineNearDupsBlocked(Tables.embeddings(s, d),
+        Seq("label"), topPairs = 20) // limit taken on raw cos ordering
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
+
+    // multimodal: codec-free payload stats (oracle-checked)
+    "mm_blob_stats" -> ((s, d) =>
+      Multimodal.blobStats(
+        Multimodal.syntheticMedia(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    // multimodal: partition-wise stub decode → typed metadata (rows-only;
+    // decoder determinism asserted in MultimodalSpec)
+    "mm_meta" -> ((s, d) =>
+      Multimodal.extractMeta(
+        Multimodal.syntheticMedia(Tables.documents(s, d)),
+        () => new Multimodal.StubDecoder)
+        .toDF().orderBy("doc_id")),
+
+    // multimodal: frame sampling shape (rows-only)
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(Tables.documents(s, d)),
+        () => new Multimodal.StubDecoder, stride = 30)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("doc_id"))
+  )
+
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+       |    * sqrt(list_sum(list_transform(list_zip($b, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)))))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_neardup_cosine" ->
+      s"""SELECT id_a, id_b, round(cos_raw, 9) AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  ORDER BY cos_raw DESC, id_a, id_b
+         |  LIMIT 20)
+         |ORDER BY round(cos_raw, 9) DESC, id_a, id_b""".stripMargin,
+    "mm_blob_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001).cache()
+
+  test("cosine: unit parallel = 1, orthogonal = 0, antiparallel = -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f)),
+      (Array(3f, 4f), Array(6f, 8f))).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine($"a", $"b"), 9)).as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 0.0, -1.0, 1.0))
+  }
+
+  test("brute-force top-k: k rows per query, ranks contiguous, scores sorted") {
+    val topk = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, k = 5)
+      .collect()
+    assert(topk.length == 25)
+    val byQ = topk.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("LSH top-k recall vs brute force >= 0.7 on testdata") {
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, emb, k = 5, dim = 64, planes = 4, tables = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+    // and the approximate path scores far fewer pairs than brute force
+    val cands = Similarity.lshTopK(q, emb, k = 1000000, dim = 64).count()
+    assert(cands < emb.count() * q.count(), "LSH must prune the pair space")
+  }
+
+  test("hyperplane signature buckets are stable and bounded") {
+    val sigs = emb.select(
+      Similarity.hyperplaneSignature($"embedding", 64, planes = 8).as("s"))
+    val mm = sigs.agg(min("s"), max("s")).as[(Long, Long)].head()
+    assert(mm._1 >= 0L && mm._2 < 256L)
+    // deterministic across evaluations
+    val a = sigs.as[Long].collect().toSeq
+    val b = sigs.as[Long].collect().toSeq
+    assert(a == b)
+  }
+}
