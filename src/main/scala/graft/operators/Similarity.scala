@@ -18,16 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential-fold dot product in double (deterministic, engine-
+    * portable: same left-to-right summation an oracle's list_sum does).
+    */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Vector L2 norm in double. */
+  def l2norm(x: Column): Column = sqrt(dot(x, x))
+
   /** Cosine similarity of two float-array columns, computed in double
     * with a single sequential fold per row (deterministic, engine-
-    * portable).
+    * portable). For pairwise stages prefer precomputing `l2norm` per row
+    * (see the join operators below): this form evaluates three dots per
+    * pair.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k cosine neighbors for each query vector. The query set is
     * broadcast; ranking is deterministic (score desc, neighbor id asc).
@@ -36,10 +44,14 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms computed once per row BEFORE the join: each pair then costs
+    // one dot, not three
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -78,13 +90,13 @@ object Similarity {
       (0 until tables).map(t => struct(lit(t).as("t"),
         hyperplaneSignature(vec, dim, planes, seed = 7L + t).as("b"))): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      explode(tableKeys(col(vecCol))).as("bucket"))
+      l2norm(col(vecCol)).as("cn"), explode(tableKeys(col(vecCol))).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(tableKeys(col(vecCol))).as("bucket"))
+      l2norm(col(vecCol)).as("qn"), explode(tableKeys(col(vecCol))).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -98,12 +110,12 @@ object Similarity {
   def cosineNearDupsBlocked(
       df: DataFrame, blockCols: Seq[String], topPairs: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = df.select(Seq(col(idCol).as("id_a"), col(vecCol).as("va")) ++
-      blockCols.map(col): _*)
-    val r = df.select(Seq(col(idCol).as("id_b"), col(vecCol).as("vb")) ++
-      blockCols.map(col): _*)
+    val l = df.select(Seq(col(idCol).as("id_a"), col(vecCol).as("va"),
+      l2norm(col(vecCol)).as("na")) ++ blockCols.map(col): _*)
+    val r = df.select(Seq(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2norm(col(vecCol)).as("nb")) ++ blockCols.map(col): _*)
     l.join(r, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topPairs)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -78,12 +78,53 @@ object TextAnalysis {
 
   /** Heuristic language ID: argmax marker-hit count, ties broken by
     * language code ascending; "und" (undetermined) when nothing matches.
+    *
+    * Implemented as one tokenization pass feeding a score array;
+    * `array_position(scores, array_max(scores))` picks the FIRST maximal
+    * index, which in sorted-language order is exactly the tie rule. (A
+    * chained when/struct fold would duplicate — and re-evaluate — every
+    * score expression at each comparison level.)
     */
   def langId(text: Column): Column = {
     val ordered = langMarkers.keys.toSeq.sorted
-    val best = ordered.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
-      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+    val toks = tokens(lower(text))
+    val scores = array(ordered.map { l =>
+      val markers = array(langMarkers(l).map(lit): _*)
+      size(filter(toks, t => array_contains(markers, t)))
+    }: _*)
+    val langsArr = array(ordered.map(lit): _*)
+    val best = element_at(langsArr,
+      array_position(scores, array_max(scores)).cast("int"))
+    when(array_max(scores) > 0, best).otherwise(lit("und"))
+  }
+
+  /** Language ID via explode + codegen'd aggregation — the
+    * high-throughput form of [[langId]] (interpreted array-lambda filters
+    * don't codegen and the argmax re-evaluates them): one row per token,
+    * five conditional sums, then the same first-max-in-sorted-order
+    * rule. Docs whose text yields no tokens classify as "und" via the
+    * outer join back to `df`.
+    */
+  def langIdAgg(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val ordered = langMarkers.keys.toSeq.sorted
+    val exploded = df.select(
+      idCols.map(col) :+
+        explode(tokens(lower(col(textCol)))).as("tok"): _*)
+    val scoreCols = ordered.map { l =>
+      val markers = array(langMarkers(l).map(lit): _*)
+      sum(when(array_contains(markers, col("tok")), 1).otherwise(0)).as(s"s_$l")
+    }
+    val scored = exploded.groupBy(idCols.map(col): _*)
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val mx = greatest(ordered.map(l => col(s"s_$l")): _*)
+    val pick = ordered.foldRight(lit("und")) { (l, rest) =>
+      when(col(s"s_$l") === col("__mx"), l).otherwise(rest)
+    }
+    val guessed = scored.withColumn("__mx", mx)
+      .withColumn("lang_guess", when(col("__mx") > 0, pick).otherwise(lit("und")))
+      .select(idCols.map(col) :+ col("lang_guess"): _*)
+    df.select(idCols.map(col): _*).join(guessed, idCols, "left")
+      .na.fill("und", Seq("lang_guess"))
   }
 
   /** Polynomial rolling-hash fingerprint over characters (Karp-Rabin

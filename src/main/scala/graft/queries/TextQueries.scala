@@ -26,8 +26,7 @@ object TextQueries {
         .orderBy("doc_id")),
 
     "text_langid" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("lang_guess", langId(col("text")))
+      langIdAgg(Tables.documents(s, d), "text", Seq("doc_id", "lang"))
         .groupBy("lang", "lang_guess")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_guess")),

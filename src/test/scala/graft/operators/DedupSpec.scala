@@ -48,11 +48,11 @@ class DedupSpec extends SparkSpec {
       (2L, (1 to 80).map(i => s"tok$i").mkString(" ") + " " +
         (200 to 219).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
     val sig = df.select($"doc_id",
-      Dedup.minhashSignature(Dedup.shingles($"text", 3), 256).as("sig"))
+      Dedup.minhashSignature(Dedup.hashedShingles($"text", 3), 256).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     val est = sig(1L).zip(sig(2L)).count { case (a, b) => a == b } / 256.0
     val exactJ = Dedup.ngramJaccardBlocked(
-      df.withColumn("blk", lit(1)), "text", "doc_id", Seq("blk"), 0.0)
+      df.withColumn("blk", lit(1)), "text", "doc_id", Seq("blk"), 0.001)
       .select("jaccard").as[Double].head()
     assert(math.abs(est - exactJ) < 0.15, s"est=$est exact=$exactJ")
   }
