@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+final case class Keyed(id: Long, ts: java.sql.Timestamp)
+
+/** Streaming forms of the event-time operators whose batch forms are
+  * oracle-checked in EventQueries: tumbling windows with watermark,
+  * session windows, and streaming dedup (SURVEY.md §2.8 — capabilities
+  * absent in the reference, declared engine extensions).
+  */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  final case class Ev(ts: Timestamp, user: String, v: Double)
+
+  test("streaming tumbling window with watermark aggregates per window") {
+    val in = MemoryStream[Ev](spark)
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "15 minutes"), $"user")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Ev(ts(1), "a", 1), Ev(ts(7), "a", 2), Ev(ts(16), "a", 4),
+        Ev(ts(3), "b", 8))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select($"window.start".cast("string"), $"user", $"n", $"sv")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "a", 2L, 3.0),
+        ("2024-01-01 10:15:00", "a", 1L, 4.0),
+        ("2024-01-01 10:00:00", "b", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session window (10-min gap) merges adjacent events") {
+    val in = MemoryStream[Ev](spark)
+    val agg = in.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // a: 10:01, 10:07 (same session), 10:30 (new session); b: 10:02
+      in.addData(Ev(ts(1), "a", 1), Ev(ts(7), "a", 1), Ev(ts(30), "a", 1),
+        Ev(ts(2), "b", 1))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"user", $"n").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows == Map("a" -> Seq(1L, 2L), "b" -> Seq(1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates with watermark suppresses replays") {
+    val in = MemoryStream[Keyed](spark)
+    val dedup = in.toDF()
+      .withWatermark("ts", "20 minutes")
+      .dropDuplicates("id")
+      .groupBy().count()
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(Keyed(1, ts(1)), Keyed(2, ts(2)), Keyed(1, ts(3)))
+      q.processAllAvailable()
+      in.addData(Keyed(2, ts(4)), Keyed(3, ts(5))) // replay of 2 + new 3
+      q.processAllAvailable()
+      assert(spark.table("dedup").as[Long].head() == 3L)
+    } finally q.stop()
+  }
+}
