@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan assertions for the scale-critical properties: predicate
+  * pushdown to parquet, column pruning, broadcast join selection, and
+  * sort elimination under aggregation. These are the properties that
+  * keep the 100 TB plans sane — regressions here don't fail correctness
+  * gates, so they get their own spec.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case s: FileSourceScanExec => s }
+
+  private def query(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("rel_q1_pricing: shipdate filter pushes to the parquet scan") {
+    val scan = scans(executed(query("rel_q1_pricing"))).head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      scan.metadata("PushedFilters"))
+  }
+
+  test("rel_q1_pricing: scan reads only referenced columns") {
+    val scan = scans(executed(query("rel_q1_pricing"))).head
+    val read = scan.schema.fieldNames.toSet
+    assert(read.subsetOf(Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate")), read.toString)
+  }
+
+  test("rel_q5_nation_revenue: dimension joins are broadcast") {
+    val plan = executed(query("rel_q5_nation_revenue"))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected >=2 broadcast joins:\n$plan")
+  }
+
+  test("rel_q3_top_orders: filtered customer dim is broadcast") {
+    val plan = executed(query("rel_q3_top_orders"))
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+  }
+
+  test("sim_bruteforce_topk: query panel broadcast, corpus never shuffled before scoring") {
+    val plan = executed(query("sim_bruteforce_topk"))
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, s"expected broadcast NLJ for the query panel:\n$plan")
+  }
+
+  test("count() over an ordered query eliminates the sort (bench path)") {
+    val counted = query("rel_window_running").groupBy().count()
+    val sorts = executed(counted).collect { case s: SortExec => s }
+    // the window sort remains (required); the final presentation orderBy
+    // must be gone — so at most the one partitionBy/orderBy sort pair
+    assert(sorts.size <= 1, s"presentation sort not eliminated:\n$counted")
+  }
+
+  test("msg_enrich: pure narrow pipeline — no shuffle at all") {
+    val plan = executed(
+      graft.pipeline.Enrich.plain(graft.sources.Tables.messages(spark, sf001)))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"enrich must stay narrow:\n$plan")
+  }
+
+  test("partitioned history table prunes month partitions at read") {
+    val dir = tmpDir("hist_prune")
+    graft.pipeline.Enrich.plain(graft.sources.Tables.messages(spark, sf0001))
+      .write.partitionBy("date_partition").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("date_partition") === "202401M")
+    val scan = scans(executed(pruned)).head
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("date_partition")),
+      scan.metadata.toString)
+  }
+}
