@@ -245,15 +245,25 @@ object Dedup {
     val exploded = df.select(
       idCols.map(col) :+
         explode(transform(split(trim(col(textCol)), "\\s+"), t => xxhash64(t))).as("h"): _*)
+    // pack 4 bit-counters per 64-bit sum (16-bit lanes): 16 aggregate
+    // buffers instead of 64 keeps the generated aggregate code small.
+    // Lanes can't overflow below 65k tokens/doc; ones_b recovers per-bit
+    // 1-counts and the sign test 2·ones_b > n reproduces the ±1 vote.
+    def packed(g: Int) = (0 until 4).map { j =>
+      shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(1), 16 * j)
+    }.reduce(_ + _)
+    val aggCols =
+      count(lit(1)).as("n") +:
+        (0 until 16).map(g => sum(packed(g)).as(s"p$g"))
     val votes = exploded.groupBy(idCols.map(col): _*)
-      .agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
-        (1 until 64).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    def ones(b: Int) =
+      shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xFFFFL)
     votes.select(
       idCols.map(col) :+
         (0 until 64).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sig"): _*)
+          when(ones(b) * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"): _*)
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -263,7 +273,9 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], maxDist: Int = 12): DataFrame = {
-    val t = simhashAgg(df, textCol, idCol +: blockCols)
+    // both join branches read the signature table: persist so the
+    // explode+aggregate runs once (MEMORY_AND_DISK, O(n·8B))
+    val t = simhashAgg(df, textCol, idCol +: blockCols).persist()
     val l = t.select(Seq(col(idCol).as("id_a"), col("sig").as("sig_a")) ++
       blockCols.map(col): _*)
     val r = t.select(Seq(col(idCol).as("id_b"), col("sig").as("sig_b")) ++

@@ -71,6 +71,14 @@ class DedupSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("simhashAgg matches scalar simhash bit-for-bit") {
+    val scalar = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhashAgg(docs, "text", Seq("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(scalar == agg)
+  }
+
   test("simhash near-dups on testdata include the exact near-dup pair") {
     val exact = Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
       Seq("lang", "source"), threshold = 0.9)
