@@ -103,4 +103,44 @@ object Retention {
   def live(df: DataFrame, tsCol: String, ttlSeconds: Long, nowEpochSec: Long): DataFrame =
     if (ttlSeconds <= 0) df
     else df.filter(unix_timestamp(col(tsCol)) > lit(nowEpochSec - ttlSeconds))
+
+  /** Physical TTL enforcement: rewrite only the partitions that still
+    * contain live rows and drop fully-expired ones — the compaction job
+    * that, together with [[live]], gives parquet the observable behavior
+    * of Cassandra's `USING TTL n` (CassandraOutputFormat.java:86-90).
+    * With a month-bucket partition column, cost is O(expiring months),
+    * not O(table).
+    */
+  def compact(
+      spark: SparkSession, path: String, tsCol: String,
+      partitionCol: String, ttlSeconds: Long, nowEpochSec: Long): Unit = {
+    if (ttlSeconds <= 0) return
+    val table = spark.read.parquet(path)
+    val cutoff = nowEpochSec - ttlSeconds
+    // partitions containing at least one expired row need rewriting;
+    // everything else is untouched (dynamic partition overwrite)
+    val touched = table
+      .filter(unix_timestamp(col(tsCol)) <= lit(cutoff))
+      .select(partitionCol).distinct()
+    val rewritten = table
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      .filter(unix_timestamp(col(tsCol)) > lit(cutoff))
+      .persist()
+    val stillLive = rewritten.select(partitionCol).distinct()
+      .collect().map(_.get(0).toString).toSet
+    rewritten.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+    // dynamic overwrite only replaces partitions it writes rows into;
+    // fully-expired partitions produce no rows and must be dropped
+    // explicitly (small driver-side list of month buckets, not data)
+    val touchedVals = touched.collect().map(_.get(0).toString)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touchedVals.filterNot(stillLive).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$p"), true)
+    }
+    rewritten.unpersist()
+    ()
+  }
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+/** Streaming message-source abstraction (SURVEY.md §2.1 S1 / §7.3).
+  *
+  * Every implementation yields a streaming DataFrame with a single binary
+  * `value` column — the same shape Spark's Kafka source produces — which
+  * [[graft.streaming.MessagePipeline]] decodes and enriches. The Kafka
+  * implementation is a configuration swap once `spark-sql-kafka` is on
+  * the classpath (offline container ships without it); files and
+  * MemoryStream cover dev/test and batch-replay.
+  */
+trait MessageSource {
+  def stream(spark: SparkSession): DataFrame
+}
+
+object MessageSource {
+
+  /** Configuration keys follow the reference's property convention:
+    * entries under `kafka.message.backup.` are Kafka consumer settings
+    * with the prefix stripped (BackupMessageConsumer.java:77-87, F2).
+    */
+  val KafkaPrefix = "kafka.message.backup."
+
+  /** Prefix-filter + rename of the raw properties — the reference's
+    * config projection (BackupMessageConsumer.java:77-87) as a pure
+    * function.
+    */
+  def kafkaProps(props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith(KafkaPrefix) =>
+        k.stripPrefix(KafkaPrefix) -> v
+    }
+
+  /** Kafka source (requires the spark-sql-kafka connector jar; not on the
+    * offline classpath — constructing the reader fails lazily at
+    * `stream()` with Spark's missing-data-source error if absent).
+    */
+  final case class Kafka(props: Map[String, String]) extends MessageSource {
+    def stream(spark: SparkSession): DataFrame = {
+      val kp = kafkaProps(props)
+      val topic = kp.getOrElse("topic", "message-topic") // conf default, message-consumer.properties:4
+      val servers = kp.getOrElse("bootstrap.servers",
+        kp.getOrElse("zookeeper.connect", "localhost:9092"))
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .load()
+        .select(col("value"))
+    }
+  }
+
+  /** File-stream source: binary-value parquet files under `path` (the
+    * offline stand-in for a durable log; exactly-once via the file
+    * source's offset log + checkpoint).
+    */
+  final case class Files(path: String) extends MessageSource {
+    def stream(spark: SparkSession): DataFrame =
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", BinaryType))))
+        .parquet(path)
+        .select(col("value"))
+  }
+
+  /** Wrap an existing streaming DataFrame (MemoryStream in tests). */
+  final case class Wrapped(df: DataFrame) extends MessageSource {
+    def stream(spark: SparkSession): DataFrame = df.select(col("value"))
+  }
+}
