@@ -64,6 +64,21 @@ object EventQueries {
           max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // as-of join: each event picks up the user's most recent signup
+    // event at-or-before its timestamp (point-in-time state attach)
+    "ev_asof_signup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_event_id"))
+      graft.operators.AsOfJoin.backward(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        signups, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "signup_ts",
+        rightCols = Seq("signup_event_id"), tieBreak = "signup_event_id")
+        .select("event_id", "user_id", "event_type", "signup_event_id")
+        .orderBy("event_id")}),
+
     // exact dedup under at-least-once replay: the doubled stream
     // converges to single-delivery counts
     "ev_dedup_replay" -> ((s, d) => {
@@ -116,6 +131,15 @@ object EventQueries {
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_asof_signup" ->
+      """SELECT a.event_id, a.user_id, a.event_type, b.signup_event_id
+        |FROM (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events) a
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts,
+        |                       event_id AS signup_event_id
+        |                FROM events WHERE event_type = 'signup') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.signup_ts
+        |ORDER BY a.event_id""".stripMargin,
     "ev_dedup_replay" ->
       """SELECT event_type, count(*) AS n FROM (
         |  SELECT DISTINCT event_id, event_type FROM (

@@ -146,6 +146,16 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // exact interpolated percentiles (sort-based aggregate)
+    "rel_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("price_p25"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("price_p75"))
+        .orderBy("l_returnflag")),
+
     // approx distinct (HLL): rows-only check (not bit-replayable in the
     // oracle); accuracy asserted against exact count in scalatest
     "rel_approx_distinct" -> ((s, d) =>
@@ -235,6 +245,12 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "rel_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        |  quantile_cont(l_extendedprice, 0.75) AS price_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_topk_price" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
