@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    ext.injectFunction(GraftExtensions.avroDecodeDescriptor)
   }
 }
 
@@ -26,10 +27,21 @@ object GraftExtensions {
       VectorDot(children.head, children(1))
     })
 
+  private val avroDecodeDescriptor = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("avro_decode_message"),
+    new ExpressionInfo(classOf[AvroDecodeMessage].getName, "avro_decode_message"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "avro_decode_message takes exactly 1 argument")
+      AvroDecodeMessage(children.head, failFast = true)
+    })
+
   /** Idempotent per-session registration (for sessions not built with
     * `.withExtensions`).
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", children => vectorDotDescriptor._3(children), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avro_decode_message", children => avroDecodeDescriptor._3(children), "scala_udf")
+  }
 }

@@ -52,6 +52,21 @@ object MessageQueries {
         .orderBy("event_type")
     }),
 
+    // M1: stanza synthesis + from_xml projection back to columns (the
+    // reference's XMPP parse capability on the oracle-checked surface)
+    "msg_stanza_parse" -> ((s, d) => {
+      val stanza = concat(
+        lit("""<message xmlns="jabber:client" to=""""), col("jid"),
+        lit("""" id=""""), col("msgId"), lit(""""><body>"""),
+        col("stanza"), lit("</body></message>"))
+      Tables.messages(s, d)
+        .withColumn("xml", stanza)
+        .withColumn("p", parseStanza(col("xml")))
+        .select(col("msgId").as("message_id"),
+          col("p._to").as("to_jid"), col("p._id").as("xml_id"),
+          col("p.body").as("body"))
+        .orderBy("message_id")}),
+
     // X1+F1: full enrich incl. AES — rows-only check (crypto not
     // expressible in the oracle; golden vectors cover it)
     "msg_pipeline_encrypted" -> ((s, d) =>
@@ -104,6 +119,14 @@ object MessageQueries {
         |FROM events GROUP BY 1,2,3 ORDER BY event_type""".stripMargin,
     "msg_roundtrip" ->
       """SELECT 'm'||event_id AS message_id, props AS stanza
+        |FROM events ORDER BY message_id""".stripMargin,
+    // from_xml must recover exactly what was embedded (no XML-special
+    // chars exist in the synthetic payloads)
+    "msg_stanza_parse" ->
+      """SELECT 'm'||event_id AS message_id,
+        |       event_type||'@chat.example' AS to_jid,
+        |       'm'||event_id AS xml_id,
+        |       props AS body
         |FROM events ORDER BY message_id""".stripMargin
   )
 }

@@ -146,6 +146,18 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // GROUPING SETS with grouping-id disambiguation (SQL surface —
+    // the DataFrame API exposes only rollup/cube)
+    "rel_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)}),
+
     // exact interpolated percentiles (sort-based aggregate)
     "rel_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -244,6 +256,13 @@ object RelationalQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_d
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
     "rel_percentiles" ->
       """SELECT l_returnflag,

@@ -26,12 +26,13 @@ import graft.sink.{ParquetUpsertSink, RetryPolicy}
   */
 object MessagePipeline {
 
-  /** raw binary `value` column → decoded message columns. */
-  def decode(raw: DataFrame): DataFrame = {
-    val spark = raw.sparkSession
-    val dec = AvroCodec.decodeUdf(spark)
-    raw.select(dec(col("value")).as("m")).select("m.*")
-  }
+  /** raw binary `value` column → decoded message columns (native
+    * Catalyst expression; fail-fast on malformed bytes like the
+    * reference — pass a lenient variant explicitly if dead-lettering).
+    */
+  def decode(raw: DataFrame): DataFrame =
+    raw.select(graft.plans.AvroDecodeMessage(col("value")).as("m"))
+      .select("m.*")
 
   /** Attach the sink stage to an enriched (history-schema) stream. */
   def start(
