@@ -52,6 +52,20 @@ object MessageQueries {
         .orderBy("event_type")
     }),
 
+    // conversation history: per (user, peer) ordered timeline with
+    // position and inter-message gap — the window-function form of the
+    // reference's read-side use case (SURVEY §2.9 "conversation-history
+    // queries")
+    "msg_conversation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("username", "jid")
+        .orderBy("sentTime", "msgId")
+      Tables.messages(s, d)
+        .withColumn("seq", row_number().over(w))
+        .withColumn("gap_ms", col("sentTime") - lag("sentTime", 1).over(w))
+        .select("username", "jid", "seq", "msgId", "gap_ms")
+        .orderBy("username", "jid", "seq")}),
+
     // M1: stanza synthesis + from_xml projection back to columns (the
     // reference's XMPP parse capability on the oracle-checked surface)
     "msg_stanza_parse" -> ((s, d) => {
@@ -120,6 +134,19 @@ object MessageQueries {
     "msg_roundtrip" ->
       """SELECT 'm'||event_id AS message_id, props AS stanza
         |FROM events ORDER BY message_id""".stripMargin,
+    "msg_conversation" ->
+      """WITH m AS (
+        |  SELECT 'user'||user_id AS username,
+        |         event_type||'@chat.example' AS jid,
+        |         'm'||event_id AS msgId,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS sentTime
+        |  FROM events)
+        |SELECT username, jid,
+        |  row_number() OVER w AS seq, msgId,
+        |  sentTime - lag(sentTime) OVER w AS gap_ms
+        |FROM m
+        |WINDOW w AS (PARTITION BY username, jid ORDER BY sentTime, msgId)
+        |ORDER BY username, jid, seq""".stripMargin,
     // from_xml must recover exactly what was embedded (no XML-special
     // chars exist in the synthetic payloads)
     "msg_stanza_parse" ->

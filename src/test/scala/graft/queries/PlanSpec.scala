@@ -59,6 +59,17 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.nonEmpty, s"expected broadcast NLJ for the query panel:\n$plan")
   }
 
+  test("rel_window_topk: partial top-k pushed below the shuffle (WindowGroupLimit)") {
+    // Catalyst's InferWindowGroupLimit bounds shuffle volume at
+    // partitions×k for rank<=k filters — the custom partial-top-k
+    // operator we would otherwise have to write (SURVEY §4.2)
+    val df = query("rel_window_topk")
+    df.collect()
+    val plan = executed(df).toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial window group limit:\n$plan")
+  }
+
   test("count() over an ordered query eliminates the sort (bench path)") {
     val counted = query("rel_window_running").groupBy().count()
     val sorts = executed(counted).collect { case s: SortExec => s }
