@@ -37,6 +37,35 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // the composed LLM-data pipeline: exact-dedup → quality gate →
+    // language gate → deterministic subsample → per-lang token budget
+    "pipe_clean_corpus" -> ((s, d) => {
+      val deduped = graft.operators.Dedup.dropExact(
+        Tables.documents(s, d), "text", "doc_id")
+      val gated = deduped
+        .withColumn("q", qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .withColumn("lang_guess",
+          when(langScore(col("text"), "en") > 0, "en").otherwise("other"))
+        .filter(col("lang_guess") === "en")
+      val sampled = graft.operators.Sampling.systematicSample(
+        gated, col("doc_id"), numerator = 3, denominator = 4)
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("token_budget"),
+          round(sum(col("q")) / count(lit(1)), 6).as("mean_quality"))
+        .orderBy("lang")}),
+
+    // deterministic stratified subsample: census by (lang, kept)
+    "text_sample_stratified" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = graft.operators.Sampling.stratifiedSystematic(
+        docs, col("lang"), col("doc_id"),
+        Map("en" -> (1, 2), "de" -> (1, 4), "fr" -> (1, 4),
+          "es" -> (1, 10), "zh" -> (1, 10)))
+      kept.groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")}),
+
     // corpus-level quality report: per-source doc counts + mean quality
     "text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -104,6 +133,30 @@ object TextQueries {
         |  list_reduce([0] || list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),
         |              (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_clean_corpus" ->
+      s"""WITH deduped AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         |), gated AS (
+         |  SELECT *, $qualityExpr AS q,
+         |    CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |           t -> list_contains(${markers("en")}, lower(t)))) > 0
+         |         THEN 'en' ELSE 'other' END AS lang_guess
+         |  FROM deduped)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS token_budget,
+         |  round(sum(q) / count(*), 6) AS mean_quality
+         |FROM gated
+         |WHERE q >= 0.5 AND lang_guess = 'en' AND doc_id % 4 < 3
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_sample_stratified" ->
+      """SELECT lang, count(*) AS n_kept FROM documents
+        |WHERE (lang = 'en' AND doc_id % 2 < 1)
+        |   OR (lang = 'de' AND doc_id % 4 < 1)
+        |   OR (lang = 'fr' AND doc_id % 4 < 1)
+        |   OR (lang = 'es' AND doc_id % 10 < 1)
+        |   OR (lang = 'zh' AND doc_id % 10 < 1)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          |  round(sum($qualityExpr) / count(*), 6) AS mean_quality,
