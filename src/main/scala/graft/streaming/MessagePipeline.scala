@@ -28,11 +28,25 @@ object MessagePipeline {
 
   /** raw binary `value` column → decoded message columns (native
     * Catalyst expression; fail-fast on malformed bytes like the
-    * reference — pass a lenient variant explicitly if dead-lettering).
+    * reference — use [[decodeWithDeadLetter]] to quarantine instead).
     */
   def decode(raw: DataFrame): DataFrame =
     raw.select(graft.plans.AvroDecodeMessage(col("value")).as("m"))
       .select("m.*")
+
+  /** Lenient split: malformed records route to a dead-letter frame
+    * (raw bytes + arrival time) instead of failing the job — the
+    * operational improvement over the reference's fail-the-job
+    * (AvroDeserializationSchema.java:47-49). Returns (decoded, dead).
+    */
+  def decodeWithDeadLetter(raw: DataFrame): (DataFrame, DataFrame) = {
+    val attempted = raw.select(col("value"),
+      graft.plans.AvroDecodeMessage(col("value"), failFast = false).as("m"))
+    val decoded = attempted.filter(col("m").isNotNull).select("m.*")
+    val dead = attempted.filter(col("m").isNull)
+      .select(col("value"), current_timestamp().as("dead_lettered_at"))
+    (decoded, dead)
+  }
 
   /** Attach the sink stage to an enriched (history-schema) stream. */
   def start(
