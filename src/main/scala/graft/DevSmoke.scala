@@ -1,11 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Dev replica of the driver's t1 smoke: runs SparkEntry.entry on
+  * sf0.001 and prints a sample (see .claude/skills/verify/SKILL.md).
+  */
 object DevSmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.get(4)
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)
     println(s"[smoke] entry rows=${df.count()}")

@@ -56,9 +56,12 @@ object Dedup {
     // shifted copy re-evaluates tokenization ONCE PER ROW (never per
     // element — element_at inside a lambda would inline the whole
     // tokenize+hash tree per shingle position).
+    // rotation schedule (j*21) mod 64: gcd(21,64)=1 ⇒ distinct non-zero
+    // rotations for every position j in 1..63 (a schedule that wraps to
+    // 0 would make positions interchangeable and XOR-cancel equal tokens)
     val mixed = (1 until n).foldLeft(toksH) { (acc, j) =>
       zip_with(acc, slice(toksH, lit(j + 1), lit(1 << 30)),
-        (a, b) => a.bitwiseXOR(rot(b, (j * 21) % 63)))
+        (a, b) => a.bitwiseXOR(rot(b, (j * 21) % 64)))
     }
     array_distinct(filter(mixed, x => x.isNotNull))
   }

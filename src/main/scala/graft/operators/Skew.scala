@@ -43,6 +43,12 @@ object Skew {
   def saltedJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String],
       bigSaltOn: Column, n: Int, joinType: String = "inner"): DataFrame = {
+    // replicate-and-salt preserves semantics only when unmatched
+    // SMALL-side rows never surface: a right/full outer join would emit
+    // each unmatched small row once per salt replica
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val b = big.withColumn("__salt", salt(bigSaltOn, n))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))

@@ -32,6 +32,11 @@ case class AvroDecodeMessage(child: Expression, failFast: Boolean)
 
   override def dataType: DataType = graft.model.Schemas.message
 
+  // lenient mode yields null on malformed bytes regardless of child
+  // nullability — without this, dead-letter `isNull` filters are
+  // constant-folded away over non-nullable value columns
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

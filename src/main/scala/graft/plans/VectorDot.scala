@@ -24,6 +24,11 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // length mismatch / null element yield null even from non-null inputs;
+  // without this override NullPropagation folds `result IS NULL` to
+  // false and codegen emits invalid assignments for non-nullable children
+  override def nullable: Boolean = true
+
   private def elemOk(t: DataType): Boolean =
     t == FloatType || t == DoubleType
 

@@ -45,7 +45,7 @@ object EventQueries {
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
             .otherwise(0))
         .withColumn("session_idx",
           sum(col("new_session")).over(
@@ -108,8 +108,8 @@ object EventQueries {
       """WITH flagged AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-        |           OR epoch(CAST(ts AS TIMESTAMP))::BIGINT
-        |              - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)::BIGINT > 1800
+        |           OR epoch_us(CAST(ts AS TIMESTAMP))
+        |              - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)

@@ -31,7 +31,8 @@ final case class RetryPolicy(
       val level = ladder(math.min(attempt, ladder.size - 1))
       try out = Some(op(level))
       catch {
-        case e: Throwable =>
+        // fatal JVM errors (OOM, interrupts) must propagate, not retry
+        case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           if (backoffMs > 0) Thread.sleep(backoffMs * attempt)

@@ -43,8 +43,12 @@ object MessageSource {
     def stream(spark: SparkSession): DataFrame = {
       val kp = kafkaProps(props)
       val topic = kp.getOrElse("topic", "message-topic") // conf default, message-consumer.properties:4
+      // NB: the reference's Kafka-0.8-era configs carry zookeeper.connect,
+      // which is NOT a broker endpoint — fail fast rather than dialing ZK
       val servers = kp.getOrElse("bootstrap.servers",
-        kp.getOrElse("zookeeper.connect", "localhost:9092"))
+        throw new IllegalArgumentException(
+          s"${KafkaPrefix}bootstrap.servers is required (zookeeper.connect " +
+            "is a ZooKeeper address, not a Kafka broker endpoint)"))
       spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("subscribe", topic)

@@ -48,8 +48,18 @@ class MessageSourceSpec extends SparkSpec {
     assert(spark.read.parquet(detail).count() == 1)
   }
 
+  test("kafka source rejects zookeeper-only config with a clear message") {
+    val src = MessageSource.Kafka(Map(
+      "kafka.message.backup.topic" -> "t",
+      "kafka.message.backup.zookeeper.connect" -> "zk:2181"))
+    val e = intercept[IllegalArgumentException] { src.stream(spark) }
+    assert(e.getMessage.contains("bootstrap.servers"))
+  }
+
   test("kafka source fails lazily without the connector jar") {
-    val src = MessageSource.Kafka(Map("kafka.message.backup.topic" -> "t"))
+    val src = MessageSource.Kafka(Map(
+      "kafka.message.backup.topic" -> "t",
+      "kafka.message.backup.bootstrap.servers" -> "broker:9092"))
     intercept[Exception] { src.stream(spark) } // DATA_SOURCE_NOT_FOUND offline
   }
 }
