@@ -58,6 +58,46 @@ object Multimodal {
       blob.slice(idx, math.min(idx + 16, blob.length))
   }
 
+  /** Header-parsing decoder for container formats that need no codec
+    * library: RIFF/WAVE (PCM audio) and BMP (bitmap). Anything else
+    * falls through to `fallback` (the stub by default) — so the decode
+    * stage is REAL for these formats and deterministic-fake for the ones
+    * whose codecs aren't in this container (JPEG/MP4).
+    *
+    * probe() tuple semantics per format:
+    *   wav → ("wav", sampleRate, channels, sampleFrames)
+    *   bmp → ("bmp", widthPx, heightPx, 1)
+    */
+  final class HeaderDecoder(fallback: MediaDecoder = new StubDecoder)
+      extends MediaDecoder {
+    def init(): Unit = fallback.init()
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def leShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    private def ascii(b: Array[Byte], off: Int, len: Int): String =
+      new String(b, off, len, "US-ASCII")
+
+    def probe(blob: Array[Byte]): (String, Int, Int, Int) = {
+      if (blob.length >= 44 && ascii(blob, 0, 4) == "RIFF" &&
+        ascii(blob, 8, 4) == "WAVE" && ascii(blob, 12, 4) == "fmt ") {
+        val channels = leShort(blob, 22)
+        val sampleRate = leInt(blob, 24)
+        val bitsPerSample = leShort(blob, 34)
+        val dataSize = leInt(blob, 40)
+        val bytesPerFrame = math.max(1, channels * bitsPerSample / 8)
+        ("wav", sampleRate, channels, dataSize / bytesPerFrame)
+      } else if (blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M') {
+        ("bmp", leInt(blob, 18), leInt(blob, 22), 1)
+      } else fallback.probe(blob)
+    }
+
+    def frame(blob: Array[Byte], idx: Int): Array[Byte] =
+      fallback.frame(blob, idx)
+  }
+
   implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
   implicit private val rowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
 

@@ -44,19 +44,20 @@ object SimilarityQueries {
         Multimodal.syntheticMedia(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
-    // multimodal: partition-wise stub decode → typed metadata (rows-only;
-    // decoder determinism asserted in MultimodalSpec)
+    // multimodal: partition-wise decode → typed metadata (real WAV/BMP
+    // header parsing, stub fallback for codec formats; rows-only —
+    // decoder behavior asserted in MultimodalSpec)
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(
         Multimodal.syntheticMedia(Tables.documents(s, d)),
-        () => new Multimodal.StubDecoder)
+        () => new Multimodal.HeaderDecoder)
         .toDF().orderBy("doc_id")),
 
     // multimodal: frame sampling shape (rows-only)
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.syntheticMedia(Tables.documents(s, d)),
-        () => new Multimodal.StubDecoder, stride = 30)
+        () => new Multimodal.HeaderDecoder, stride = 30)
         .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
         .orderBy("doc_id"))
   )
