@@ -146,6 +146,27 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // post-aggregation filter (HAVING)
+    "rel_having" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_d"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    // correlated scalar subquery: customers above their nation's average
+    // balance (decorrelated by Catalyst into an aggregate + join)
+    "rel_above_nation_avg" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_cs")
+      s.sql(
+        """SELECT c_custkey, c_nationkey
+          |FROM customer_cs c
+          |WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+          |                          / count(*) FROM customer_cs c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)}),
+
     // GROUPING SETS with grouping-id disambiguation (SQL surface —
     // the DataFrame API exposes only rollup/cube)
     "rel_grouping_sets" -> ((s, d) => {
@@ -257,6 +278,18 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "rel_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_d
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "rel_above_nation_avg" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                          / count(*) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "rel_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
