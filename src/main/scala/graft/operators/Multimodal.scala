@@ -80,22 +80,43 @@ object Multimodal {
     private def ascii(b: Array[Byte], off: Int, len: Int): String =
       new String(b, off, len, "US-ASCII")
 
+    /** Canonical-PCM WAV only: 16-byte fmt chunk, audioFormat=1, `data`
+      * chunk immediately after — anything else (WAVE_FORMAT_EX, ADPCM,
+      * LIST chunks) deliberately falls back rather than misparse.
+      */
+    private def isPcmWav(b: Array[Byte]): Boolean =
+      b.length >= 44 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE" &&
+        ascii(b, 12, 4) == "fmt " && leInt(b, 16) == 16 &&
+        leShort(b, 20) == 1 && ascii(b, 36, 4) == "data" &&
+        leInt(b, 40) >= 0 && leInt(b, 40) <= b.length - 44
+
+    /** BMP with a known DIB header (INFO/V4/V5); CORE headers have
+      * different field widths and fall back.
+      */
+    private def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+        Set(40, 108, 124).contains(leInt(b, 14))
+
+    private def wavBytesPerFrame(b: Array[Byte]): Int =
+      math.max(1, leShort(b, 22) * leShort(b, 34) / 8)
+
     def probe(blob: Array[Byte]): (String, Int, Int, Int) = {
-      if (blob.length >= 44 && ascii(blob, 0, 4) == "RIFF" &&
-        ascii(blob, 8, 4) == "WAVE" && ascii(blob, 12, 4) == "fmt ") {
-        val channels = leShort(blob, 22)
-        val sampleRate = leInt(blob, 24)
-        val bitsPerSample = leShort(blob, 34)
-        val dataSize = leInt(blob, 40)
-        val bytesPerFrame = math.max(1, channels * bitsPerSample / 8)
-        ("wav", sampleRate, channels, dataSize / bytesPerFrame)
-      } else if (blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M') {
-        ("bmp", leInt(blob, 18), leInt(blob, 22), 1)
+      if (isPcmWav(blob)) {
+        ("wav", leInt(blob, 24), leShort(blob, 22),
+          leInt(blob, 40) / wavBytesPerFrame(blob))
+      } else if (isBmp(blob)) {
+        // height is negative for top-down bitmaps — magnitude is the size
+        ("bmp", math.abs(leInt(blob, 18)), math.abs(leInt(blob, 22)), 1)
       } else fallback.probe(blob)
     }
 
     def frame(blob: Array[Byte], idx: Int): Array[Byte] =
-      fallback.frame(blob, idx)
+      if (isPcmWav(blob)) {
+        // the real idx-th sample frame from the data chunk
+        val bpf = wavBytesPerFrame(blob)
+        val start = 44 + idx * bpf
+        blob.slice(start, math.min(start + bpf, blob.length))
+      } else fallback.frame(blob, idx)
   }
 
   implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
@@ -116,15 +137,21 @@ object Multimodal {
   }
 
   /** Frame sampling: every `stride`-th frame index up to the probed frame
-    * count, emitted as (doc_id, frame_idx, frame_bytes).
+    * count, emitted as (doc_id, frame_idx, frame_bytes). `maxSamples`
+    * bounds output per document — a long PCM WAV probes millions of
+    * sample frames and an unbounded flatMap would turn one row into
+    * them all.
     */
-  def sampleFrames(media: DataFrame, decoder: () => MediaDecoder, stride: Int): DataFrame = {
+  def sampleFrames(
+      media: DataFrame, decoder: () => MediaDecoder, stride: Int,
+      maxSamples: Int = 1000): DataFrame = {
     val ds = media.select(col("doc_id"), col("blob")).as[MediaRow](rowEnc)
     ds.mapPartitions { it =>
       val d = decoder(); d.init()
       it.flatMap { r =>
         val (_, _, _, frames) = d.probe(r.blob)
-        (0 until frames by stride).map(i => (r.doc_id, i, d.frame(r.blob, i)))
+        (0 until frames by stride).take(maxSamples)
+          .map(i => (r.doc_id, i, d.frame(r.blob, i)))
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
       .toDF("doc_id", "frame_idx", "frame_bytes")

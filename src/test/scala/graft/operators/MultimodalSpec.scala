@@ -34,35 +34,64 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("HeaderDecoder parses real WAV and BMP headers, falls back otherwise") {
-    // minimal valid PCM WAV: 16kHz mono 16-bit, 32 sample frames
-    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
-    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-    val dataBytes = 64 // 32 frames * 2 bytes
-    val wav = "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
-      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
-      le32(32000) ++ le16(2) ++ le16(16) ++
-      "data".getBytes ++ le32(dataBytes) ++ Array.fill[Byte](dataBytes)(0)
-    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
-      le32(640) ++ le32(480) ++ Array.fill[Byte](4)(0)
+  private def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+  /** Canonical PCM WAV: given rate/channels/bits with n frames of data. */
+  private def wavBytes(rate: Int, channels: Int, bits: Int, frames: Int,
+      audioFormat: Int = 1): Array[Byte] = {
+    val dataBytes = frames * channels * bits / 8
+    "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(audioFormat) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * channels * bits / 8) ++
+      le16(channels * bits / 8) ++ le16(bits) ++
+      "data".getBytes ++ le32(dataBytes) ++
+      Array.tabulate[Byte](dataBytes)(i => i.toByte)
+  }
+
+  private def bmpBytes(w: Int, h: Int, dibSize: Int = 40): Array[Byte] =
+    "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(dibSize) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](4)(0)
+
+  test("HeaderDecoder parses canonical PCM WAV and BMP, falls back otherwise") {
     val dec = new HeaderDecoder
-    assert(dec.probe(wav) == ("wav", 16000, 1, 32))
-    assert(dec.probe(bmp) == ("bmp", 640, 480, 1))
-    // unknown payload → stub fallback, deterministic
+    assert(dec.probe(wavBytes(16000, 1, 16, 32)) == ("wav", 16000, 1, 32))
+    assert(dec.probe(bmpBytes(640, 480)) == ("bmp", 640, 480, 1))
+    // top-down bitmap: negative height normalizes to magnitude
+    assert(dec.probe(bmpBytes(640, -480)) == ("bmp", 640, 480, 1))
+    // non-PCM (ADPCM) and unknown DIB headers must NOT be misparsed
+    val adpcm = wavBytes(16000, 1, 4, 32, audioFormat = 0x11)
+    assert(dec.probe(adpcm) == new StubDecoder().probe(adpcm))
+    val coreBmp = bmpBytes(100, 50, dibSize = 12)
+    assert(dec.probe(coreBmp) == new StubDecoder().probe(coreBmp))
+    // arbitrary text starting with "BM" is not a bitmap
+    val bmText = "BMW drivers love spark".getBytes("UTF-8")
+    assert(dec.probe(bmText) == new StubDecoder().probe(bmText))
     val other = "just text bytes".getBytes("UTF-8")
     assert(dec.probe(other) == new StubDecoder().probe(other))
   }
 
+  test("HeaderDecoder frame() extracts the real idx-th PCM sample frame") {
+    val wav = wavBytes(8000, 2, 16, 10) // 4 bytes per frame
+    val dec = new HeaderDecoder
+    // frame 3 starts at byte 44 + 3*4 = 56; data bytes are tabulated 0,1,2,…
+    assert(dec.frame(wav, 3).toSeq == Seq[Byte](12, 13, 14, 15))
+  }
+
   test("extractMeta with HeaderDecoder over a mixed-media frame") {
-    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
-    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
-      le32(100) ++ le32(50) ++ Array.fill[Byte](4)(0)
-    val mixed = Seq((1L, bmp), (2L, "opaque".getBytes("UTF-8")))
+    val mixed = Seq((1L, bmpBytes(100, 50)), (2L, "opaque".getBytes("UTF-8")))
       .toDF("doc_id", "blob")
     val meta = extractMeta(mixed, () => new HeaderDecoder)
       .collect().map(m => m.doc_id -> m).toMap
     assert(meta(1L).format == "bmp" && meta(1L).width == 100 && meta(1L).height == 50)
     assert(meta(2L).format != "bmp") // stub-decoded
+  }
+
+  test("sampleFrames bounds per-doc output (long media can't explode rows)") {
+    val wav = wavBytes(8000, 1, 16, 5000)
+    val n = sampleFrames(Seq((1L, wav)).toDF("doc_id", "blob"),
+      () => new HeaderDecoder, stride = 1, maxSamples = 100).count()
+    assert(n == 100)
   }
 
   test("sampleFrames: stride sampling produces ceil(frames/stride) rows per doc") {
