@@ -6,7 +6,8 @@ object Bench {
     val spark = GraftSession.get(GraftSession.envCpus)
     // session warm-up outside the timed region: JVM/codegen/parquet-footer
     // costs belong to the session, not to whichever query runs first
-    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }

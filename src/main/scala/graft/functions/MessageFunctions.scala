@@ -110,5 +110,5 @@ object MessageFunctions {
     * (plus tab/CR/LF which XML always allows).
     */
   def hasIllegalXmlChars(s: Column): Column =
-    s.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    s.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFE\\uFFFF]")
 }

@@ -66,9 +66,10 @@ object AsOfJoin {
     val withTol =
       if (tolerance <= 0) matched
       else matched.withColumn("__match",
-        when(col("__ts").cast("long") -
-          col("__match").getField(rightTs).cast("long") <= tolerance,
-          col("__match")))
+        when(unix_micros(col("__ts")) -
+          unix_micros(col("__match").getField(rightTs)) <= tolerance * 1000000L,
+          col("__match"))) // exact µs compare: a cast-to-seconds floor
+                           // would admit matches up to tolerance+0.999s stale
     withTol.select(
       left.columns.map(col).toSeq ++
         rightCols.map(c => col("__match").getField(c).as(c)): _*)

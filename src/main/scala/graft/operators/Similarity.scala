@@ -32,10 +32,16 @@ object Similarity {
     * with a single sequential fold per row (deterministic, engine-
     * portable). For pairwise stages prefer precomputing `l2norm` per row
     * (see the join operators below): this form evaluates three dots per
-    * pair.
+    * pair. Zero-norm inputs yield null, never NaN (Spark sorts NaN above
+    * every real value in descending order — a padded all-zeros embedding
+    * would otherwise rank as everyone's #1 neighbor).
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    safeRatio(dot(a, b), l2norm(a) * l2norm(b))
+
+  /** num/den with null (not NaN/Inf) when den is 0 or either is null. */
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den > 0, num / den)
 
   /** Exact top-k cosine neighbors for each query vector. The query set is
     * broadcast; ranking is deterministic (score desc, neighbor id asc).
@@ -51,7 +57,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -66,10 +72,17 @@ object Similarity {
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int = 8, seed: Long = 7L): Column = {
     val rnd = new scala.util.Random(seed)
     val hs = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    // dim must match the data: a mismatch nulls every plane dot, which
+    // would silently collapse ALL vectors into bucket 0 and turn the LSH
+    // join into a full cross-product — fail loudly instead
+    val guard = when(size(vec) =!= dim,
+      raise_error(concat(lit(s"hyperplaneSignature: dim=$dim but embedding has "),
+        size(vec), lit(" elements"))).cast("long"))
+      .otherwise(0L)
     hs.zipWithIndex.map { case (h, i) =>
       val harr = array(h.map(lit): _*)
       when(dot(vec, harr) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
+    }.reduce(_ + _) + guard
   }
 
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
@@ -94,7 +107,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -113,7 +126,7 @@ object Similarity {
     val r = df.select(Seq(col(idCol).as("id_b"), col(vecCol).as("vb"),
       l2norm(col(vecCol)).as("nb")) ++ blockCols.map(col): _*)
     l.join(r, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", safeRatio(dot(col("va"), col("vb")), col("na") * col("nb")))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topPairs)
       .select(col("id_a"), col("id_b"), col("cos"))

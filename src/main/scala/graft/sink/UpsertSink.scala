@@ -48,13 +48,13 @@ final class ParquetUpsertSink(
     retry.run {
       val existing = readExisting(spark, path, batch)
       // restrict the merge to partitions the batch touches
-      val (base, merged) = partitionCol match {
+      val merged = partitionCol match {
         case Some(p) =>
           val touched = batch.select(p).distinct()
           val relevant = existing.join(broadcast(touched), Seq(p), "left_semi")
-          (relevant, dedupByKey(relevant.unionByName(batch), keys, versionCol))
+          dedupByKey(relevant.unionByName(batch), keys, versionCol)
         case None =>
-          (existing, dedupByKey(existing.unionByName(batch), keys, versionCol))
+          dedupByKey(existing.unionByName(batch), keys, versionCol)
       }
       write(merged, path, partitionCol)
     }

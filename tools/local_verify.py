@@ -40,6 +40,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # a query that crashed in Verify produces no result dir — that must
+    # FAIL the gate, not silently vanish from the comparison
+    produced = {os.path.basename(d.rstrip("/"))
+                for d in glob.glob(f"{out_dir}/*/")}
+    for missing in sorted(set(oracle) - produced):
+        failures += 1
+        print(f"  {missing:32s} FAIL  NO RESULT (query crashed in Verify?)")
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         got = pd.read_parquet(qdir)
