@@ -127,6 +127,20 @@ object TextAnalysis {
       .na.fill("und", Seq("lang_guess"))
   }
 
+  /** Within-document repetition: fraction of word 3-gram occurrences
+    * that are repeats of an earlier 3-gram in the same document — a
+    * standard generated-/boilerplate-text signal (high value = the doc
+    * keeps repeating itself). 0 for docs with fewer than 3 tokens.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val total = greatest(size(toks) - lit(n - 1), lit(0))
+    val distinctSh = size(graft.operators.Dedup.shingles(text, n))
+    when(total > 0,
+      round((total - distinctSh).cast("double") / total.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Polynomial rolling-hash fingerprint over characters (Karp-Rabin
     * style): order-sensitive, so re-orderings fingerprint differently;
     * stable across engines (pure integer arithmetic).

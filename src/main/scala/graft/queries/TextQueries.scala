@@ -31,6 +31,21 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_guess")),
 
+    // within-doc 3-gram repetition (boilerplate/generated-text signal)
+    "text_repetition" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // corpus quality histogram: docs per 0.1-wide quality bucket
+    "text_quality_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          least(floor(qualityScore(col("text")) * 10).cast("int"), lit(9)))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")),
+
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -128,6 +143,26 @@ object TextQueries {
          |  FROM scored)
          |SELECT lang, lang_guess, count(*) AS n
          |FROM best GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) AS total,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3 THEN
+        |      len(list_distinct([
+        |        string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+2]
+        |        for i in range(1, len(string_split_regex(trim(text), '\s+')) - 1)]))
+        |    ELSE 0 END AS dst
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN total > 0
+        |       THEN round((total - dst)::DOUBLE / total, 6) ELSE 0.0 END AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality_histogram" ->
+      s"""SELECT least(CAST(floor($qualityExpr * 10) AS INT), 9) AS bucket,
+         |       count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce([0] || list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),
