@@ -89,6 +89,23 @@ object RelationalQueries {
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")}),
 
+    // the same top-3-per-customer via the typed bounded-heap Aggregator
+    // (algebraic partial top-k: shuffles k rows per group per partition
+    // instead of whole groups; identical output to rel_window_topk)
+    "rel_topk_aggregator" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          struct(col("o_totalprice"), col("o_orderkey")).as("p"))
+        .as[(Long, (Double, Long))]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.plans.TopKAggregator(3).toColumn.name("topk"))
+        .flatMap { case (cust, topk) =>
+          topk.zipWithIndex.map { case ((price, okey), i) => (cust, i + 1, okey, price) }
+        }
+        .toDF("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")}),
+
     // running aggregate with an explicit ROWS frame and total tie order
     "rel_window_running" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
@@ -240,6 +257,14 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY tag, c_custkey""".stripMargin,
     "rel_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "rel_topk_aggregator" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
