@@ -115,6 +115,59 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Elementwise mean vectors per cell (IVF centroids). Computed via
+    * posexplode + per-(cell, position) aggregation — scales to any
+    * corpus because no vector list is ever collected per group.
+    */
+  def centroids(df: DataFrame, cellCol: String, vecCol: String = "embedding"): DataFrame =
+    df.select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** IVF (inverted-file) approximate top-k: vectors are assigned to
+    * their nearest centroid cell once; a query scores only vectors in
+    * its `nprobe` nearest cells. The cell table is tiny and broadcast;
+    * the corpus is scanned by cell — the candidate set is
+    * O(n·nprobe/cells) instead of O(n). Centroids here come from
+    * [[centroids]] over a labeling (k-means iterations would refine the
+    * same shape without changing any plan).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, cells: DataFrame, k: Int,
+      nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // nearest-cell assignment for the corpus (rank 1) and nprobe cells
+    // for queries — both via broadcast of the small centroid table
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cells))
+        .withColumn("cell_sim", cosine(col(vecCol), col("centroid")))
+      val w = Window.partitionBy(id).orderBy(col("cell_sim").desc, col("cell"))
+      scored.withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= keep)
+        .drop("centroid", "cell_sim", "cr")
+    }
+    val c = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumnRenamed("cv", vecCol), "neighbor_id", 1)
+      .withColumnRenamed(vecCol, "cv")
+      .withColumn("cn", l2norm(col("cv")))
+    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumnRenamed("qv", vecCol), "query_id", nprobe)
+      .withColumnRenamed(vecCol, "qv")
+      .withColumn("qn", l2norm(col("qv")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Exact near-duplicate pairs by cosine within blocking keys (the
     * embedding analog of Dedup.ngramJaccardBlocked).
     */

@@ -31,6 +31,16 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // IVF (inverted-file) approximate top-5: centroid cells from labels,
+    // nprobe=4 (rows-only; recall + centroid math asserted in
+    // SimilaritySpec)
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        Similarity.centroids(emb, "label"), k = 5, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
     // exact embedding near-dups: top-20 same-label pairs by cosine
     "sim_neardup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupsBlocked(Tables.embeddings(s, d),

@@ -46,6 +46,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cands < emb.count() * q.count(), "LSH must prune the pair space")
   }
 
+  test("IVF top-k: centroids are elementwise means; recall reasonable; candidates pruned") {
+    import org.apache.spark.sql.functions._
+    val cells = Similarity.centroids(emb, "label")
+    assert(cells.count() == 10) // one per label
+    // centroid of label 0 position 0 equals the exact mean
+    val exp = emb.filter($"label" === 0)
+      .select(element_at($"embedding", 1).cast("double")).agg(avg("*"))
+      .as[Double].head()
+    val got = cells.filter($"cell" === 0)
+      .select(element_at($"centroid", 1)).as[Double].head()
+    assert(math.abs(got - exp) < 1e-9)
+
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, cells, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // weak-cluster synthetic data
+    // pruning: candidate space strictly smaller than brute force
+    val cands = Similarity.ivfTopK(q, emb, cells, k = 1000000, nprobe = 4).count()
+    assert(cands < emb.count() * q.count() / 2, s"cands=$cands")
+  }
+
   test("hyperplane signature buckets are stable and bounded") {
     val sigs = emb.select(
       Similarity.hyperplaneSignature($"embedding", 64, planes = 8).as("s"))
