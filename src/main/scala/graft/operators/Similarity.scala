@@ -92,6 +92,28 @@ object Similarity {
     * tables = higher union recall. Candidates (not all pairs) are scored
     * exactly, so the pair space never materializes — the 100 TB path.
     */
+  /** Shared candidate-scoring tail for the ANN paths: join prepared
+    * corpus (neighbor_id, cv, cn, <joinKey>) against broadcast queries
+    * (query_id, qv, qn, <joinKey>), score with precomputed norms, rank
+    * deterministically, keep top-k. `dedupe` only when the candidate
+    * generator can emit the same (query, neighbor) pair more than once —
+    * the distinct costs a shuffle.
+    */
+  private def scoreCandidates(
+      c: DataFrame, q: DataFrame, joinKey: String, k: Int,
+      dedupe: Boolean): DataFrame = {
+    val joined = c.join(broadcast(q), Seq(joinKey))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val unique = if (dedupe) joined.dropDuplicates("query_id", "neighbor_id") else joined
+    val scored = unique
+      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       planes: Int = 4, tables: Int = 12,
@@ -104,15 +126,8 @@ object Similarity {
       l2norm(col(vecCol)).as("cn"), explode(tableKeys(col(vecCol))).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2norm(col(vecCol)).as("qn"), explode(tableKeys(col(vecCol))).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    // multi-table signatures DO produce duplicate pairs → dedupe
+    scoreCandidates(c, q, "bucket", k, dedupe = true)
   }
 
   /** Elementwise mean vectors per cell (IVF centroids). Computed via
@@ -139,33 +154,32 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, cells: DataFrame, k: Int,
       nprobe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // nearest-cell assignment for the corpus (rank 1) and nprobe cells
-    // for queries — both via broadcast of the small centroid table
-    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cells))
-        .withColumn("cell_sim", cosine(col(vecCol), col("centroid")))
+    // centroid table with precomputed norms — broadcast everywhere
+    val cellsN = cells.select(col("cell"), col("centroid"),
+      l2norm(col("centroid")).as("centroid_n"))
+    // nearest-cell assignment: input rows carry a precomputed norm so
+    // each (row, cell) pair costs ONE dot product, not three
+    def assign(df: DataFrame, id: String, vec: String, norm: String,
+        keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cellsN))
+        .withColumn("cell_sim",
+          safeRatio(dot(col(vec), col("centroid")), col(norm) * col("centroid_n")))
       val w = Window.partitionBy(id).orderBy(col("cell_sim").desc, col("cell"))
       scored.withColumn("cr", row_number().over(w))
         .filter(col("cr") <= keep)
-        .drop("centroid", "cell_sim", "cr")
+        .drop("centroid", "centroid_n", "cell_sim", "cr")
     }
-    val c = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumnRenamed("cv", vecCol), "neighbor_id", 1)
-      .withColumnRenamed(vecCol, "cv")
-      .withColumn("cn", l2norm(col("cv")))
-    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumnRenamed("qv", vecCol), "query_id", nprobe)
-      .withColumnRenamed(vecCol, "qv")
-      .withColumn("qn", l2norm(col("qv")))
-    val scored = c.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    val c = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        l2norm(col(vecCol)).as("cn")),
+      "neighbor_id", "cv", "cn", keep = 1)
+    val q = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn")),
+      "query_id", "qv", "qn", keep = nprobe)
+    // each corpus vector sits in exactly one cell and each query probes
+    // distinct cells → pairs are already unique, skip the distinct shuffle
+    scoreCandidates(c, q, "cell", k, dedupe = false)
   }
 
   /** Exact near-duplicate pairs by cosine within blocking keys (the

@@ -22,22 +22,44 @@ final class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, "k must be positive")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Total order matching Spark's window `ORDER BY score DESC, id ASC`:
+    * java.lang.Double.compare ranks NaN above every real (and orders
+    * ±0.0), so a NaN score cannot make the comparator intransitive (a
+    * naive `>` would — both better(NaN,x) and better(x,NaN) false —
+    * giving arrival-order-dependent results and TimSort contract errors).
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
-  private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
-    xs.sortWith(better).take(k)
-
+  // invariant: buffers are sorted best-first and bounded by k
   override def zero: List[(Double, Long)] = Nil
 
-  override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
-    trim(in :: buf)
+  override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] = {
+    // O(1) reject for the common case: buffer full and `in` is no better
+    // than the current worst (the sorted invariant makes `last` the worst)
+    if (buf.lengthCompare(k) >= 0 && !better(in, buf.last)) buf
+    else {
+      val (before, after) = buf.span(better(_, in))
+      (before ::: in :: after).take(k)
+    }
+  }
 
-  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
-    trim(a ++ b)
+  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] = {
+    // merge of two sorted lists, bounded at k
+    val out = List.newBuilder[(Double, Long)]
+    var (x, y, n) = (a, b, 0)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
 
-  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] =
-    buf.sortWith(better)
+  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
 
   override def bufferEncoder: Encoder[List[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()

@@ -30,14 +30,32 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
-  test("merge is associative and bounded (partial heaps stay size k)") {
+  test("merge is associative and bounded (partial buffers stay size k)") {
     val a = new TopKAggregator(2)
-    val xs = List((5.0, 1L), (3.0, 2L), (9.0, 3L))
-    val ys = List((7.0, 4L), (1.0, 5L))
-    val m1 = a.merge(a.merge(xs, ys), Nil)
-    val m2 = a.merge(xs, a.merge(ys, Nil))
+    // buffers must be built through reduce (sorted-bounded invariant)
+    val xs = List((5.0, 1L), (3.0, 2L), (9.0, 3L)).foldLeft(a.zero)(a.reduce)
+    val ys = List((7.0, 4L), (1.0, 5L)).foldLeft(a.zero)(a.reduce)
+    val m1 = a.merge(a.merge(xs, ys), a.zero)
+    val m2 = a.merge(xs, a.merge(ys, a.zero))
     assert(m1 == m2 && m1.size == 2)
     assert(a.finish(m1) == Seq((9.0, 3L), (7.0, 4L)))
+  }
+
+  test("NaN scores rank above reals deterministically (window-order parity)") {
+    val a = new TopKAggregator(2)
+    val buf = List((5.0, 1L), (Double.NaN, 2L), (7.0, 3L))
+      .foldLeft(a.zero)(a.reduce)
+    // java.lang.Double total order: NaN > all reals; matches Spark's
+    // window ORDER BY score DESC placement of NaN. (Compare ids plus
+    // NaN-awareness: tuple == would fail on NaN != NaN.)
+    def sameRanking(got: Seq[(Double, Long)], exp: Seq[(Double, Long)]) =
+      got.map(_._2) == exp.map(_._2) &&
+        got.zip(exp).forall { case (g, e) =>
+          java.lang.Double.compare(g._1, e._1) == 0 }
+    assert(sameRanking(a.finish(buf), Seq((Double.NaN, 2L), (7.0, 3L))))
+    val bufRev = List((7.0, 3L), (Double.NaN, 2L), (5.0, 1L))
+      .foldLeft(a.zero)(a.reduce)
+    assert(sameRanking(a.finish(bufRev), Seq((Double.NaN, 2L), (7.0, 3L))))
   }
 
   test("ties break by id ascending, matching the window order") {
