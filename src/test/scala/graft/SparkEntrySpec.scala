@@ -1,0 +1,44 @@
+package graft
+
+import graft.SparkSpec
+
+/** Driver-contract consistency: the oracle map must reference only
+  * registered queries, names must be unique across query groups, and
+  * the declared-approximate query must actually be accurate.
+  */
+class SparkEntrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every oracleSql key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("query names are unique across groups (no silent map overwrites)") {
+    val groups = Seq(
+      graft.queries.MessageQueries.queries.keySet,
+      graft.queries.RelationalQueries.queries.keySet,
+      graft.queries.EventQueries.queries.keySet,
+      graft.queries.TextQueries.queries.keySet,
+      graft.queries.DedupQueries.queries.keySet,
+      graft.queries.SimilarityQueries.queries.keySet)
+    val total = groups.map(_.size).sum
+    assert(total == SparkEntry.queries.size,
+      "duplicate query name across groups collapsed in the merged map")
+  }
+
+  test("approx_count_distinct stays within its advertised error bound") {
+    // default rsd = 5%; assert against the exact count per group
+    val rows = SparkEntry.queries("rel_approx_distinct")(spark, sf001)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.15, s"approx=$approx exact=$exact err=$err")
+    }
+  }
+
+  test("entry() returns rows on sf0.001 (driver t1 smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
