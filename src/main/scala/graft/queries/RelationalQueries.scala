@@ -163,6 +163,17 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // scan-dominated single aggregate: every predicate pushes to parquet
+    "rel_q6_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(12,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
     // post-aggregation filter (HAVING)
     "rel_having" -> ((s, d) =>
       Tables.orders(s, d)
@@ -303,6 +314,15 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "rel_q6_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "rel_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_d
