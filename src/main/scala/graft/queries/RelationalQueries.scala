@@ -163,6 +163,32 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // order-count distribution (left outer join + two-level aggregate):
+    // how many customers placed exactly N orders, including zero
+    "rel_q13_order_dist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders"))}),
+
+    // EXISTS with event-time arithmetic: orders having a lineitem
+    // shipped more than 90 days after the order date, per priority
+    "rel_q4_late_ships" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val late = o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      late.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")}),
+
     // scan-dominated single aggregate: every predicate pushes to parquet
     "rel_q6_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -314,6 +340,19 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "rel_q13_order_dist" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "rel_q4_late_ships" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "rel_q6_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
