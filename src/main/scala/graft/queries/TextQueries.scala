@@ -31,6 +31,16 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_guess")),
 
+    // lexical diversity: type-token ratio per doc (distinct / total
+    // lowercased tokens — low TTR is another boilerplate signal)
+    "text_ttr" -> ((s, d) => {
+      import graft.operators.TextAnalysis.tokens
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(size(array_distinct(tokens(lower(col("text"))))).cast("double") /
+          greatest(size(tokens(col("text"))), lit(1)).cast("double"), 6).as("ttr"))
+        .orderBy("doc_id")}),
+
     // within-doc 3-gram repetition (boilerplate/generated-text signal)
     "text_repetition" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -143,6 +153,11 @@ object TextQueries {
          |  FROM scored)
          |SELECT lang, lang_guess, count(*) AS n
          |FROM best GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+    "text_ttr" ->
+      """SELECT doc_id,
+        |  round(len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))::DOUBLE
+        |        / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
