@@ -151,7 +151,20 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numHashes: Int = 64,
-      bands: Int = 16, shingleN: Int = 3): DataFrame = {
+      bands: Int = 16, shingleN: Int = 3): DataFrame =
+    minhashNearDupsManaged(df, textCol, idCol, threshold, numHashes,
+      bands, shingleN)._1
+
+  /** [[minhashNearDups]] plus a release handle for the internal signature
+    * cache: call it after consuming the result to free the cached
+    * signatures immediately instead of waiting for LRU eviction /
+    * session end (long-lived sessions issuing many dedup runs should use
+    * this form).
+    */
+  def minhashNearDupsManaged(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, numHashes: Int = 64,
+      bands: Int = 16, shingleN: Int = 3): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val withSig = withSignatures(df, textCol, idCol, numHashes, shingleN)
@@ -167,15 +180,16 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sets = withSig.select(col("id"), col("sh"))
-    cands
+    val out = cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // note: `withSig` stays cached for the lifetime of the returned lazy
-    // plan; storage is MEMORY_AND_DISK and LRU-evicted, sized
-    // O(n·(shingles+numHashes)·8B) — fine at any corpus scale.
+    // `withSig` must stay cached while the returned lazy plan is alive
+    // (storage MEMORY_AND_DISK, LRU-evicted, O(n·(shingles+numHashes)·8B));
+    // the release handle unpersists it once the caller has acted on `out`.
+    (out, () => { withSig.unpersist(); () })
   }
 
   /** Exact n-gram Jaccard pairs within blocking keys via a set-similarity
@@ -188,7 +202,15 @@ object Dedup {
     */
   def ngramJaccardBlocked(
       df: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[String], threshold: Double, shingleN: Int = 3): DataFrame = {
+      blockCols: Seq[String], threshold: Double, shingleN: Int = 3): DataFrame =
+    ngramJaccardBlockedManaged(df, textCol, idCol, blockCols, threshold, shingleN)._1
+
+  /** [[ngramJaccardBlocked]] plus a release handle for the internal
+    * shingle cache (see [[minhashNearDupsManaged]]).
+    */
+  def ngramJaccardBlockedManaged(
+      df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], threshold: Double, shingleN: Int = 3): (DataFrame, () => Unit) = {
     require(threshold > 0.0, "zero-overlap pairs never materialize; threshold must be > 0")
     val t = df.select(Seq(col(idCol).as("id"),
       hashedShingles(col(textCol), shingleN).as("sh")) ++ blockCols.map(col): _*)
@@ -204,11 +226,12 @@ object Dedup {
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val out = inter
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (out, () => { t.unpersist(); () })
   }
 
   // --- SimHash -----------------------------------------------------------
@@ -248,20 +271,24 @@ object Dedup {
     val exploded = df.select(
       idCols.map(col) :+
         explode(transform(split(trim(col(textCol)), "\\s+"), t => xxhash64(t))).as("h"): _*)
-    // pack 4 bit-counters per 64-bit sum (16-bit lanes): 16 aggregate
-    // buffers instead of 64 keeps the generated aggregate code small.
-    // Lanes can't overflow below 65k tokens/doc; ones_b recovers per-bit
-    // 1-counts and the sign test 2·ones_b > n reproduces the ±1 vote.
-    def packed(g: Int) = (0 until 4).map { j =>
-      shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(1), 16 * j)
+    // pack 2 bit-counters per 64-bit sum (32-bit lanes): 32 aggregate
+    // buffers instead of 64 keeps the generated aggregate code small
+    // while making lane carry unreachable — a lane overflows only at
+    // 2^32 tokens in ONE document, and the long sum itself would raise
+    // an ANSI error at ~2^31 tokens first; both are beyond Spark's 2 GiB
+    // single-string limit, so no token count a row can hold corrupts a
+    // lane. ones_b recovers per-bit 1-counts and the sign test
+    // 2·ones_b > n reproduces the ±1 vote.
+    def packed(g: Int) = (0 until 2).map { j =>
+      shiftleft(shiftright(col("h"), 2 * g + j).bitwiseAND(1), 32 * j)
     }.reduce(_ + _)
     val aggCols =
       count(lit(1)).as("n") +:
-        (0 until 16).map(g => sum(packed(g)).as(s"p$g"))
+        (0 until 32).map(g => sum(packed(g)).as(s"p$g"))
     val votes = exploded.groupBy(idCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     def ones(b: Int) =
-      shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xFFFFL)
+      shiftright(col(s"p${b / 2}"), 32 * (b % 2)).bitwiseAND(0xFFFFFFFFL)
     votes.select(
       idCols.map(col) :+
         (0 until 64).map(b =>
@@ -275,7 +302,15 @@ object Dedup {
   /** SimHash near-dup pairs within blocking keys: hamming(sig) <= maxDist. */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[String], maxDist: Int = 12): DataFrame = {
+      blockCols: Seq[String], maxDist: Int = 12): DataFrame =
+    simhashNearDupsManaged(df, textCol, idCol, blockCols, maxDist)._1
+
+  /** [[simhashNearDups]] plus a release handle for the internal signature
+    * cache (see [[minhashNearDupsManaged]]).
+    */
+  def simhashNearDupsManaged(
+      df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], maxDist: Int = 12): (DataFrame, () => Unit) = {
     // both join branches read the signature table: persist so the
     // explode+aggregate runs once (MEMORY_AND_DISK, O(n·8B))
     val t = simhashAgg(df, textCol, idCol +: blockCols).persist()
@@ -283,9 +318,10 @@ object Dedup {
       blockCols.map(col): _*)
     val r = t.select(Seq(col(idCol).as("id_b"), col("sig").as("sig_b")) ++
       blockCols.map(col): _*)
-    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+    val out = l.join(r, blockCols).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+    (out, () => { t.unpersist(); () })
   }
 }

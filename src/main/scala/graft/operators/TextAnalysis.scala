@@ -141,9 +141,18 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  /** Polynomial rolling-hash fingerprint over characters (Karp-Rabin
-    * style): order-sensitive, so re-orderings fingerprint differently;
-    * stable across engines (pure integer arithmetic).
+  /** Polynomial rolling-hash fingerprint over Unicode CODE POINTS
+    * (Karp-Rabin style): order-sensitive, so re-orderings fingerprint
+    * differently; stable across engines (pure integer arithmetic).
+    *
+    * Cross-engine parity is full-Unicode, not ASCII-only: Spark 4's
+    * `split(text, "")` yields one element per code point (surrogate
+    * pairs stay together) and `ascii()` returns the full code point
+    * (é→233, 😀→128512, 中→20013, combining U+0301→769 — verified
+    * against this Spark build), matching DuckDB's
+    * `string_split(text, '')` + `unicode(c)` element for element.
+    * TextAnalysisSpec pins these values so an engine upgrade that
+    * regresses either side fails loudly.
     */
   def fingerprint(text: Column): Column =
     aggregate(split(text, ""), lit(0L),

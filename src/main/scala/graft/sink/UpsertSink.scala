@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
 trait UpsertSink {
   /** Upsert `batch` by `keys`; later writes win within a batch via
     * `versionCol` ordering (ties broken deterministically).
+    *
+    * Partition-bucketed implementations merge per bucket: last-write-wins
+    * is global only when `keys` functionally determine the bucket value
+    * (re-deriving it from the same payload fields on every write, as the
+    * reference derives `date_partition` from `sentTime` —
+    * CassandraOutputFormat.java:106). A later write for an existing key
+    * whose DERIVED bucket changed (e.g. a corrected timestamp crossing a
+    * month) lands in the new bucket and leaves the old row alive in the
+    * old one — exactly what the reference's Cassandra schema does, since
+    * `date_partition` is the table's partition key and a changed value
+    * addresses a different Cassandra row. Callers needing global key
+    * uniqueness across bucket changes must delete-by-key first (a full
+    * scan, deliberately not hidden inside the O(touched-buckets) path).
     */
   def upsert(batch: DataFrame, keys: Seq[String], versionCol: String): Unit
 }
@@ -47,7 +60,9 @@ final class ParquetUpsertSink(
   def upsert(batch: DataFrame, keys: Seq[String], versionCol: String): Unit =
     retry.run {
       val existing = readExisting(spark, path, batch)
-      // restrict the merge to partitions the batch touches
+      // restrict the merge to partitions the batch touches — key dedup is
+      // therefore per-partition; see the trait contract for the
+      // keys-determine-partition requirement this relies on
       val merged = partitionCol match {
         case Some(p) =>
           val touched = batch.select(p).distinct()

@@ -79,6 +79,50 @@ class DedupSpec extends SparkSpec {
     assert(scalar == agg)
   }
 
+  test("simhashAgg is exact past 65536 tokens per doc (ADVICE r1 lane carry)") {
+    // 70k tokens would carry across the old 16-bit lanes; 32-bit lanes
+    // hold. Ground truth: per-bit vote counts computed in plain Scala
+    // over the same xxhash64 token hashes Spark produced.
+    val n = 70000
+    val doc = (0 until n).map(i => s"w${i % 7}").mkString(" ")
+    val hashes = Seq(doc).toDF("text")
+      .select(transform(split(trim($"text"), "\\s+"), t => xxhash64(t)).as("hs"))
+      .as[Seq[Long]].head()
+    assert(hashes.length == n)
+    val expected = (0 until 64).map { b =>
+      val ones = hashes.count(h => ((h >> b) & 1L) == 1L)
+      if (2 * ones > n) 1L << b else 0L
+    }.sum
+    val got = Dedup.simhashAgg(Seq((1L, doc)).toDF("doc_id", "text"),
+      "text", Seq("doc_id")).select("sig").as[Long].head()
+    assert(got == expected)
+  }
+
+  test("managed variants release their internal cache (ADVICE r1)") {
+    def cachedTables: Int =
+      spark.sparkContext.getPersistentRDDs.size
+    docs.count() // materialize the suite's own docs cache first
+    val before = cachedTables
+    // parameters deliberately differ from every other test so the
+    // internal persist() can't dedup against a still-alive cache entry
+    // from an earlier test (CacheManager reuses identical plans)
+    val (pairs, release) = Dedup.minhashNearDupsManaged(
+      docs, "text", "doc_id", threshold = 0.4, numHashes = 32, bands = 8)
+    assert(pairs.select("id_a", "id_b").count() > 0)
+    assert(cachedTables > before) // signature table really was cached
+    release()
+    val (shPairs, shRelease) = Dedup.simhashNearDupsManaged(
+      docs, "text", "doc_id", Seq("lang", "source"), maxDist = 6)
+    assert(shPairs.count() >= 0)
+    shRelease()
+    // shingleN (not threshold) is what the cached shingle table depends on
+    val (ngPairs, ngRelease) = Dedup.ngramJaccardBlockedManaged(
+      docs, "text", "doc_id", Seq("lang", "source"), threshold = 0.6, shingleN = 4)
+    assert(ngPairs.count() >= 0)
+    ngRelease()
+    assert(cachedTables == before) // every handle unpersisted its table
+  }
+
   test("simhash near-dups on testdata include the exact near-dup pair") {
     val exact = Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
       Seq("lang", "source"), threshold = 0.9)

@@ -53,4 +53,28 @@ class TextAnalysisSpec extends SparkSpec {
     val expected = "a b c".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
     assert(got(0) == expected)
   }
+
+  test("fingerprint: full-Unicode code-point parity (ADVICE r1)") {
+    // one BMP accent, one CJK, one supplementary-plane emoji (surrogate
+    // pair in UTF-16), one combining mark — ascii()/split("") must see
+    // CODE POINTS, matching DuckDB unicode()/string_split(''). A plain
+    // Scala fold over codePoints is the cross-engine ground truth.
+    // "xé 中😀 éy" spelled in escapes (precomposed é, then e+combining
+    // acute) so source-file encoding can't silently alter the test
+    val s = "x\u00e9 \u4e2d\ud83d\ude00 e\u0301y"
+    def cpFold(t: String): Long = {
+      var acc = 0L
+      t.codePoints().forEach(cp => acc = (acc * 31 + cp) % 1000000007L)
+      acc
+    }
+    val got = Seq(s).toDF("t").select(fingerprint($"t")).as[Long].head()
+    assert(got == cpFold(s))
+    // pin the individual code points Spark's ascii() produces, so an
+    // engine upgrade regressing to first-byte/surrogate fails loudly
+    val cps = Seq(s).toDF("t")
+      .select(transform(split($"t", ""), c => ascii(c)).as("cps"))
+      .as[Seq[Int]].head()
+    assert(cps == s.codePoints().toArray.toSeq)
+    assert(cps.contains(128512) && cps.contains(20013) && cps.contains(769))
+  }
 }

@@ -34,6 +34,27 @@ class UpsertSinkSpec extends SparkSpec {
     assert(out == Seq(("k1", 1L, "202401M"), ("k2", 2L, "202402M")))
   }
 
+  test("partition-crossing rewrite: old-bucket row survives (Cassandra parity, ADVICE r1)") {
+    // the bucket column is part of the reference table's PRIMARY KEY
+    // (date_partition, CassandraOutputFormat.java:87-89), so a later
+    // write whose derived bucket changed addresses a DIFFERENT Cassandra
+    // row and the old one stays — this sink documents and reproduces
+    // exactly that; global per-key LWW requires keys ⇒ bucket
+    val dir = tmpDir("upsert_cross")
+    val sink = new ParquetUpsertSink(spark, dir, Some("p"))
+    sink.upsert(Seq(("k1", 1L, "202401M")).toDF("id", "v", "p"), Seq("id"), "v")
+    // corrected timestamp moved k1 into the next month bucket
+    sink.upsert(Seq(("k1", 2L, "202402M")).toDF("id", "v", "p"), Seq("id"), "v")
+    val out = sink.read().orderBy("v").as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("k1", 1L, "202401M"), ("k1", 2L, "202402M")))
+    // with the bucket in the key (the supported global-LWW shape), the
+    // same sequence keeps both rows too and each is the latest FOR ITS KEY
+    val sink2 = new ParquetUpsertSink(spark, dir, Some("p"))
+    sink2.upsert(Seq(("k1", 3L, "202402M")).toDF("id", "v", "p"), Seq("id", "p"), "v")
+    assert(sink2.read().filter($"p" === "202402M").as[(String, Long, String)]
+      .collect().toSeq == Seq(("k1", 3L, "202402M")))
+  }
+
   test("distinct-set upsert converges under replay (summary semantics)") {
     val dir = tmpDir("upsert_set")
     val sink = new ParquetUpsertSink(spark, dir)
