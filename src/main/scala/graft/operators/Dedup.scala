@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.{TextHash, TextHashExprs}
+
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH
   * near-dup, SimHash, and exact n-gram Jaccard (the verification oracle
   * for the approximate paths).
@@ -42,9 +44,19 @@ object Dedup {
     * Never materializes shingle strings: tokens are hashed once, then
     * each n-gram hash is a rotate-XOR mix of n consecutive token hashes
     * (bit ops only — no allocation, no ANSI overflow, order-sensitive so
-    * "a b c" ≠ "c b a"). ~5× faster than hashing slice+concat shingles.
+    * "a b c" ≠ "c b a"). Delegates to the native
+    * [[graft.plans.HashedShinglesExpr]] (one imperative pass per row);
+    * [[hashedShinglesHof]] keeps the original Column-API fold as the
+    * executable spec the native expression is cross-checked against.
     */
-  def hashedShingles(text: Column, n: Int = 3): Column = {
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    TextHashExprs.hashedShingles(text, n)
+
+  /** Higher-order-function reference form of [[hashedShingles]] (slow:
+    * interpreted, allocates per step — retained only as the parity spec
+    * for the native expression).
+    */
+  def hashedShinglesHof(text: Column, n: Int = 3): Column = {
     def rot(c: Column, k: Int): Column =
       if (k == 0) c
       else shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
@@ -121,32 +133,20 @@ object Dedup {
     * bands × rowsPerBand must equal the signature length; with 16×4 the
     * candidate-recall at j=0.8 is ≈ 1-(1-0.8^4)^16 ≈ 0.9997.
     */
-  /** MinHash signatures via explode + codegen'd min-aggregates (the
-    * high-throughput form of [[minhashSignature]]; same values): one row
-    * per (id, shingle-hash), k Tungsten min() buffers, signature
-    * reassembled as an array. Keeps the shingle set alongside for the
-    * verification stage.
+  /** (id, shingle-set, MinHash signature) computed as a single NARROW
+    * projection via the native [[graft.plans.MinHashSigExpr]]: no
+    * explode, no groupBy — the signature stage is map-only work
+    * co-located with the scan, so at cluster scale nothing but the tiny
+    * (id, sig) pairs ever reaches a shuffle. (Earlier form exploded one
+    * row per shingle into k min-aggregates — a full corpus shuffle.)
     */
   private def withSignatures(
       df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, shingleN: Int): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(numHashes)((
-      math.abs(rnd.nextLong()) % (MersennePrime31 - 1) + 1,
-      math.abs(rnd.nextLong()) % MersennePrime31))
-    val t = df.select(col(idCol).as("id"),
+      numHashes: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
       hashedShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val ex = t.select(col("id"), explode(col("sh")).as("h0"))
-      .select(col("id"), pmod(col("h0"), lit(MersennePrime31)).as("h"))
-    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"m$i")
-    }
-    val sigs = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    t.join(sigs, "id")
-  }
+      .withColumn("sig", TextHashExprs.minhashSig(col("sh"), numHashes))
 
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
@@ -192,13 +192,18 @@ object Dedup {
     (out, () => { withSig.unpersist(); () })
   }
 
-  /** Exact n-gram Jaccard pairs within blocking keys via a set-similarity
-    * join: explode distinct shingle hashes, equi-join on (block, shingle)
-    * to count intersections, then derive |∪| = |A|+|B|−|∩|. Only pairs
-    * that share at least one shingle ever materialize (threshold > 0
-    * guarantees that is sufficient), and every stage is a codegen'd
-    * join/aggregate — no O(block²) pairwise array intersections. This is
-    * the exact ground truth the LSH path is verified against.
+  /** Exact n-gram Jaccard pairs within blocking keys via a PREFIX-FILTERED
+    * set-similarity join (AllPairs/PPJoin family — Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08): shingle sets are sorted into a global order
+    * (ascending hash), and a pair with Jaccard ≥ t must share an element
+    * within each side's first |S| − ⌈t·|S|⌉ + 1 elements — so only that
+    * prefix is exploded for candidate generation (at t=0.9 that's ~10% of
+    * the shingles; join volume shrinks quadratically). A symmetric size
+    * predicate (⌈t·|A|⌉ ≤ |B| and ⌈t·|B|⌉ ≤ |A|) prunes inside the join,
+    * and survivors are verified with one exact `array_intersect` per
+    * candidate pair. No false negatives: the prefix bound is exact, and
+    * every stage is a codegen'd join — no O(block²) pairwise scans. This
+    * is the exact ground truth the LSH path is verified against.
     */
   def ngramJaccardBlocked(
       df: DataFrame, textCol: String, idCol: String,
@@ -213,20 +218,30 @@ object Dedup {
       blockCols: Seq[String], threshold: Double, shingleN: Int = 3): (DataFrame, () => Unit) = {
     require(threshold > 0.0, "zero-overlap pairs never materialize; threshold must be > 0")
     val t = df.select(Seq(col(idCol).as("id"),
-      hashedShingles(col(textCol), shingleN).as("sh")) ++ blockCols.map(col): _*)
+      sort_array(hashedShingles(col(textCol), shingleN)).as("sh")) ++ blockCols.map(col): _*)
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .persist() // read by both sides of the shingle join
-    val ex = t.select(Seq(col("id"), col("sz"),
-      explode(col("sh")).as("s")) ++ blockCols.map(col): _*)
-    val inter = ex.as("l")
-      .join(ex.as("r"),
+      .persist() // read by the prefix join and both verify joins
+    // minimum overlap a qualifying pair must have with THIS set:
+    // |∩| ≥ t·|∪| ≥ t·max(|A|,|B|) ≥ ⌈t·|S|⌉ for each side
+    val minOverlap = ceil(lit(threshold) * col("sz")).cast("int")
+    val pre = t.select(Seq(col("id"), col("sz"),
+      explode(slice(col("sh"), lit(1), col("sz") - minOverlap + lit(1))).as("s")) ++
+      blockCols.map(col): _*)
+    val cands = pre.as("l")
+      .join(pre.as("r"),
         blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
-          .reduce(_ && _) && col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val out = inter
+          .reduce(_ && _) && col("l.s") === col("r.s") && col("l.id") < col("r.id") &&
+          // symmetric size pruning: jac ≥ t ⇒ t·|A| ≤ |∩| ≤ |B| (and vice versa)
+          col("r.sz") >= ceil(lit(threshold) * col("l.sz")) &&
+          col("l.sz") >= ceil(lit(threshold) * col("r.sz")))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = t.select(col("id"), col("sh"), col("sz"))
+    val out = cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -311,9 +326,11 @@ object Dedup {
   def simhashNearDupsManaged(
       df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], maxDist: Int = 12): (DataFrame, () => Unit) = {
-    // both join branches read the signature table: persist so the
-    // explode+aggregate runs once (MEMORY_AND_DISK, O(n·8B))
-    val t = simhashAgg(df, textCol, idCol +: blockCols).persist()
+    // signatures via the native per-row expression — a narrow projection
+    // (no explode/groupBy shuffle); persisted because both join branches
+    // read it (MEMORY_AND_DISK, O(n·8B))
+    val t = df.select((idCol +: blockCols).map(col) :+
+      graft.plans.TextHashExprs.simhashSig(col(textCol)).as("sig"): _*).persist()
     val l = t.select(Seq(col(idCol).as("id_a"), col("sig").as("sig_a")) ++
       blockCols.map(col): _*)
     val r = t.select(Seq(col(idCol).as("id_b"), col("sig").as("sig_b")) ++

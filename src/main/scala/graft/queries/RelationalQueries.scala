@@ -106,11 +106,15 @@ object RelationalQueries {
         .toDF("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")}),
 
-    // running aggregate with an explicit ROWS frame and total tie order
+    // running aggregate over the default RANGE frame: peers (tied order
+    // keys) share one running value, so the result is deterministic even
+    // though (l_orderkey, l_linenumber) is NOT unique in the testdata —
+    // a ROWS frame here would be tie-order-dependent and flake the
+    // oracle hash (observed: DuckDB's parallel sort varies run to run)
     "rel_window_running" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
         .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
@@ -313,7 +317,7 @@ object RelationalQueries {
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "rel_setops" ->

@@ -71,6 +71,72 @@ class DedupSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("native hashed_shingles matches the HOF reference form exactly") {
+    // corpus docs plus adversarial whitespace/unicode edges: tabs and
+    // newlines survive trim() (it strips spaces only) and produce
+    // empty tokens under split(-1); the native byte-scan must agree
+    val edges = Seq("", " ", "\ta b", "a b\t", "a  b\n\nc d", "one two",
+      "é 中 😀 tokens here", "x  y \f z w", "a b c", "a a a a")
+      .toDF("text")
+    for (df <- Seq(docs.select("text"), edges); n <- Seq(2, 3, 5)) {
+      val mismatches = df
+        .select(Dedup.hashedShingles($"text", n).as("native"),
+          Dedup.hashedShinglesHof($"text", n).as("hof"))
+        .filter(not($"native" <=> $"hof")).count()
+      assert(mismatches == 0, s"n=$n")
+    }
+    // null text propagates
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(Dedup.hashedShingles($"text", 3)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("native minhash_sig matches the Column-API form exactly") {
+    val viaExpr = docs
+      .select($"doc_id", Dedup.hashedShingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", graft.plans.TextHashExprs.minhashSig($"sh", 64).as("sig"))
+    val viaHof = docs
+      .select($"doc_id", Dedup.hashedShingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", Dedup.minhashSignature($"sh", 64).as("sig"))
+    val a = viaExpr.as[(Long, Seq[Long])].collect().toMap
+    val b = viaHof.as[(Long, Seq[Long])].collect().toMap
+    assert(a == b)
+  }
+
+  test("native simhash_sig matches scalar simhash bit-for-bit") {
+    val native = docs.select($"doc_id",
+      graft.plans.TextHashExprs.simhashSig($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val scalar = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == scalar)
+  }
+
+  test("prefix-filtered ngram join equals unfiltered ground truth") {
+    // brute-force every in-block pair at a LOW threshold via the scalar
+    // jaccard, then check the prefix-filtered operator reproduces it at
+    // several thresholds (no false negatives from the prefix bound)
+    val small = docs.limit(300).cache()
+    val t = small.select($"doc_id", $"lang", $"source",
+      Dedup.hashedShingles($"text", 3).as("sh")).filter(size($"sh") > 0)
+    val brute = t.as("l").join(t.as("r"),
+        $"l.lang" === $"r.lang" && $"l.source" === $"r.source" &&
+          $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("id_a"), $"r.doc_id".as("id_b"),
+        Dedup.jaccard($"l.sh", $"r.sh").as("j"))
+    for (th <- Seq(0.3, 0.5, 0.9)) {
+      val expect = brute.filter($"j" >= th)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = Dedup.ngramJaccardBlocked(small, "text", "doc_id",
+        Seq("lang", "source"), threshold = th)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"threshold=$th diff=${(expect -- got) ++ (got -- expect)}")
+    }
+    small.unpersist()
+  }
+
   test("simhashAgg matches scalar simhash bit-for-bit") {
     val scalar = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
