@@ -118,14 +118,20 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       planes: Int = 4, tables: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // (table_id, bucket) keys: one signature per table, seeded independently
-    def tableKeys(vec: Column): Column = array(
-      (0 until tables).map(t => struct(lit(t).as("t"),
-        hyperplaneSignature(vec, dim, planes, seed = 7L + t).as("b"))): _*)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2norm(col(vecCol)).as("cn"), explode(tableKeys(col(vecCol))).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2norm(col(vecCol)).as("qn"), explode(tableKeys(col(vecCol))).as("bucket"))
+    // all `tables` bucket signatures in ONE native pass per row
+    // (graft.plans.HyperplaneSigsExpr) — the Column-per-plane form built
+    // tables×planes literal-array dot trees that dominated planning and
+    // codegen time; posexplode recovers the (table_id, bucket) join key
+    def withKeys(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      df.select(col(id), col(v), col(n),
+        posexplode(graft.plans.HyperplaneSigs(col(v), dim, planes, tables, 7L))
+          .as(Seq("t", "b")))
+        .withColumn("bucket", struct(col("t"), col("b")))
+        .drop("t", "b")
+    val c = withKeys(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), l2norm(col(vecCol)).as("cn")), "neighbor_id", "cv", "cn")
+    val q = withKeys(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), l2norm(col(vecCol)).as("qn")), "query_id", "qv", "qn")
     // multi-table signatures DO produce duplicate pairs → dedupe
     scoreCandidates(c, q, "bucket", k, dedupe = true)
   }

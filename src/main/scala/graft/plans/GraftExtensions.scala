@@ -1,47 +1,85 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Engine extension installer: registers graft's native expressions into
   * a session's function registry so they are callable from SQL
-  * (`SELECT vector_dot(a, b)`) as well as the Column API.
+  * (`SELECT vector_dot(a, b)`, `SELECT simhash_sig(text)`) as well as
+  * the Column API.
   *
   * Use either `.withExtensions(new GraftExtensions)` at session build
   * time or `GraftExtensions.install(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.vectorDotDescriptor)
-    ext.injectFunction(GraftExtensions.avroDecodeDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
 }
 
 object GraftExtensions {
 
-  private val vectorDotDescriptor = (
-    org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
-    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-    (children: Seq[Expression]) => {
-      require(children.size == 2, "vector_dot takes exactly 2 arguments")
-      VectorDot(children.head, children(1))
-    })
+  /** A literal-integer argument (shingle size, signature length, …) —
+    * SQL call sites pass these as constants; anything non-foldable is a
+    * user error surfaced at analysis time.
+    */
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $x")
+    }
+  }
 
-  private val avroDecodeDescriptor = (
-    org.apache.spark.sql.catalyst.FunctionIdentifier("avro_decode_message"),
-    new ExpressionInfo(classOf[AvroDecodeMessage].getName, "avro_decode_message"),
-    (children: Seq[Expression]) => {
-      require(children.size == 1, "avro_decode_message takes exactly 1 argument")
+  private def arity(children: Seq[Expression], name: String, n: Int*): Unit =
+    require(n.contains(children.size),
+      s"$name takes ${n.mkString(" or ")} arguments, got ${children.size}")
+
+  private[plans] val descriptors: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_dot" -> { children =>
+      arity(children, "vector_dot", 2)
+      VectorDot(children.head, children(1))
+    },
+    "avro_decode_message" -> { children =>
+      arity(children, "avro_decode_message", 1)
       AvroDecodeMessage(children.head, failFast = true)
+    },
+    // hashed_shingles(text[, n=3])
+    "hashed_shingles" -> { children =>
+      arity(children, "hashed_shingles", 1, 2)
+      val n = if (children.size > 1) litInt(children(1), "shingle size n") else 3
+      HashedShinglesExpr(children.head, n)
+    },
+    // minhash_sig(shingles[, k=64])
+    "minhash_sig" -> { children =>
+      arity(children, "minhash_sig", 1, 2)
+      val k = if (children.size > 1) litInt(children(1), "signature length k") else 64
+      MinHashSigExpr(children.head, k)
+    },
+    // simhash_sig(text)
+    "simhash_sig" -> { children =>
+      arity(children, "simhash_sig", 1)
+      SimHashSigExpr(children.head)
+    },
+    // hyperplane_sigs(vec, dim, planes, tables[, seed=7])
+    "hyperplane_sigs" -> { children =>
+      arity(children, "hyperplane_sigs", 4, 5)
+      val seed = if (children.size > 4) litInt(children(4), "seed").toLong else 7L
+      HyperplaneSigsExpr(children.head, litInt(children(1), "dim"),
+        litInt(children(2), "planes"), litInt(children(3), "tables"), seed)
     })
 
   /** Idempotent per-session registration (for sessions not built with
     * `.withExtensions`).
     */
-  def install(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", children => vectorDotDescriptor._3(children), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "avro_decode_message", children => avroDecodeDescriptor._3(children), "scala_udf")
-  }
+  def install(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, children => builder(children), "scala_udf")
+    }
 }

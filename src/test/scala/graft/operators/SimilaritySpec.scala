@@ -70,6 +70,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cands < emb.count() * q.count() / 2, s"cands=$cands")
   }
 
+  test("native hyperplane_sigs matches the Column-API form per table") {
+    // table t of the native batch expression must equal the Column form
+    // seeded 7+t — same Gaussian draws, same sequential double dots
+    val tables = 5
+    val native = emb.select($"vec_id",
+      graft.plans.HyperplaneSigs($"embedding", 64, planes = 4, tables = tables).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for (t <- 0 until tables) {
+      val col = emb.select($"vec_id",
+        Similarity.hyperplaneSignature($"embedding", 64, planes = 4, seed = 7L + t).as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(col.forall { case (id, s) => native(id)(t) == s }, s"table $t")
+    }
+    // dimension mismatch fails loudly, like the Column form's guard
+    val err = intercept[Exception] {
+      emb.select(graft.plans.HyperplaneSigs(
+        slice($"embedding", 1, 10), 64, 4, 2)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("hyperplane signature buckets are stable and bounded") {
     val sigs = emb.select(
       Similarity.hyperplaneSignature($"embedding", 64, planes = 8).as("s"))
