@@ -79,6 +79,25 @@ object EventQueries {
         .select("event_id", "user_id", "event_type", "signup_event_id")
         .orderBy("event_id")}),
 
+    // interval (band) join: clicks by the same user within 10 minutes
+    // after each error — bucketed equi-join, never a nested loop
+    "ev_range_follow" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts").as("err_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("clk_user"), col("ts").as("clk_ts"))
+      val counts = graft.operators.RangeJoin.intervalJoin(
+        errors, clicks, "err_ts", "clk_ts",
+        lowerSec = 1, upperSec = 600, equiKeys = Seq("err_user" -> "clk_user"))
+        .groupBy(col("err_id").as("event_id"))
+        .agg(count(lit(1)).as("n_follow"))
+      errors.select(col("err_id").as("event_id"))
+        .join(counts, Seq("event_id"), "left")
+        .withColumn("n_follow", coalesce(col("n_follow"), lit(0L)))
+        .orderBy("event_id")}),
+
     // exact dedup under at-least-once replay: the doubled stream
     // converges to single-delivery counts
     "ev_dedup_replay" -> ((s, d) => {
@@ -140,6 +159,15 @@ object EventQueries {
         |                FROM events WHERE event_type = 'signup') b
         |  ON a.user_id = b.user_id AND a.ts >= b.signup_ts
         |ORDER BY a.event_id""".stripMargin,
+    "ev_range_follow" ->
+      """SELECT e.event_id,
+        |  (SELECT count(*) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |     AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) + INTERVAL 1 SECOND
+        |     AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 600 SECOND
+        |  ) AS n_follow
+        |FROM events e WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin,
     "ev_dedup_replay" ->
       """SELECT event_type, count(*) AS n FROM (
         |  SELECT DISTINCT event_id, event_type FROM (
