@@ -188,6 +188,61 @@ object Similarity {
     scoreCandidates(c, q, "cell", k, dedupe = false)
   }
 
+  /** Nearest-centroid cell id for each row of `df`, against a DRIVER-side
+    * centroid array (k × dim doubles — tiny by construction; broadcast
+    * as a literal-free native batch via [[graft.plans.NearestCentroid]]).
+    * Ties break to the lower cell id; zero vectors go to cell 0.
+    */
+  def assignCells(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", graft.plans.NearestCentroid(col(vecCol), centroids))
+
+  /** Lloyd's k-means over the embedding column: `iters` rounds of
+    * (assign to nearest centroid by cosine) → (recompute elementwise
+    * means). Each round is one narrow pass over the corpus (the k×dim
+    * centroid matrix rides inside a native expression — no join, no
+    * explode) plus one aggregation of k×dim partial sums; the corpus is
+    * never collected and no state beyond the centroid matrix ever
+    * reaches the driver, so the shape is identical at 2k vectors and at
+    * 100 TB. Initial centroids are the k vectors with the smallest
+    * xxhash64(id) — deterministic, seed-free, and scan-local (a top-k,
+    * not a sort). Returns (cell, centroid) for [[ivfTopK]].
+    */
+  def kmeansCentroids(
+      df: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    var it = 0
+    while (it < iters) {
+      // mean per (cell, position) without ever grouping whole vectors:
+      // posexplode → (cell, pos) partial sums (map-side combine) →
+      // k×dim rows to the driver, reassembled into the next matrix
+      val next = assignCells(df, cents, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val byCell = next.groupBy(_._1)
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3).toArray
+          case None => cents(c) // empty cell keeps its centroid
+        }
+      }.toArray
+      it += 1
+    }
+    cents.zipWithIndex.toSeq.toDF("centroid", "cell")
+      .select(col("cell"), col("centroid"))
+  }
+
   /** Exact near-duplicate pairs by cosine within blocking keys (the
     * embedding analog of Dedup.ngramJaccardBlocked).
     */

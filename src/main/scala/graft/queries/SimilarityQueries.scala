@@ -41,6 +41,16 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // IVF over LEARNED centroids: 3 Lloyd's rounds refine 8 cells, then
+    // the same inverted-file probe (rows-only; convergence + recall
+    // asserted in SimilaritySpec)
+    "sim_ivf_kmeans_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        Similarity.kmeansCentroids(emb, k = 8, iters = 3), k = 5, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
     // exact embedding near-dups: top-20 same-label pairs by cosine
     "sim_neardup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupsBlocked(Tables.embeddings(s, d),

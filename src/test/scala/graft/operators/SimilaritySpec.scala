@@ -70,6 +70,37 @@ class SimilaritySpec extends SparkSpec {
     assert(cands < emb.count() * q.count() / 2, s"cands=$cands")
   }
 
+  test("k-means: objective improves, deterministic, ivf over learned cells works") {
+    val emb2 = graft.sources.Tables.embeddings(spark, sf001)
+    // mean cosine of each vector to its assigned centroid must not
+    // decrease as Lloyd's iterations proceed (cosine-objective ascent)
+    def objective(iters: Int): Double = {
+      val cents = Similarity.kmeansCentroids(emb2, k = 8, iters = iters)
+        .orderBy("cell").as[(Int, Seq[Double])].collect().map(_._2.toArray)
+      Similarity.assignCells(emb2, cents)
+        .withColumn("c", element_at(
+          typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1))
+        .select(avg(Similarity.cosine($"embedding", $"c"))).as[Double].head()
+    }
+    val o0 = objective(0); val o2 = objective(2); val o4 = objective(4)
+    assert(o2 >= o0 - 1e-9 && o4 >= o2 - 1e-9, s"objective $o0 -> $o2 -> $o4")
+    // deterministic across runs
+    val a = Similarity.kmeansCentroids(emb2, 8, 2).orderBy("cell")
+      .as[(Int, Seq[Double])].collect().toSeq
+    val b = Similarity.kmeansCentroids(emb2, 8, 2).orderBy("cell")
+      .as[(Int, Seq[Double])].collect().toSeq
+    assert(a == b)
+    // learned-cell IVF keeps reasonable recall vs brute force at nprobe=4/8
+    val q = emb2.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb2, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb2,
+      Similarity.kmeansCentroids(emb2, 8, 3), k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("native hyperplane_sigs matches the Column-API form per table") {
     // table t of the native batch expression must equal the Column form
     // seeded 7+t — same Gaussian draws, same sequential double dots
