@@ -112,6 +112,56 @@ object SimilarityQueries {
     "mm_blob_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS content_sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_meta" ->
+      s"""$stubProbeSql
+         |SELECT doc_id, format, byte_len, width, height, n_frames
+         |FROM probed ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""$stubProbeSql
+         |SELECT doc_id,
+         |  CAST(ceil(n_frames / 30.0) AS BIGINT) AS n_sampled
+         |FROM probed ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB replica of [[Multimodal.StubDecoder.probe]] over the
+    * synthetic media table (blob = UTF-8 bytes of `documents.text`):
+    * java.util.Arrays.hashCode via list_reduce with explicit 32-bit
+    * signed wrap, then the stub's floorMod field derivations (>> n on a
+    * Java int is floor division — exact in doubles since |h| < 2^31).
+    * Yields CTE `probed(doc_id, format, byte_len, width, height,
+    * n_frames)`. The synthetic blobs are English text, never RIFF/BMP
+    * magic, so HeaderDecoder's fallback (the stub) is the path probed on
+    * both engines.
+    */
+  private val stubProbeSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS byte_len FROM documents
+      |), hashed AS (
+      |  SELECT doc_id, byte_len,
+      |    list_reduce(
+      |      list_prepend(CAST(1 AS BIGINT),
+      |        [CAST(CASE WHEN v > 127 THEN v - 256 ELSE v END AS BIGINT)
+      |         FOR v IN [ (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+      |                    + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1
+      |                    FOR i IN range(1, byte_len + 1)]]),
+      |      (acc, x) -> CAST(((acc * 31 + x + 2147483648) % 4294967296 + 4294967296)
+      |                       % 4294967296 - 2147483648 AS BIGINT)) AS h
+      |  FROM raw
+      |), shifted AS (
+      |  SELECT doc_id, byte_len, h,
+      |    CAST(floor(h / 4.0) AS BIGINT) AS h2,
+      |    CAST(floor(h / 16.0) AS BIGINT) AS h4,
+      |    CAST(floor(h / 64.0) AS BIGINT) AS h6
+      |  FROM hashed
+      |), probed AS (
+      |  SELECT doc_id,
+      |    ['jpeg','png','wav','mp4'][CAST(((h % 4) + 4) % 4 AS INT) + 1] AS format,
+      |    byte_len,
+      |    64 + CAST(((h2 % 1920) + 1920) % 1920 AS INT) AS width,
+      |    64 + CAST(((h4 % 1080) + 1080) % 1080 AS INT) AS height,
+      |    1 + CAST(((h6 % 300) + 300) % 300 AS INT) AS n_frames
+      |  FROM shifted
+      |)""".stripMargin
 }
