@@ -81,6 +81,16 @@ object TextQueries {
           round(sum(col("q")) / count(lit(1)), 6).as("mean_quality"))
         .orderBy("lang")}),
 
+    // sequence packing: docs → 2048-token training bins via the
+    // two-phase distributed prefix scan (never a one-task global window)
+    "pipe_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).as("tok"))
+      graft.operators.Packing.packByBudget(docs, "doc_id", "tok", budget = 2048)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy("seq_id")}),
+
     // deterministic stratified subsample: census by (lang, kept)
     "text_sample_stratified" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -199,6 +209,21 @@ object TextQueries {
          |FROM gated
          |WHERE q >= 0.5 AND lang_guess = 'en' AND doc_id % 4 < 3
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok,
+        |    CAST(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS BIGINT)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_sample_stratified" ->
       """SELECT lang, count(*) AS n_kept FROM documents
         |WHERE (lang = 'en' AND doc_id % 2 < 1)
