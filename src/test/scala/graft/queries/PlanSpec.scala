@@ -85,6 +85,41 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"enrich must stay narrow:\n$plan")
   }
 
+  test("dedup signatures are computed scan-side: narrow from parquet to sig") {
+    // the signature stage (shingle-hash + minhash, simhash likewise) must
+    // be a pure narrow projection over the scan — no exchange anywhere in
+    // its plan; shuffles belong exclusively to the downstream candidate /
+    // verify joins (a groupBy here would shuffle the whole corpus: the
+    // 100 TB property)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val minhashSig = docs
+      .select(col("doc_id"), graft.operators.Dedup.hashedShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.plans.TextHashExprs.minhashSig(col("sh"), 64))
+    val simhashSig = docs
+      .select(col("doc_id"), graft.plans.TextHashExprs.simhashSig(col("text")).as("sig"))
+    for (df <- Seq(minhashSig, simhashSig)) {
+      val shuffles = executed(df).collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("ev_range_follow: band join is an equi hash/merge join") {
+    val plan = executed(query("ev_range_follow"))
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      plan.toString)
+  }
+
+  test("pipe_pack_sequences: no single-task global window in the plan") {
+    val df = query("pipe_pack_sequences")
+    df.count()
+    val plan = executed(df)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "packing must use the distributed scan, not Window")
+  }
+
   test("partitioned history table prunes month partitions at read") {
     val dir = tmpDir("hist_prune")
     graft.pipeline.Enrich.plain(graft.sources.Tables.messages(spark, sf0001))
