@@ -13,11 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * time or `GraftExtensions.install(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    ext.injectOptimizerRule(_ => BandJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -77,9 +79,14 @@ object GraftExtensions {
   /** Idempotent per-session registration (for sessions not built with
     * `.withExtensions`).
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     descriptors.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, children => builder(children), "scala_udf")
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(BandJoinRule)) {
+      spark.experimental.extraOptimizations = extra :+ BandJoinRule
+    }
+  }
 }

@@ -19,6 +19,8 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // same extension surface as production sessions (GraftSession)
+    graft.plans.GraftExtensions.install(s)
     s
   }
 }
