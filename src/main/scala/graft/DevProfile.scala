@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Packing, RangeJoin, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Dev-only stage profiler for the heavy bench queries (not part of the
@@ -56,6 +56,55 @@ object DevProfile {
     time("simhash_full") {
       Dedup.simhashNearDups(docs, "text", "doc_id",
         Seq("lang", "source"), maxDist = 8).count()
+    }
+
+    if (args.contains("--scale10")) {
+      // 10× corpora by unioning id-shifted copies: checks the new
+      // operators stay near-linear (the README scale table's source)
+      val docs10 = (0 until 10).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _).cache()
+      docs10.count()
+      val ev = Tables.events(spark, sfDir)
+      val ev10 = (0 until 10).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _).cache()
+      ev10.count()
+      val emb = Tables.embeddings(spark, sfDir)
+      val emb10 = (0 until 10).map(i => emb
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _).cache()
+      emb10.count()
+
+      time("x10_minhash") {
+        Dedup.minhashNearDups(docs10, "text", "doc_id", threshold = 0.5).count()
+      }
+      time("x10_simhash") {
+        Dedup.simhashNearDups(docs10, "text", "doc_id",
+          Seq("lang", "source"), maxDist = 8).count()
+      }
+      time("x10_packing") {
+        Packing.packByBudget(
+          docs10.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tok")),
+          "doc_id", "tok", 2048).groupBy("seq_id").count().count()
+      }
+      time("x10_range_join") {
+        val errors = ev10.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+            col("ts").as("err_ts"))
+        val clicks = ev10.filter(col("event_type") === "click")
+          .select(col("user_id").as("clk_user"), col("ts").as("clk_ts"))
+        RangeJoin.intervalJoin(errors, clicks, "err_ts", "clk_ts", 1, 600,
+          Seq("err_user" -> "clk_user")).count()
+      }
+      time("x10_kmeans_ivf") {
+        Similarity.ivfTopK(emb10.filter(col("vec_id") < 10), emb10,
+          Similarity.kmeansCentroids(emb10, 8, 3), k = 5, nprobe = 4).count()
+      }
+      time("x10_lsh_topk") {
+        Similarity.lshTopK(emb10.filter(col("vec_id") < 10), emb10,
+          k = 5, dim = 64, planes = 4, tables = 12).count()
+      }
     }
     spark.stop()
   }
