@@ -42,6 +42,10 @@ object GraftSession {
     spark
   }
 
-  /** CPU count from the driver contract env, default 4. */
-  def envCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+  /** CPU count from the driver contract env; defaults to every available
+    * core (the driver contract runs Bench at local[32] — defaulting to 4
+    * was silently capping parallelism 8× when the env var is unset).
+    */
+  def envCpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
 }
