@@ -254,6 +254,18 @@ object RelationalQueries {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    // mergeable quantile sketch per group (rows-only: sketch internals
+    // are engine-specific; error vs exact percentiles bounded in
+    // SparkEntrySpec) — the single-pass path for percentile dashboards
+    // at corpus scale, where exact percentile would sort per group
+    "rel_approx_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000))
+          .as("approx_q"))
         .orderBy("l_returnflag"))
   )
 

@@ -38,6 +38,22 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx tracks exact percentiles within sketch accuracy") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("rel_approx_quantiles")(spark, sf001)
+      .select($"l_returnflag", $"approx_q").as[(String, Seq[Double])].collect().toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("q"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for (k <- approx.keys; (a, e) <- approx(k).zip(exact(k))) {
+      // accuracy=1000 → rank error <= n/1000; price spread per group is
+      // modest, so 5% relative value error is a generous envelope
+      assert(math.abs(a - e) / e < 0.05, s"group=$k approx=$a exact=$e")
+    }
+  }
+
   test("entry() returns rows on sf0.001 (driver t1 smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

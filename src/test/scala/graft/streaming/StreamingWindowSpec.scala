@@ -9,6 +9,8 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 
 final case class Keyed(id: Long, ts: java.sql.Timestamp)
+final case class ErrEv(err_ts: java.sql.Timestamp, err_user: String)
+final case class ClkEv(clk_ts: java.sql.Timestamp, clk_user: String)
 
 /** Streaming forms of the event-time operators whose batch forms are
   * oracle-checked in EventQueries: tumbling windows with watermark,
@@ -22,6 +24,33 @@ class StreamingWindowSpec extends SparkSpec {
     Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   final case class Ev(ts: Timestamp, user: String, v: Double)
+
+  test("stream-stream interval join: clicks within 10min after an error") {
+    // streaming analog of RangeJoin/ev_range_follow: Spark's native
+    // stream-stream join handles the time-bound condition with state
+    // cleanup driven by the two watermarks — the same band semantics the
+    // batch operator buckets by hand
+    val errs = MemoryStream[ErrEv](spark)
+    val clks = MemoryStream[ClkEv](spark)
+    val joined = errs.toDF().withWatermark("err_ts", "30 minutes")
+      .join(clks.toDF().withWatermark("clk_ts", "30 minutes"),
+        expr("""err_user = clk_user AND
+               |clk_ts >= err_ts + INTERVAL 1 SECOND AND
+               |clk_ts <= err_ts + INTERVAL 10 MINUTES""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("band_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      errs.addData(ErrEv(ts(5), "a"), ErrEv(ts(5), "b"))
+      clks.addData(ClkEv(ts(7), "a"), ClkEv(ts(20), "a"), ClkEv(ts(6), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("band_stream")
+        .select($"err_user", $"clk_ts".cast("string"))
+        .as[(String, String)].collect().toSet
+      // only a's click at 10:07 lands inside (10:05, 10:15]; the 10:20
+      // click is past the band and c has no matching error
+      assert(rows == Set(("a", "2024-01-01 10:07:00")))
+    } finally q.stop()
+  }
 
   test("streaming tumbling window with watermark aggregates per window") {
     val in = MemoryStream[Ev](spark)
