@@ -10,7 +10,8 @@ import graft.sources.Tables
   */
 object DevProfile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.get(GraftSession.envCpus)
     val docs = Tables.documents(spark, sfDir)
     docs.count() // warm

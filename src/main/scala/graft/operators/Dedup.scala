@@ -97,7 +97,6 @@ object Dedup {
 
   // --- MinHash + LSH -----------------------------------------------------
 
-  private val MersennePrime31 = 2147483647L // 2^31 - 1
 
   /** k MinHash values over a PRE-HASHED shingle set (longs): h_i(S) =
     * min_{s∈S} ((a_i · (s mod p) + b_i) mod p) with p = 2^31-1: the
@@ -108,13 +107,15 @@ object Dedup {
     * so signatures are reproducible across runs/executors.
     */
   def minhashSignature(shHashed: Column, k: Int = 64): Column = {
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime31 - 1) + 1,
-      math.abs(rnd.nextLong()) % MersennePrime31))
-    val folded = transform(shHashed, s => pmod(s, lit(MersennePrime31)))
-    array(params.map { case (a, b) =>
+    // (a, b) draws come from the ONE shared derivation — any drift
+    // between this Column form and the native MinHashSigExpr would
+    // silently break their bit-for-bit parity contract
+    val params = TextHash.minhashParams(k)
+    val p = TextHash.MersennePrime31
+    val folded = transform(shHashed, s => pmod(s, lit(p)))
+    array(params.toSeq.map { case (a, b) =>
       array_min(transform(folded,
-        h => pmod(h * lit(a) + lit(b), lit(MersennePrime31))))
+        h => pmod(h * lit(a) + lit(b), lit(p))))
     }: _*)
   }
 

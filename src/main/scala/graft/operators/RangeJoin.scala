@@ -41,24 +41,33 @@ object RangeJoin {
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty,
       s"left/right share column names $shared — alias one side first")
+    // internal columns use BandJoinRule's marker names: the refinement
+    // conjuncts below would otherwise re-match the optimizer rule and
+    // stack a SECOND explode+bucket layer on the already-bucketed join
+    // (the rule's re-fire guard keys on these names); they are reserved
+    val lUs = "_graft_l_us"; val lB = "_graft_l_bucket"
+    val rUs = "_graft_r_us"; val rB = "_graft_r_bucket"
+    val reserved = Set(lUs, lB, rUs, rB)
+    val clash = (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(clash.isEmpty, s"column names $clash are reserved by intervalJoin")
     val w = (upperSec - lowerSec) * 1000000L // band width in micros
     val loUs = lowerSec * 1000000L
     val hiUs = upperSec * 1000000L
     def bucketOf(tsUs: Column): Column = floor(tsUs / lit(w))
     val l = left
-      .withColumn("_l_us", unix_micros(col(leftTs)))
-      .withColumn("_l_bucket",
-        explode(sequence(bucketOf(col("_l_us") + lit(loUs)),
-          bucketOf(col("_l_us") + lit(hiUs)))))
+      .withColumn(lUs, unix_micros(col(leftTs)))
+      .withColumn(lB,
+        explode(sequence(bucketOf(col(lUs) + lit(loUs)),
+          bucketOf(col(lUs) + lit(hiUs)))))
     val r = right
-      .withColumn("_r_us", unix_micros(col(rightTs)))
-      .withColumn("_r_bucket", bucketOf(col("_r_us")))
+      .withColumn(rUs, unix_micros(col(rightTs)))
+      .withColumn(rB, bucketOf(col(rUs)))
     val cond = equiKeys
       .map { case (lk, rk) => col(lk) === col(rk) }
-      .foldLeft(col("_l_bucket") === col("_r_bucket"))(_ && _) &&
-      col("_r_us") >= col("_l_us") + lit(loUs) &&
-      col("_r_us") <= col("_l_us") + lit(hiUs)
+      .foldLeft(col(lB) === col(rB))(_ && _) &&
+      col(rUs) >= col(lUs) + lit(loUs) &&
+      col(rUs) <= col(lUs) + lit(hiUs)
     l.join(r, cond)
-      .drop("_l_us", "_r_us", "_l_bucket", "_r_bucket")
+      .drop(lUs, rUs, lB, rB)
   }
 }

@@ -143,10 +143,21 @@ object Similarity {
   def centroids(df: DataFrame, cellCol: String, vecCol: String = "embedding"): DataFrame =
     df.select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
-      .agg(avg(col("v").cast("double")).as("m"))
+      .agg(exactMean(col("v")).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** Order-independent mean: inputs round deterministically into
+    * decimal(30,15), the decimal sum is exact and associative-
+    * commutative, and one final division lands in double. A double
+    * `avg` would depend on the shuffle-fetch merge order of partial
+    * sums (non-associative float addition) — run-to-run centroid
+    * jitter that can flip a borderline vector's cell and break the
+    * documented determinism of the k-means path.
+    */
+  private def exactMean(v: Column): Column =
+    (sum(v.cast("decimal(30,15)")) / count(lit(1))).cast("double")
 
   /** IVF (inverted-file) approximate top-k: vectors are assigned to
     * their nearest centroid cell once; a query scores only vectors in
@@ -228,7 +239,7 @@ object Similarity {
       val next = assignCells(df, cents, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
-        .agg(avg(col("v").cast("double")).as("m"))
+        .agg(exactMean(col("v")).as("m"))
         .as[(Int, Int, Double)].collect()
       val byCell = next.groupBy(_._1)
       cents = cents.indices.map { c =>

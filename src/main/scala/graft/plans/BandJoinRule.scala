@@ -44,19 +44,26 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def asBound(e: Expression): Option[(Expression, Expression, Long)] = e match {
     case Add(base, Literal(v: Long, LongType), _) => Some((e, base, v))
     case Add(base, Literal(v: Int, IntegerType), _) => Some((e, base, v.toLong))
+    // CalendarInterval months AND days are calendar units — days add
+    // session-TZ calendar days (a DST fall-back day is 25h), so a fixed
+    // 86400s conversion could bucket-exclude rows the exact predicate
+    // accepts. Only the micros component is duration-exact; skip the
+    // rest. DayTimeIntervalType below is an ANSI duration (exact micros
+    // by definition) and covers the common INTERVAL '…' SECOND/MINUTE/
+    // HOUR/DAY literals.
     case TimestampAddInterval(base, Literal(iv: CalendarInterval, CalendarIntervalType), _)
-        if iv.months == 0 =>
-      Some((e, base, iv.days * 86400000000L + iv.microseconds))
+        if iv.months == 0 && iv.days == 0 =>
+      Some((e, base, iv.microseconds))
     case TimestampAddInterval(base, Literal(v: Long, _: DayTimeIntervalType), _) =>
       Some((e, base, v))
     case _ => None
   }
 
   /** The band pair from a conjunct list: re ≥ le + lo and re ≤ le + hi
-    * over the same (re, le). Returns (re, le, lo, hi, others).
+    * over the same (re, le). Returns (re, le, lo, hi).
     */
   private def findBand(conjuncts: Seq[Expression]):
-      Option[(Expression, Expression, Long, Long, Seq[Expression])] = {
+      Option[(Expression, Expression, Long, Long)] = {
     // normalize every comparison into (re, le, offset, isLower);
     // inclusive bounds only, both orientations of each comparison
     def norm(c: Expression): Option[(Expression, Expression, Long, Boolean)] = c match {
@@ -72,13 +79,10 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val lowers = normed.collect { case (c, Some((re, le, off, true))) => (c, re, le, off) }
     val uppers = normed.collect { case (c, Some((re, le, off, false))) => (c, re, le, off) }
     (for {
-      (cl, reL, leL, lo) <- lowers
-      (cu, reU, leU, hi) <- uppers
+      (_, reL, leL, lo) <- lowers
+      (_, reU, leU, hi) <- uppers
       if reL.semanticEquals(reU) && leL.semanticEquals(leU) && hi > lo
-    } yield {
-      val others = conjuncts.filterNot(c => (c eq cl) || (c eq cu))
-      (reL, leL, lo, hi, others)
-    }).headOption
+    } yield (reL, leL, lo, hi)).headOption
   }
 
   private def toMicros(e: Expression): Option[Expression] = e.dataType match {
@@ -106,7 +110,7 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     for {
-      (re, le, lo, hi, _) <- findBand(conjuncts)
+      (re, le, lo, hi) <- findBand(conjuncts)
       if re.deterministic && le.deterministic
       if re.references.subsetOf(right.outputSet) && le.references.subsetOf(left.outputSet)
       reUs <- toMicros(re)

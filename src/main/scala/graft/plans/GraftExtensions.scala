@@ -32,7 +32,9 @@ object GraftExtensions {
     require(e.foldable, s"$what must be a literal integer")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l.isValidInt, s"$what out of Int range: $l")
+        l.toInt
       case x => throw new IllegalArgumentException(
         s"$what must be a literal integer, got $x")
     }
