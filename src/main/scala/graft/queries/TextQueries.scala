@@ -81,6 +81,18 @@ object TextQueries {
           round(sum(col("q")) / count(lit(1)), 6).as("mean_quality"))
         .orderBy("lang")}),
 
+    // benchmark decontamination: corpus docs sharing verbatim n-gram
+    // spans with a (here: corpus-sampled) benchmark set — broadcast
+    // bench side, zero corpus shuffle before the aggregate. n=4 instead
+    // of the production-standard 8+ because the synthetic vocabulary is
+    // tiny; the operator is n-agnostic
+    "text_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      graft.operators.Decontaminate.overlaps(
+        docs, "text", "doc_id", bench, "text", "doc_id", n = 4)
+        .orderBy("doc_id", "bench_id")}),
+
     // sequence packing: docs → 2048-token training bins via the
     // two-phase distributed prefix scan (never a one-task global window)
     "pipe_pack_sequences" -> ((s, d) => {
@@ -209,6 +221,24 @@ object TextQueries {
          |FROM gated
          |WHERE q >= 0.5 AND lang_guess = 'en' AND doc_id % 4 < 3
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+3], ' ')
+        |                   FOR i IN range(1, len(t) - 2)]) AS gs
+        |  FROM toks WHERE len(t) >= 4
+        |), corpus AS (
+        |  SELECT doc_id, unnest(gs) AS g FROM grams
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, unnest(gs) AS g FROM grams
+        |  WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM corpus c JOIN bench b USING (g)
+        |WHERE c.doc_id != b.bench_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipe_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counts distinct shared n-grams per (doc, bench) pair") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox jumps high above everything else today"),
+      (3L, "completely unrelated words with no overlap at all"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over fences"))
+      .toDF("bench_id", "btext")
+    val got = Decontaminate.overlaps(corpus, "text", "doc_id",
+      bench, "btext", "bench_id", n = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 1 shares "the quick brown fox", "quick brown fox jumps",
+    // "brown fox jumps over"; doc 2 shares "quick brown fox jumps"
+    assert(got == Seq((1L, 100L, 3L), (2L, 100L, 1L)))
+  }
+
+  test("self-pairs are excluded when bench is drawn from the corpus") {
+    val docs = Tables.documents(spark, sf001)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val pairs = Decontaminate.overlaps(docs, "text", "doc_id",
+      bench, "text", "doc_id", n = 4)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (d, b) => d != b })
+  }
+
+  test("bench side broadcasts; corpus never shuffles before the join") {
+    val docs = Tables.documents(spark, sf001)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val df = Decontaminate.overlaps(docs, "text", "doc_id",
+      bench, "text", "doc_id", n = 4)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, plan.toString)
+    // the only shuffle is the final (doc_id, bench_id) aggregate of
+    // matched rows — nothing below the join exchanges
+    val shufflesBelowJoin = bhj.head.collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesBelowJoin.isEmpty, plan.toString)
+  }
+}
