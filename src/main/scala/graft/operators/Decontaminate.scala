@@ -26,10 +26,14 @@ object Decontaminate {
       corpus: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String, benchIdCol: String,
       n: Int = 8): DataFrame = {
+    // grams join on their 64-bit rotate-XOR hash (the native shingle
+    // expression), not on strings: same distinct-gram semantics up to a
+    // ~2^-64 collision, ~4× less work per row and an 8-byte broadcast
+    // key instead of an n-word string
     val c = corpus.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      explode(Dedup.hashedShingles(col(textCol), n)).as("gram"))
     val b = bench.select(col(benchIdCol).as("bench_id"),
-      explode(Dedup.shingles(col(benchTextCol), n)).as("gram"))
+      explode(Dedup.hashedShingles(col(benchTextCol), n)).as("gram"))
     c.join(broadcast(b), "gram")
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
