@@ -29,6 +29,12 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions to the advisory size rather
+      // than maximizing parallelism: a reduce stage gets as many tasks
+      // as its DATA needs, not one per core — at 100 TB that sizes
+      // reducers to ~64 MB each; on small inputs it stops paying
+      // per-task dispatch for near-empty partitions
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
