@@ -91,6 +91,36 @@ class DedupSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("native shingle/simhash parity holds on generated unicode + whitespace soup") {
+    // adversarial generator: emoji (surrogate pairs), CJK, combining
+    // marks, every ASCII whitespace \s matches, zero-width and NBSP
+    // (NOT \s — must be treated as token chars), empty and
+    // whitespace-only strings
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val atom = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf("😀", "中文", "éé", "é", " ", "​", "ß", "я"),
+      Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t "))
+    val genText = Gen.listOfN(24, atom).map(_.mkString)
+    val texts = (0 until 40).flatMap { i =>
+      genText(Gen.Parameters.default, Seed(i.toLong))
+    } ++ Seq("", " ", "\t\t", " ")
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3)) {
+      val bad = df.select(
+        Dedup.hashedShingles($"text", n).as("native"),
+        Dedup.hashedShinglesHof($"text", n).as("hof"))
+        .filter(not($"native" <=> $"hof")).count()
+      assert(bad == 0, s"shingle parity n=$n")
+    }
+    val sim = df.select(
+      graft.plans.TextHashExprs.simhashSig($"text").as("native"),
+      Dedup.simhash($"text").as("scalar"))
+      .filter(not($"native" <=> $"scalar")).count()
+    assert(sim == 0, "simhash parity")
+  }
+
   test("native minhash_sig matches the Column-API form exactly") {
     val viaExpr = docs
       .select($"doc_id", Dedup.hashedShingles($"text", 3).as("sh"))
