@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** (docId, benchId, n_shared): distinct shared n-grams per
-    * (corpus doc, benchmark doc) pair, matches only. Self-pairs are
-    * excluded so a benchmark set drawn from the corpus itself (as in
-    * tests) does not flag its own rows.
+    * (corpus doc, benchmark doc) pair, matches only.
+    *
+    * `excludeSelfPairs` drops pairs with equal ids — ONLY for the case
+    * where the benchmark set is drawn from the corpus itself (dedup-
+    * style hygiene, tests); with an independent eval set the id spaces
+    * are unrelated and numeric collisions would silently unflag real
+    * contamination, so it defaults to off.
     */
   def overlaps(
       corpus: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String, benchIdCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, excludeSelfPairs: Boolean = false): DataFrame = {
     // grams join on their 64-bit rotate-XOR hash (the native shingle
     // expression), not on strings: same distinct-gram semantics up to a
     // ~2^-64 collision, ~4× less work per row and an 8-byte broadcast
@@ -34,8 +38,11 @@ object Decontaminate {
       explode(Dedup.hashedShingles(col(textCol), n)).as("gram"))
     val b = bench.select(col(benchIdCol).as("bench_id"),
       explode(Dedup.hashedShingles(col(benchTextCol), n)).as("gram"))
-    c.join(broadcast(b), "gram")
-      .filter(col("doc_id") =!= col("bench_id"))
+    val joined = c.join(broadcast(b), "gram")
+    val paired =
+      if (excludeSelfPairs) joined.filter(col("doc_id") =!= col("bench_id"))
+      else joined
+    paired
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
   }

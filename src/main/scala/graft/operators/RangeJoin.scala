@@ -45,8 +45,8 @@ object RangeJoin {
     // conjuncts below would otherwise re-match the optimizer rule and
     // stack a SECOND explode+bucket layer on the already-bucketed join
     // (the rule's re-fire guard keys on these names); they are reserved
-    val lUs = "_graft_l_us"; val lB = "_graft_l_bucket"
-    val rUs = "_graft_r_us"; val rB = "_graft_r_bucket"
+    val lUs = graft.plans.BandJoinRule.LUs; val lB = graft.plans.BandJoinRule.LBucket
+    val rUs = graft.plans.BandJoinRule.RUs; val rB = graft.plans.BandJoinRule.RBucket
     val reserved = Set(lUs, lB, rUs, rB)
     val clash = (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
     require(clash.isEmpty, s"column names $clash are reserved by intervalJoin")

@@ -149,15 +149,20 @@ object Similarity {
       .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
 
   /** Order-independent mean: inputs round deterministically into
-    * decimal(30,15), the decimal sum is exact and associative-
+    * decimal(38,15), the decimal sum is exact and associative-
     * commutative, and one final division lands in double. A double
     * `avg` would depend on the shuffle-fetch merge order of partial
     * sums (non-associative float addition) — run-to-run centroid
     * jitter that can flip a borderline vector's cell and break the
     * documented determinism of the k-means path.
+    *
+    * `count(v)` (not count(*)) keeps avg's null semantics: a null
+    * element is skipped, never deflating the mean. 23 integer digits
+    * absorb any plausible embedding magnitude; a component beyond 1e23
+    * errors loudly under ANSI rather than silently skewing a centroid.
     */
   private def exactMean(v: Column): Column =
-    (sum(v.cast("decimal(30,15)")) / count(lit(1))).cast("double")
+    (sum(v.cast("decimal(38,15)")) / count(v)).cast("double")
 
   /** IVF (inverted-file) approximate top-k: vectors are assigned to
     * their nearest centroid cell once; a query scores only vectors in

@@ -35,8 +35,16 @@ import org.apache.spark.unsafe.types.CalendarInterval
 object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.bandJoinRewrite.enabled"
-  private val LBucket = "_graft_l_bucket"
-  private val RBucket = "_graft_r_bucket"
+
+  /** Marker column names — shared with [[graft.operators.RangeJoin]],
+    * whose already-bucketed joins rely on the re-fire guard below
+    * recognizing these exact names (a silent rename on either side
+    * would quietly re-introduce double bucketing).
+    */
+  private[graft] val LBucket = "_graft_l_bucket"
+  private[graft] val RBucket = "_graft_r_bucket"
+  private[graft] val LUs = "_graft_l_us"
+  private[graft] val RUs = "_graft_r_us"
 
   /** (bandExpr, base, offsetMicrosOrUnits): re/le pair with a literal
     * offset, normalized from timestamp+interval or numeric+literal adds.
@@ -47,13 +55,15 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // CalendarInterval months AND days are calendar units — days add
     // session-TZ calendar days (a DST fall-back day is 25h), so a fixed
     // 86400s conversion could bucket-exclude rows the exact predicate
-    // accepts. Only the micros component is duration-exact; skip the
-    // rest. DayTimeIntervalType below is an ANSI duration (exact micros
-    // by definition) and covers the common INTERVAL '…' SECOND/MINUTE/
+    // accepts. Days convert only under a fixed-offset session zone
+    // (UTC), where every calendar day is exactly 86400s; months never.
+    // DayTimeIntervalType below is an ANSI duration (exact micros by
+    // definition) and covers the common INTERVAL '…' SECOND/MINUTE/
     // HOUR/DAY literals.
     case TimestampAddInterval(base, Literal(iv: CalendarInterval, CalendarIntervalType), _)
-        if iv.months == 0 && iv.days == 0 =>
-      Some((e, base, iv.microseconds))
+        if iv.months == 0 &&
+          (iv.days == 0 || conf.sessionLocalTimeZone == "UTC") =>
+      Some((e, base, iv.days * 86400000000L + iv.microseconds))
     case TimestampAddInterval(base, Literal(v: Long, _: DayTimeIntervalType), _) =>
       Some((e, base, v))
     case _ => None
@@ -118,7 +128,7 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     } yield {
       val w = hi - lo
       // left: project the band base, explode the <= 2 overlapped buckets
-      val leAlias = Alias(leUs, "_graft_l_us")()
+      val leAlias = Alias(leUs, LUs)()
       val lProj = Project(left.output :+ leAlias, left)
       val leAttr = leAlias.toAttribute
       // Sequence is TimeZoneAware — an optimizer-created instance must

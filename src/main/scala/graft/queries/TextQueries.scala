@@ -90,7 +90,8 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") % 97 === 0)
       graft.operators.Decontaminate.overlaps(
-        docs, "text", "doc_id", bench, "text", "doc_id", n = 4)
+        docs, "text", "doc_id", bench, "text", "doc_id", n = 4,
+        excludeSelfPairs = true) // bench IS a corpus sample here
         .orderBy("doc_id", "bench_id")}),
 
     // sequence packing: docs → 2048-token training bins via the

@@ -31,9 +31,14 @@ class DecontaminateSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf001)
     val bench = docs.filter($"doc_id" % 97 === 0)
     val pairs = Decontaminate.overlaps(docs, "text", "doc_id",
-      bench, "text", "doc_id", n = 4)
+      bench, "text", "doc_id", n = 4, excludeSelfPairs = true)
       .select("doc_id", "bench_id").as[(Long, Long)].collect()
     assert(pairs.nonEmpty && pairs.forall { case (d, b) => d != b })
+    // default (independent id spaces): equal ids are NOT filtered
+    val withSelf = Decontaminate.overlaps(docs, "text", "doc_id",
+      bench, "text", "doc_id", n = 4)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect()
+    assert(withSelf.exists { case (d, b) => d == b })
   }
 
   test("bench side broadcasts; corpus never shuffles before the join") {
@@ -41,16 +46,30 @@ class DecontaminateSpec extends SparkSpec {
     val bench = docs.filter($"doc_id" % 97 === 0)
     val df = Decontaminate.overlaps(docs, "text", "doc_id",
       bench, "text", "doc_id", n = 4)
-    df.count()
+    // action on THIS Dataset so the adaptive plan below is the final
+    // runtime plan, not the initial one (df.count() would execute a
+    // different query and leave df's own plan unexecuted)
+    df.collect()
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    // AQE nests completed stages as QueryStageExec leaves that plain
+    // collect() does not enter — flatten them first
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case n => Seq(n)
+      }
+    val all = nodes(plan)
+    val bhj = all.collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, plan.toString)
     // the only shuffle is the final (doc_id, bench_id) aggregate of
     // matched rows — nothing below the join exchanges
-    val shufflesBelowJoin = bhj.head.collect { case e: ShuffleExchangeExec => e }
+    val shufflesBelowJoin = nodes(bhj.head)
+      .collect { case e: ShuffleExchangeExec => e }
     assert(shufflesBelowJoin.isEmpty, plan.toString)
   }
 }

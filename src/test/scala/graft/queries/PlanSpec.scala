@@ -112,9 +112,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pipe_pack_sequences: no single-task global window in the plan") {
-    val df = query("pipe_pack_sequences")
-    df.count()
-    val plan = executed(df)
+    // WindowExec presence is static — the initial plan suffices, no
+    // action needed (query construction itself runs the two-phase scan)
+    val plan = executed(query("pipe_pack_sequences"))
     val windows = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.isEmpty, "packing must use the distributed scan, not Window")
