@@ -250,6 +250,93 @@ object Dedup {
     (out, () => { t.unpersist(); () })
   }
 
+  // --- near-dup cluster resolution --------------------------------------
+
+  /** Connected components over a near-dup pair list: every node gets the
+    * MINIMUM id reachable through any chain of pairs as its component
+    * label — the step that turns pairwise near-dup output into "keep one
+    * canonical doc per duplicate cluster".
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the elementwise minimum, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow —
+    * a handful of rounds in practice; `maxIter` bounds pathological
+    * chains). Each round is one equi-join + one aggregation over the
+    * EDGE list only — nodes outside any pair are their own component
+    * and never enter the loop. Deterministic: labels are min ids,
+    * independent of partitioning and join order.
+    *
+    * Input: (id_a, id_b) pairs (any extra columns ignored).
+    * Output: (id, component) for every id appearing in a pair.
+    */
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list; self-loops dropped
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    // every round ends in localCheckpoint(eager): iterative DataFrame
+    // loops otherwise stack each round's plan on the last and the
+    // optimizer re-traverses an exponentially growing tree — lineage
+    // must be cut per iteration (state volume is tiny: one (id,
+    // component) row per PAIRED node, never the corpus)
+    var labels = edges.groupBy("src")
+      .agg(min(col("dst")).as("min_dst"))
+      .select(col("src").as("id"),
+        least(col("min_dst"), col("src")).as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    try {
+      while (!converged && it < maxIter) {
+        // candidate 1: min over neighbors' current labels (1 hop)
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("component")).as("n_component"))
+        // candidate 2: the label of my label (pointer jumping) — halves
+        // chain distance each round, so convergence is O(log diameter)
+        // rather than O(diameter); every label is itself a paired node,
+        // so the self-join always resolves
+        val viaJump = labels.as("l")
+          .join(labels.select(col("id").as("component"),
+            col("component").as("j_component")), Seq("component"))
+          .select(col("id"), col("j_component"))
+        val next = labels
+          .join(viaNeighbors, Seq("id"), "left")
+          .join(viaJump, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"),
+              least(coalesce(col("n_component"), col("component")),
+                coalesce(col("j_component"), col("component"))))
+              .as("component"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+          .filter(col("component") < col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      require(converged, s"label propagation did not converge in $maxIter rounds")
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** One surviving id per near-dup cluster (the minimum id), given the
+    * full node set and a pair list: nodes in no pair survive as-is;
+    * within a cluster only the minimum id survives.
+    */
+  def resolveClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: bit b is set when the sum of

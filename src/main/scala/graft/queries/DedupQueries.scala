@@ -40,6 +40,13 @@ object DedupQueries {
         threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // near-dup cluster resolution: exact-Jaccard pairs → connected
+    // components → (id, component) labels (min-id canonical docs)
+    "dedup_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardBlocked(Tables.documents(s, d),
+        "text", "doc_id", Seq("lang", "source"), threshold = 0.5)
+      Dedup.connectedComponents(pairs).orderBy("id")}),
+
     // SimHash near-dups within blocks (rows-only)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id",
@@ -55,6 +62,33 @@ object DedupQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3 THEN
+        |      list_distinct([
+        |        string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+2]
+        |        for i in range(1, len(string_split_regex(trim(text), '\s+')) - 1)])
+        |    ELSE [] END AS sh
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+        |)
+        |SELECT id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source,

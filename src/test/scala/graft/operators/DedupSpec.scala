@@ -167,6 +167,36 @@ class DedupSpec extends SparkSpec {
     small.unpersist()
   }
 
+  test("connected components match union-find on a random pair graph") {
+    // ground truth: plain Scala union-find over the same edges
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map((0L until 60L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expect = touched.map(i => i -> find(i)).toMap
+    val got = Dedup.connectedComponents(
+      edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // long chain exercises multi-round convergence (diameter > 1 round)
+    val chain = (0L until 30L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val chainGot = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(chainGot == (0L until 30L).map(_ -> 0L).toMap)
+  }
+
+  test("resolveClusters keeps the min id per cluster and all unpaired rows") {
+    val df = Seq((1L, "x"), (2L, "x2"), (3L, "y"), (9L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.resolveClusters(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L))
+  }
+
   test("simhashAgg matches scalar simhash bit-for-bit") {
     val scalar = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
