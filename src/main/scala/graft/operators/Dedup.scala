@@ -267,26 +267,46 @@ object Dedup {
     * independent of partitioning and join order.
     *
     * Input: (id_a, id_b) pairs (any extra columns ignored).
-    * Output: (id, component) for every id appearing in a pair.
+    * Output: (id, component) for every id appearing in a NON-SELF pair
+    * (an id paired only with itself is its own trivial component and
+    * emits no row, like any unpaired id).
     */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetric edge list; self-loops dropped
+      pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsManaged(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus a release handle for the final label
+    * cache (see [[minhashNearDupsManaged]]; intermediate rounds are
+    * released as the loop advances).
+    */
+  def connectedComponentsManaged(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, () => Unit) = {
+    val spark = pairs.sparkSession
+    // lineage truncation per round WITH a releasable handle: iterative
+    // DataFrame loops otherwise stack each round's plan on the last and
+    // the optimizer re-traverses an exponentially growing tree. A
+    // round-trip through a persisted RDD[Row] cuts the plan AND (unlike
+    // localCheckpoint, whose blocks bypass the CacheManager and wait
+    // for the ContextCleaner) lets each round free its predecessor
+    // deterministically. State volume is tiny: one (id, component) row
+    // per PAIRED node, never the corpus.
+    def materialize(df: DataFrame): (DataFrame, () => Unit) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), () => { rdd.unpersist(false); () })
+    }
+    // symmetric edge list; self-loops dropped (an id appearing ONLY in
+    // self-pairs therefore gets no output row — it is its own trivial
+    // component)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
-    // every round ends in localCheckpoint(eager): iterative DataFrame
-    // loops otherwise stack each round's plan on the last and the
-    // optimizer re-traverses an exponentially growing tree — lineage
-    // must be cut per iteration (state volume is tiny: one (id,
-    // component) row per PAIRED node, never the corpus)
-    var labels = edges.groupBy("src")
-      .agg(min(col("dst")).as("min_dst"))
-      .select(col("src").as("id"),
-        least(col("min_dst"), col("src")).as("component"))
-      .localCheckpoint(true)
+    var (labels, release) = materialize(
+      edges.groupBy("src")
+        .agg(min(col("dst")).as("min_dst"))
+        .select(col("src").as("id"),
+          least(col("min_dst"), col("src")).as("component")))
     var converged = false
     var it = 0
     try {
@@ -304,24 +324,27 @@ object Dedup {
           .join(labels.select(col("id").as("component"),
             col("component").as("j_component")), Seq("component"))
           .select(col("id"), col("j_component"))
-        val next = labels
-          .join(viaNeighbors, Seq("id"), "left")
-          .join(viaJump, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"),
-              least(coalesce(col("n_component"), col("component")),
-                coalesce(col("j_component"), col("component"))))
-              .as("component"))
-          .localCheckpoint(true)
+        val (next, nextRelease) = materialize(
+          labels
+            .join(viaNeighbors, Seq("id"), "left")
+            .join(viaJump, Seq("id"), "left")
+            .select(col("id"),
+              least(col("component"),
+                least(coalesce(col("n_component"), col("component")),
+                  coalesce(col("j_component"), col("component"))))
+                .as("component")))
+        // this count materializes `next`'s backing RDD, so the previous
+        // round can be released immediately after
         val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
           .filter(col("component") < col("old")).count()
-        labels.unpersist()
+        release()
         labels = next
+        release = nextRelease
         converged = changed == 0
         it += 1
       }
       require(converged, s"label propagation did not converge in $maxIter rounds")
-      labels
+      (labels, release)
     } finally edges.unpersist()
   }
 

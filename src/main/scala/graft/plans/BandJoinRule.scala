@@ -53,17 +53,21 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case Add(base, Literal(v: Long, LongType), _) => Some((e, base, v))
     case Add(base, Literal(v: Int, IntegerType), _) => Some((e, base, v.toLong))
     // CalendarInterval months AND days are calendar units — days add
-    // session-TZ calendar days (a DST fall-back day is 25h), so a fixed
-    // 86400s conversion could bucket-exclude rows the exact predicate
-    // accepts. Days convert only under a fixed-offset session zone
-    // (UTC), where every calendar day is exactly 86400s; months never.
-    // DayTimeIntervalType below is an ANSI duration (exact micros by
-    // definition) and covers the common INTERVAL '…' SECOND/MINUTE/
-    // HOUR/DAY literals.
-    case TimestampAddInterval(base, Literal(iv: CalendarInterval, CalendarIntervalType), _)
-        if iv.months == 0 &&
-          (iv.days == 0 || conf.sessionLocalTimeZone == "UTC") =>
-      Some((e, base, iv.days * 86400000000L + iv.microseconds))
+    // calendar days in the EXPRESSION'S bound time zone (a DST
+    // fall-back day is 25h), so a fixed 86400s conversion could
+    // bucket-exclude rows the exact predicate accepts. Days convert
+    // only when the expression itself is bound to UTC (checking the
+    // session conf instead would race a conf change between analysis
+    // and optimization); months never. Bounds use exact arithmetic —
+    // a wrapped Long would bucket wrongly while the refinement keeps
+    // the true band, silently dropping matches. DayTimeIntervalType
+    // below is an ANSI duration (exact micros by definition) and
+    // covers the common INTERVAL '…' SECOND/MINUTE/HOUR/DAY literals.
+    case TimestampAddInterval(base, Literal(iv: CalendarInterval, CalendarIntervalType), tz)
+        if iv.months == 0 && (iv.days == 0 || tz.contains("UTC")) =>
+      try Some((e, base,
+        Math.addExact(Math.multiplyExact(iv.days.toLong, 86400000000L), iv.microseconds)))
+      catch { case _: ArithmeticException => None }
     case TimestampAddInterval(base, Literal(v: Long, _: DayTimeIntervalType), _) =>
       Some((e, base, v))
     case _ => None

@@ -43,9 +43,14 @@ object DedupQueries {
     // near-dup cluster resolution: exact-Jaccard pairs → connected
     // components → (id, component) labels (min-id canonical docs)
     "dedup_components" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardBlocked(Tables.documents(s, d),
-        "text", "doc_id", Seq("lang", "source"), threshold = 0.5)
-      Dedup.connectedComponents(pairs).orderBy("id")}),
+      val (pairs, releasePairs) = Dedup.ngramJaccardBlockedManaged(
+        Tables.documents(s, d), "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.5)
+      // the component loop consumes the pairs eagerly (edge persist +
+      // per-round actions), so the shingle cache can be freed here
+      val comps = Dedup.connectedComponents(pairs)
+      releasePairs()
+      comps.orderBy("id")}),
 
     // SimHash near-dups within blocks (rows-only)
     "dedup_simhash" -> ((s, d) =>

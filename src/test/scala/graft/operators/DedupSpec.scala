@@ -179,9 +179,14 @@ class DedupSpec extends SparkSpec {
     }
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
     val expect = touched.map(i => i -> find(i)).toMap
-    val got = Dedup.connectedComponents(
-      edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (comps, release) = Dedup.connectedComponentsManaged(
+      edges.toDF("id_a", "id_b"))
+    val got = comps.as[(Long, Long)].collect().toMap
+    release()
     assert(got == expect)
+    // every round's backing RDD was released, incl. the final one
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
     // long chain exercises multi-round convergence (diameter > 1 round)
     val chain = (0L until 30L).sliding(2).map(s => (s(1), s(0))).toSeq
     val chainGot = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
