@@ -35,6 +35,38 @@ class RobustnessSpec extends SparkSpec {
       Seq("lang"), 0.5).count() == 0)
   }
 
+  test("round-2 operators on empty and degenerate frames") {
+    import graft.operators.{Decontaminate, Packing, RangeJoin}
+    // interval join: empty either side → empty, no errors
+    val l = Seq((1L, 7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("l_id", "l_user", "l_ts")
+    val emptyR = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("r_id", "r_user", "r_ts")
+    assert(RangeJoin.intervalJoin(l, emptyR, "l_ts", "r_ts", 1, 60,
+      Seq("l_user" -> "r_user")).count() == 0)
+    // packing: empty input → empty output; single row → bin 0
+    val emptyToks = Seq.empty[(Long, Long)].toDF("doc_id", "tok")
+    assert(Packing.packByBudget(emptyToks, "doc_id", "tok", 100).count() == 0)
+    val oneTok = Seq((5L, 42L)).toDF("doc_id", "tok")
+    assert(Packing.packByBudget(oneTok, "doc_id", "tok", 100)
+      .select("seq_id").as[Long].head() == 0L)
+    // components: empty pair list → empty labels; self-pairs only → empty
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq((3L, 3L)).toDF("id_a", "id_b")).count() == 0)
+    // decontamination: empty bench → nothing flagged
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("bench_id", "btext")
+    assert(Decontaminate.overlaps(docs, "text", "doc_id",
+      emptyBench, "btext", "bench_id", n = 3).count() == 0)
+    // k-means with fewer vectors than k still converges deterministically
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(tiny, k = 8, iters = 2)
+    assert(cents.count() == 2)
+  }
+
   test("similarity on empty corpus and empty query panel") {
     val empty = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
     val some = Seq((1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0))
