@@ -257,11 +257,12 @@ object Dedup {
     * label — the step that turns pairwise near-dup output into "keep one
     * canonical doc per duplicate cluster".
     *
-    * Iterative min-label propagation: each round joins labels across
-    * edges and keeps the elementwise minimum, converging in
-    * O(component diameter) rounds (near-dup clusters are shallow —
-    * a handful of rounds in practice; `maxIter` bounds pathological
-    * chains). Each round is one equi-join + one aggregation over the
+    * Iterative min-label propagation with pointer jumping (the
+    * Shiloach-Vishkin shortcutting idea, as used by Hash-to-Min-style
+    * MapReduce components — Rastogi et al., ICDE'13): each round takes
+    * the minimum over direct neighbors' labels AND the label of the
+    * current label, converging in O(log diameter) rounds; `maxIter`
+    * bounds pathological graphs. Each round is one equi-join + one aggregation over the
     * EDGE list only — nodes outside any pair are their own component
     * and never enter the loop. Deterministic: labels are min ids,
     * independent of partitioning and join order.

@@ -110,4 +110,26 @@ class StreamingWindowSpec extends SparkSpec {
       assert(spark.table("dedup").as[Long].head() == 3L)
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // the scale-safe streaming dedup: state for a key is dropped once
+    // the watermark passes it, so replays inside the window are
+    // suppressed while state stays bounded (plain dropDuplicates keeps
+    // every key forever without a watermark column in the key)
+    val in = MemoryStream[Keyed](spark)
+    val dedup = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Keyed(1, ts(1)), Keyed(1, ts(2)), Keyed(2, ts(3)))
+      q.processAllAvailable()
+      // replay of id=1 within the watermark window: suppressed
+      in.addData(Keyed(1, ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_wm").select($"id").as[Long].collect().toSeq
+      assert(rows.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
