@@ -119,13 +119,17 @@ object Dedup {
     }: _*)
   }
 
-  /** LSH banding: explode the signature into (band_id, band_hash) keys.
-    * Two docs sharing any band bucket become a candidate pair.
+  /** LSH banding: explode the signature into one 64-bit bucket key per
+    * band. Two docs sharing any band bucket become a candidate pair.
+    * The band index rides as the hash SEED, so each band occupies its
+    * own key space and a single long is the whole join key; a cross-band
+    * hash collision (~2^-64) can only ADD a candidate pair, which the
+    * exact-Jaccard verification stage filters — never a correctness
+    * risk.
     */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band_id"),
-        xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b).as("band_hash")))
+      b => xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b))
 
   /** Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification
     * of candidates. Output: (id_a, id_b, jaccard) with id_a < id_b,
