@@ -52,6 +52,18 @@ object DedupQueries {
       releasePairs()
       comps.orderBy("id")}),
 
+    // full near-dup resolution: pairs → clusters → one canonical doc
+    // per cluster + every unpaired doc (the end-to-end dedup pipeline)
+    "dedup_resolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (pairs, releasePairs) = Dedup.ngramJaccardBlockedManaged(
+        docs, "text", "doc_id", Seq("lang", "source"), threshold = 0.5)
+      val kept = Dedup.resolveClusters(docs, "doc_id", pairs)
+      releasePairs() // cluster labels were materialized eagerly above
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")}),
+
     // SimHash near-dups within blocks (rows-only)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id",
@@ -94,6 +106,37 @@ object DedupQueries {
         |)
         |SELECT id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_resolve" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3 THEN
+        |      list_distinct([
+        |        string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |        string_split_regex(trim(text), '\s+')[i+2]
+        |        for i in range(1, len(string_split_regex(trim(text), '\s+')) - 1)])
+        |    ELSE [] END AS sh
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source,
