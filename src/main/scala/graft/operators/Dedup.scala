@@ -121,11 +121,12 @@ object Dedup {
 
   /** LSH banding: explode the signature into one 64-bit bucket key per
     * band. Two docs sharing any band bucket become a candidate pair.
-    * The band index rides as the hash SEED, so each band occupies its
-    * own key space and a single long is the whole join key; a cross-band
-    * hash collision (~2^-64) can only ADD a candidate pair, which the
-    * exact-Jaccard verification stage filters — never a correctness
-    * risk.
+    * The band index is hashed ALONGSIDE the band slice (xxhash64's seed
+    * is fixed at 42; the extra column separates the bands' key spaces
+    * just as a per-band seed would), so a single long is the whole join
+    * key; a cross-band hash collision (~2^-64) can only ADD a candidate
+    * pair, which the exact-Jaccard verification stage filters — never a
+    * correctness risk.
     */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
@@ -228,8 +229,18 @@ object Dedup {
       .filter(col("sz") > 0)
       .persist() // read by the prefix join and both verify joins
     // minimum overlap a qualifying pair must have with THIS set:
-    // |∩| ≥ t·|∪| ≥ t·max(|A|,|B|) ≥ ⌈t·|S|⌉ for each side
-    val minOverlap = ceil(lit(threshold) * col("sz")).cast("int")
+    // |∩| ≥ t·|∪| ≥ t·max(|A|,|B|) ≥ ⌈t·|S|⌉ for each side.
+    // The 1e-6 slack absorbs double rounding in t·sz: IEEE can round
+    // the product a hair ABOVE an exact integer (0.07·100 →
+    // 7.000000000000001, ceil 8) which would shorten the prefix / over-
+    // tighten the size pruning and silently DROP a qualifying pair.
+    // Max abs error of the product is ~5e-7 for sz ≤ 2^31, so the slack
+    // strictly covers it; erring low only admits extra candidates,
+    // which the exact verification filter removes — never false
+    // negatives.
+    def minOverlapOf(sz: Column): Column =
+      ceil(lit(threshold) * sz - lit(1e-6)).cast("int")
+    val minOverlap = minOverlapOf(col("sz"))
     val pre = t.select(Seq(col("id"), col("sz"),
       explode(slice(col("sh"), lit(1), col("sz") - minOverlap + lit(1))).as("s")) ++
       blockCols.map(col): _*)
@@ -238,8 +249,8 @@ object Dedup {
         blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
           .reduce(_ && _) && col("l.s") === col("r.s") && col("l.id") < col("r.id") &&
           // symmetric size pruning: jac ≥ t ⇒ t·|A| ≤ |∩| ≤ |B| (and vice versa)
-          col("r.sz") >= ceil(lit(threshold) * col("l.sz")) &&
-          col("l.sz") >= ceil(lit(threshold) * col("r.sz")))
+          col("r.sz") >= minOverlapOf(col("l.sz")) &&
+          col("l.sz") >= minOverlapOf(col("r.sz")))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sets = t.select(col("id"), col("sh"), col("sz"))
@@ -348,7 +359,11 @@ object Dedup {
         converged = changed == 0
         it += 1
       }
-      require(converged, s"label propagation did not converge in $maxIter rounds")
+      if (!converged) {
+        release() // the failure path must not orphan the last round's cache
+        throw new IllegalArgumentException(
+          s"label propagation did not converge in $maxIter rounds")
+      }
       (labels, release)
     } finally edges.unpersist()
   }

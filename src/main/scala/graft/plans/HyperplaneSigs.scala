@@ -75,9 +75,17 @@ case class HyperplaneSigsExpr(
     }
     val x = new Array[Double](dim)
     var d = 0
+    var anyNull = false
     while (d < dim) {
-      x(d) = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      if (v.isNullAt(d)) anyNull = true
+      else x(d) = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
       d += 1
+    }
+    // a null element nulls every plane dot in the Column-API form, whose
+    // when(dot >= 0, …).otherwise(0) then lands every table in bucket 0
+    // — mirror that exactly instead of reading garbage
+    if (anyNull) {
+      return new GenericArrayData(new Array[Long](tables))
     }
     val out = new Array[Long](tables)
     var t = 0

@@ -205,18 +205,25 @@ case class MinHashSigExpr(child: Expression, k: Int)
     val p = TextHash.MersennePrime31
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
+    var seen = 0
     var i = 0
     while (i < n) {
-      val h = TextHash.pmod(arr.getLong(i), p)
-      var j = 0
-      while (j < k) {
-        val v = TextHash.pmod(h * params(j)._1 + params(j)._2, p)
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      // null elements are skipped, matching the Column-API form
+      // (array_min ignores nulls); reachable via SQL call sites —
+      // hashedShingles itself never emits them
+      if (!arr.isNullAt(i)) {
+        seen += 1
+        val h = TextHash.pmod(arr.getLong(i), p)
+        var j = 0
+        while (j < k) {
+          val v = TextHash.pmod(h * params(j)._1 + params(j)._2, p)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(sig)
+    if (seen == 0) null else new GenericArrayData(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =

@@ -167,6 +167,19 @@ class DedupSpec extends SparkSpec {
     small.unpersist()
   }
 
+  test("prefix bound survives float-rounding thresholds (0.07 x 100 regression)") {
+    // IEEE: 0.07*100 = 7.000000000000001 → a naive ceil computes
+    // min-overlap 8 and drops this exactly-at-threshold pair
+    val aToks = (1 to 102).map(i => s"w$i")
+    val a = aToks.mkString(" ")            // 100 distinct shingles
+    val b = aToks.take(9).mkString(" ")    // its first 7 shingles
+    val df = Seq((1L, a, "x"), (2L, b, "x")).toDF("doc_id", "text", "blk")
+    val got = Dedup.ngramJaccardBlocked(df, "text", "doc_id",
+      Seq("blk"), threshold = 0.07)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.07)))
+  }
+
   test("connected components match union-find on a random pair graph") {
     // ground truth: plain Scala union-find over the same edges
     val rnd = new scala.util.Random(11)
