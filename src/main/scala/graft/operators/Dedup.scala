@@ -340,6 +340,10 @@ object Dedup {
           .join(labels.select(col("id").as("component"),
             col("component").as("j_component")), Seq("component"))
           .select(col("id"), col("j_component"))
+        // the OLD label rides along in the materialized state so the
+        // convergence check is a filter+count over the same cached RDD —
+        // not an extra join (which would re-shuffle both rounds' labels
+        // every iteration)
         val (next, nextRelease) = materialize(
           labels
             .join(viaNeighbors, Seq("id"), "left")
@@ -348,13 +352,13 @@ object Dedup {
               least(col("component"),
                 least(coalesce(col("n_component"), col("component")),
                   coalesce(col("j_component"), col("component"))))
-                .as("component")))
+                .as("component"),
+              col("component").as("old")))
         // this count materializes `next`'s backing RDD, so the previous
         // round can be released immediately after
-        val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-          .filter(col("component") < col("old")).count()
+        val changed = next.filter(col("component") < col("old")).count()
         release()
-        labels = next
+        labels = next.select("id", "component")
         release = nextRelease
         converged = changed == 0
         it += 1

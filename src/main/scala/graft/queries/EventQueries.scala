@@ -105,7 +105,30 @@ object EventQueries {
       ev.unionByName(ev)
         .dropDuplicates("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
-        .orderBy("event_type")})
+        .orderBy("event_type")}),
+
+    // conversion funnel: per user, purchases within 7 days of the FIRST
+    // signup. The range predicate rides on a user_id equi-join (hash
+    // join + residual), so at scale this is one shuffle of the two
+    // pre-filtered event slices, never a time-range cross product; the
+    // signup side is pre-aggregated to one row per user before joining
+    "ev_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      signups.join(purchases,
+          signups("user_id") === purchases("user_id") &&
+            col("p_ts") >= col("signup_ts") &&
+            col("p_ts") <= col("signup_ts") + expr("INTERVAL 604800 SECONDS"),
+          "left")
+        .groupBy(signups("user_id").as("user_id"), col("signup_ts"))
+        .agg(count(col("p_ts")).as("n_purchases_7d"))
+        .select(col("user_id"), col("signup_ts"),
+          col("n_purchases_7d"),
+          (col("n_purchases_7d") > 0).as("converted"))
+        .orderBy("user_id")})
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,6 +196,22 @@ object EventQueries {
         |  SELECT DISTINCT event_id, event_type FROM (
         |    SELECT event_id, event_type FROM events
         |    UNION ALL SELECT event_id, event_type FROM events))
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_ts,
+        |  CAST(count(p.p_ts) AS BIGINT) AS n_purchases_7d,
+        |  count(p.p_ts) > 0 AS converted
+        |FROM s LEFT JOIN p
+        |  ON p.user_id = s.user_id
+        | AND p.p_ts >= s.signup_ts
+        | AND p.p_ts <= s.signup_ts + INTERVAL 604800 SECONDS
+        |GROUP BY s.user_id, s.signup_ts
+        |ORDER BY s.user_id""".stripMargin
   )
 }

@@ -259,14 +259,76 @@ object RelationalQueries {
     // mergeable quantile sketch per group (rows-only: sketch internals
     // are engine-specific; error vs exact percentiles bounded in
     // SparkEntrySpec) — the single-pass path for percentile dashboards
-    // at corpus scale, where exact percentile would sort per group
-    "rel_approx_quantiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    // at corpus scale, where exact percentile would sort per group.
+    // One scalar column per requested quantile: the sketch is evaluated
+    // once (single agg), then indexed — array-typed outputs would defeat
+    // downstream columnar consumers (and the driver's row hasher).
+    "rel_approx_quantiles" -> ((s, d) => {
+      val qs = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000))
-          .as("approx_q"))
-        .orderBy("l_returnflag"))
+          .as("aq"))
+      qs.select(col("l_returnflag"),
+          col("aq")(0).as("q25"), col("aq")(1).as("q50"),
+          col("aq")(2).as("q75"), col("aq")(3).as("q95"))
+        .orderBy("l_returnflag")}),
+
+    // pivot (wide aggregation): explicit value list keeps it a single
+    // pass (no values-discovery job) — mandatory at scale, where the
+    // implicit collect-distinct pivot is a full extra scan
+    "rel_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")),
+
+    // lag/lead/first_value window frames per customer order history;
+    // (o_orderdate, o_orderkey) is a total order within each partition,
+    // so every offset function is tie-deterministic
+    "rel_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice").over(w).as("first_price"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")}),
+
+    // bivariate statistics from EXACT decimal partial sums: Σx, Σy, Σx²,
+    // Σy², Σxy aggregate order-independently (decimal), then corr/covar/
+    // stddev are assembled in one fixed double-op sequence — bit-identical
+    // at any parallelism, unlike the built-in streaming co-moment
+    // aggregates whose merge order varies run to run (fine numerically,
+    // fatal for a hash-compare gate and for reproducible pipelines)
+    "rel_corr_stats" -> ((s, d) => {
+      def d2(c: Column) = c.cast("decimal(18,2)")
+      val sums = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(d2(col("l_quantity"))).cast("double").as("sx"),
+          sum(d2(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(d2(col("l_quantity")) * d2(col("l_quantity"))).cast("double").as("sxx"),
+          sum(d2(col("l_extendedprice")) * d2(col("l_extendedprice"))).cast("double").as("syy"),
+          sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).cast("double").as("sxy"))
+      sums.select(
+          col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - lit(1.0)))
+            .as("covar_qty_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0)))
+            .as("sd_qty"))
+        .orderBy("l_returnflag")})
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -410,6 +472,42 @@ object RelationalQueries {
         |LIMIT 20""".stripMargin,
     "rel_distinct_pairs" ->
       """SELECT DISTINCT l_returnflag, l_linestatus
-        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_corr_stats" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+        |  (sxy - sx * sy / n) / (n - 1.0) AS covar_qty_price,
+        |  sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sd_qty
+        |FROM sums ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -122,7 +122,20 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("q")) / count(lit(1)), 6).as("mean_quality"),
           sum(tokenCount(col("text"))).as("total_tokens"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // corpus vocabulary head: explode (generator) → count → global top-k.
+    // Map-side partial aggregation collapses each partition's term counts
+    // before the shuffle, and the final top-k is a TakeOrdered over the
+    // (small) distinct-term aggregate — no global sort of the corpus
+    "text_top_terms" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term"))
+        .limit(25))
   )
 
   private val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -267,6 +280,14 @@ object TextQueries {
       s"""SELECT source, count(*) AS n_docs,
          |  round(sum($qualityExpr) / count(*), 6) AS mean_quality,
          |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_top_terms" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |      FROM documents)
+        |WHERE length(term) >= 3
+        |GROUP BY term
+        |ORDER BY n DESC, term
+        |LIMIT 25""".stripMargin
   )
 }

@@ -41,7 +41,8 @@ class SparkEntrySpec extends SparkSpec {
   test("percentile_approx tracks exact percentiles within sketch accuracy") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("rel_approx_quantiles")(spark, sf001)
-      .select($"l_returnflag", $"approx_q").as[(String, Seq[Double])].collect().toMap
+      .select($"l_returnflag", array($"q25", $"q50", $"q75", $"q95"))
+      .as[(String, Seq[Double])].collect().toMap
     val exact = graft.sources.Tables.lineitem(spark, sf001)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("q"))
