@@ -288,15 +288,26 @@ object Dedup {
     * emits no row, like any unpaired id).
     */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    connectedComponentsManaged(pairs, maxIter)._1
+      pairs: DataFrame, maxIter: Int = 20,
+      localMaxEdges: Long = LocalComponentsMaxEdges): DataFrame =
+    connectedComponentsManaged(pairs, maxIter, localMaxEdges)._1
 
   /** [[connectedComponents]] plus a release handle for the final label
     * cache (see [[minhashNearDupsManaged]]; intermediate rounds are
     * released as the loop advances).
     */
+  /** Edge-count ceiling for the driver-local union-find fast path
+    * (16 B/edge ⇒ ≤ ~16 MB collected). Near-dup edge lists are usually
+    * MUCH smaller than the corpus — at 100 TB the corpus never fits a
+    * driver, but its duplicate-pair list routinely does; crossing the
+    * ceiling falls back to the distributed loop automatically (the same
+    * measure-then-choose move AQE makes for broadcast joins).
+    */
+  val LocalComponentsMaxEdges = 1000000L
+
   def connectedComponentsManaged(
-      pairs: DataFrame, maxIter: Int = 20): (DataFrame, () => Unit) = {
+      pairs: DataFrame, maxIter: Int = 20,
+      localMaxEdges: Long = LocalComponentsMaxEdges): (DataFrame, () => Unit) = {
     val spark = pairs.sparkSession
     // lineage truncation per round WITH a releasable handle: iterative
     // DataFrame loops otherwise stack each round's plan on the last and
@@ -318,6 +329,37 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
+    // measure-then-choose: the edge list is fully materialized here (the
+    // count doubles as the cache warm-up the loop needed anyway); small
+    // long-keyed graphs resolve exactly on the driver in one pass instead
+    // of O(log diameter) rounds of join jobs
+    val edgeCount = edges.count()
+    val longKeyed = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (edgeCount <= localMaxEdges && longKeyed) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      // union-find, min id as root: union always hangs the larger root
+      // under the smaller, so find(x) IS the component's minimum id —
+      // identical labels to the distributed min-propagation
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labelled = parent.keysIterator
+        .map(id => (id, find(id))).toSeq.sortBy(_._1)
+      return (spark.createDataFrame(labelled).toDF("id", "component"),
+        () => ())
+    }
     var (labels, release) = materialize(
       edges.groupBy("src")
         .agg(min(col("dst")).as("min_dst"))

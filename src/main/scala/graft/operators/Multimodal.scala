@@ -31,13 +31,18 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, blob: Array[Byte])
 
-  /** Decoder contract: byte payload → typed metadata + frame bytes.
-    * Real implementations (JPEG/PNG/WAV/MP4) plug in here.
+  /** Decoder contract: byte payload → typed metadata + frame bytes +
+    * resized pixels. Real implementations (JPEG/PNG/WAV/MP4) plug in
+    * here.
     */
   trait MediaDecoder extends Serializable {
     def init(): Unit // heavyweight setup, once per partition
     def probe(blob: Array[Byte]): (String, Int, Int, Int) // format, w, h, frames
     def frame(blob: Array[Byte], idx: Int): Array[Byte]
+    /** Decode + resample to outW×outH; returns packed row-major RGB
+      * triples (the tensor-shaped payload a vision preprocessor wants).
+      */
+    def resize(blob: Array[Byte], outW: Int, outH: Int): Array[Byte]
   }
 
   /** Deterministic stub: "decodes" metadata from a stable hash of the
@@ -56,6 +61,15 @@ object Multimodal {
     }
     def frame(blob: Array[Byte], idx: Int): Array[Byte] =
       blob.slice(idx, math.min(idx + 16, blob.length))
+    /** Fake pixels: payload bytes cycled to fill the output tensor. */
+    def resize(blob: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      val out = new Array[Byte](outW * outH * 3)
+      if (blob.nonEmpty) {
+        var i = 0
+        while (i < out.length) { out(i) = blob(i % blob.length); i += 1 }
+      }
+      out
+    }
   }
 
   /** Header-parsing decoder for container formats that need no codec
@@ -117,6 +131,50 @@ object Multimodal {
         val start = 44 + idx * bpf
         blob.slice(start, math.min(start + bpf, blob.length))
       } else fallback.frame(blob, idx)
+
+    /** Uncompressed 24-bit bottom-up/top-down BMP with complete pixel
+      * data — the only layout the codec-free resize handles.
+      */
+    private def isBmp24(b: Array[Byte]): Boolean =
+      isBmp(b) && b.length >= 34 && leShort(b, 28) == 24 && leInt(b, 30) == 0 && {
+        val w = math.abs(leInt(b, 18)); val h = math.abs(leInt(b, 22))
+        val rowBytes = ((w * 3 + 3) / 4) * 4
+        val off = leInt(b, 10)
+        w > 0 && h > 0 && off >= 54 &&
+          off.toLong + rowBytes.toLong * h <= b.length
+      }
+
+    /** REAL nearest-neighbour resize for 24-bit BMPs: handles bottom-up
+      * row order and 4-byte row padding, emits row-major top-down RGB.
+      * Non-BMP payloads delegate to the fallback decoder.
+      */
+    def resize(blob: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      require(outW > 0 && outH > 0, "output dims must be positive")
+      if (!isBmp24(blob)) return fallback.resize(blob, outW, outH)
+      val off = leInt(blob, 10)
+      val w = leInt(blob, 18)
+      val hRaw = leInt(blob, 22)
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt // floor sample, never == h
+        val srcRow = if (topDown) sy else h - 1 - sy
+        val rowOff = off + srcRow * rowBytes
+        var x = 0
+        while (x < outW) {
+          val s = rowOff + (x.toLong * w / outW).toInt * 3
+          val dIdx = (y * outW + x) * 3
+          // BMP stores BGR; emit RGB
+          out(dIdx) = blob(s + 2); out(dIdx + 1) = blob(s + 1); out(dIdx + 2) = blob(s)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
@@ -155,6 +213,48 @@ object Multimodal {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
       .toDF("doc_id", "frame_idx", "frame_bytes")
+  }
+
+  final case class MediaFeatures(doc_id: Long, f: Array[Double])
+  implicit private val featEnc: Encoder[MediaFeatures] =
+    Encoders.product[MediaFeatures]
+
+  /** Codec-free feature extraction: an L1-normalized histogram of raw
+    * byte values in `bins` equal-width buckets — a cheap content
+    * signature usable for media dedup/clustering before any decode.
+    * Runs partition-wise over the binary column (one tight per-row byte
+    * loop, no per-byte rows anywhere), so at corpus scale it is a pure
+    * map stage shuffling only (doc_id, bins×8B).
+    */
+  def histogramFeatures(media: DataFrame, bins: Int = 8): Dataset[MediaFeatures] = {
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    val ds = media.select(col("doc_id"), col("blob")).as[MediaRow](rowEnc)
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val counts = new Array[Long](bins)
+        var i = 0
+        while (i < r.blob.length) { counts((r.blob(i) & 0xFF) / width) += 1; i += 1 }
+        val n = math.max(1L, r.blob.length.toLong).toDouble
+        MediaFeatures(r.doc_id, counts.map(_ / n))
+      }
+    }(featEnc)
+  }
+
+  /** Partition-wise resize: (doc_id, outW×outH×3 RGB bytes). Decoder
+    * init amortizes per partition; output tensors are fixed-size, so
+    * downstream batching (e.g. into training examples) needs no
+    * per-row shape metadata.
+    */
+  def resizeMedia(
+      media: DataFrame, decoder: () => MediaDecoder,
+      outW: Int, outH: Int): DataFrame = {
+    val ds = media.select(col("doc_id"), col("blob")).as[MediaRow](rowEnc)
+    ds.mapPartitions { it =>
+      val d = decoder(); d.init()
+      it.map(r => (r.doc_id, d.resize(r.blob, outW, outH)))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "pixels")
   }
 
   /** Pure-column metadata that needs no codec: payload size and a content

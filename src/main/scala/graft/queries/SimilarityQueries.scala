@@ -79,7 +79,19 @@ object SimilarityQueries {
         Multimodal.syntheticMedia(Tables.documents(s, d)),
         () => new Multimodal.HeaderDecoder, stride = 30)
         .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // multimodal: codec-free feature extraction — 8-bin byte-value
+    // histogram per payload, L1-normalized (media content signature
+    // before any decode). One scalar column per bin. Oracle parity
+    // scope: the oracle recomputes over CODE POINTS, equal to bytes
+    // because this corpus is ASCII; the operator itself is byte-defined
+    "mm_features" -> ((s, d) => {
+      val feats = Multimodal.histogramFeatures(
+        Multimodal.syntheticMedia(Tables.documents(s, d)), bins = 8).toDF()
+      feats.select(col("doc_id") +:
+          (0 until 8).map(i => round(col("f")(i), 6).as(s"f$i")): _*)
+        .orderBy("doc_id")})
   )
 
   private def cosSql(a: String, b: String): String =
@@ -121,7 +133,22 @@ object SimilarityQueries {
       s"""$stubProbeSql
          |SELECT doc_id,
          |  CAST(ceil(n_frames / 30.0) AS BIGINT) AS n_sampled
-         |FROM probed ORDER BY doc_id""".stripMargin
+         |FROM probed ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, greatest(length(text), 1) AS n,
+        |         unnest(string_split(text, '')) AS c
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 0)::DOUBLE / max(n), 6) AS f0,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 1)::DOUBLE / max(n), 6) AS f1,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 2)::DOUBLE / max(n), 6) AS f2,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 3)::DOUBLE / max(n), 6) AS f3,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 4)::DOUBLE / max(n), 6) AS f4,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 5)::DOUBLE / max(n), 6) AS f5,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 6)::DOUBLE / max(n), 6) AS f6,
+        |  round(count(*) FILTER (WHERE ord(c) // 32 = 7)::DOUBLE / max(n), 6) AS f7
+        |FROM chars GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replica of [[Multimodal.StubDecoder.probe]] over the

@@ -193,16 +193,27 @@ class DedupSpec extends SparkSpec {
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
     val expect = touched.map(i => i -> find(i)).toMap
     val before = spark.sparkContext.getPersistentRDDs.size
+    // both execution strategies must produce identical labels: the
+    // driver-local union-find fast path (default for small edge lists)
+    // and the distributed label-propagation loop (forced via
+    // localMaxEdges = -1, the 100 TB path)
     val (comps, release) = Dedup.connectedComponentsManaged(
       edges.toDF("id_a", "id_b"))
     val got = comps.as[(Long, Long)].collect().toMap
     release()
     assert(got == expect)
+    val (compsDist, releaseDist) = Dedup.connectedComponentsManaged(
+      edges.toDF("id_a", "id_b"), localMaxEdges = -1L)
+    val gotDist = compsDist.as[(Long, Long)].collect().toMap
+    releaseDist()
+    assert(gotDist == expect)
     // every round's backing RDD was released, incl. the final one
     assert(spark.sparkContext.getPersistentRDDs.size == before)
     // long chain exercises multi-round convergence (diameter > 1 round)
+    // through the DISTRIBUTED loop (the local path has no rounds)
     val chain = (0L until 30L).sliding(2).map(s => (s(1), s(0))).toSeq
-    val chainGot = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+    val chainGot = Dedup.connectedComponents(chain.toDF("id_a", "id_b"),
+        localMaxEdges = -1L)
       .as[(Long, Long)].collect().toMap
     assert(chainGot == (0L until 30L).map(_ -> 0L).toMap)
   }

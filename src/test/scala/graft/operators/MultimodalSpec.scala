@@ -105,4 +105,71 @@ class MultimodalSpec extends SparkSpec {
       assert(frames(id) == expect, s"doc $id: frames=$nf sampled=${frames(id)}")
     }
   }
+
+  /** Full 24-bit BMP with pixel data. `pixels` are RGB triples in
+    * row-major TOP-DOWN image order; storage honours `topDown`.
+    */
+  private def bmp24(w: Int, h: Int, pixels: Seq[(Int, Int, Int)],
+      topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val data = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixels(y * w + x)
+      val row = if (topDown) y else h - 1 - y
+      val base = row * rowBytes + x * 3
+      data(base) = b.toByte; data(base + 1) = g.toByte; data(base + 2) = r.toByte
+    }
+    "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(data.length) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ data
+  }
+
+  test("resize: real nearest-neighbour decode for 24-bit BMP (both row orders)") {
+    val dec = new HeaderDecoder
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0))
+    // identity resize returns the exact image, RGB, top-down row-major —
+    // proving the bottom-up storage flip and BGR→RGB swap both happen
+    val id = dec.resize(bmp24(2, 2, px), 2, 2)
+    assert(id.toSeq == px.flatMap(p => Seq(p._1.toByte, p._2.toByte, p._3.toByte)))
+    // top-down storage yields the same image
+    assert(dec.resize(bmp24(2, 2, px, topDown = true), 2, 2).toSeq == id.toSeq)
+    // 1×1 downsample floor-samples the top-left pixel
+    assert(dec.resize(bmp24(2, 2, px), 1, 1).toSeq ==
+      Seq(255.toByte, 0.toByte, 0.toByte))
+    // 4×4 → 2×2 picks source columns/rows 0 and 2
+    val px4 = (0 until 16).map(i => (i * 3, i * 3 + 1, i * 3 + 2))
+    val down = dec.resize(bmp24(4, 4, px4), 2, 2)
+    val expectIdx = Seq(0, 2, 8, 10)
+    assert(down.toSeq == expectIdx.flatMap(i =>
+      Seq((i * 3).toByte, (i * 3 + 1).toByte, (i * 3 + 2).toByte)))
+    // non-BMP payloads fall back to the stub's deterministic fake
+    val txt = "not a bitmap".getBytes("UTF-8")
+    assert(dec.resize(txt, 3, 3).toSeq == new StubDecoder().resize(txt, 3, 3).toSeq)
+    assert(dec.resize(txt, 3, 3).length == 27)
+  }
+
+  test("resizeMedia: fixed-size RGB tensors per doc through the partition-wise path") {
+    val mixed = Seq(
+      (1L, bmp24(2, 2, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)))),
+      (2L, "opaque payload".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val out = resizeMedia(mixed, () => new HeaderDecoder, 4, 2)
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out.values.forall(_.length == 4 * 2 * 3))
+  }
+
+  test("histogramFeatures: exact L1-normalized byte histogram, scalar-safe") {
+    val blob = Array[Byte](0, 31, 32, 64.toByte, 255.toByte, 255.toByte)
+    val feats = histogramFeatures(Seq((7L, blob)).toDF("doc_id", "blob"), bins = 8)
+      .collect().head
+    assert(feats.doc_id == 7L)
+    assert(feats.f.toSeq == Seq(2 / 6.0, 1 / 6.0, 1 / 6.0, 0, 0, 0, 0, 2 / 6.0))
+    assert(math.abs(feats.f.sum - 1.0) < 1e-12)
+    // empty payload: zero vector, no division blow-up
+    val empty = histogramFeatures(
+      Seq((8L, Array.empty[Byte])).toDF("doc_id", "blob"), bins = 8)
+      .collect().head
+    assert(empty.f.forall(_ == 0.0))
+  }
 }
