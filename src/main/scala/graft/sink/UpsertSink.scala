@@ -32,8 +32,10 @@ trait UpsertSink {
     * old one — exactly what the reference's Cassandra schema does, since
     * `date_partition` is the table's partition key and a changed value
     * addresses a different Cassandra row. Callers needing global key
-    * uniqueness across bucket changes must delete-by-key first (a full
-    * scan, deliberately not hidden inside the O(touched-buckets) path).
+    * uniqueness across bucket changes use
+    * [[ParquetUpsertSink.upsertGlobal]] (an extra key anti-join over the
+    * stale buckets, deliberately not hidden inside this
+    * O(touched-buckets) path).
     */
   def upsert(batch: DataFrame, keys: Seq[String], versionCol: String): Unit
 }
@@ -72,6 +74,63 @@ final class ParquetUpsertSink(
           dedupByKey(existing.unionByName(batch), keys, versionCol)
       }
       write(merged, path, partitionCol)
+    }
+
+  /** [[upsert]] strengthened to GLOBAL key uniqueness: when a later write
+    * for an existing key carries a different derived bucket value (e.g. a
+    * corrected timestamp crossing a month), the stale row in the old,
+    * otherwise-untouched partition is removed in the same commit — the
+    * cross-bucket case the plain O(touched-buckets) path documents as out
+    * of contract.
+    *
+    * Cost: one key-level anti-join over the partitions that hold stale
+    * copies (located by key semi-join first, so only THOSE partitions are
+    * rewritten — still never the whole table). Use when bucket-changing
+    * rewrites are actually possible; otherwise [[upsert]] is strictly
+    * cheaper.
+    */
+  def upsertGlobal(batch: DataFrame, keys: Seq[String], versionCol: String): Unit =
+    retry.run {
+      val existing = readExisting(spark, path, batch)
+      partitionCol match {
+        case Some(p) =>
+          val touched = batch.select(p).distinct()
+          val relevant = existing.join(broadcast(touched), Seq(p), "left_semi")
+          val merged = dedupByKey(relevant.unionByName(batch), keys, versionCol)
+          val batchKeys = batch.select(keys.map(col): _*).distinct()
+          // untouched partitions holding a copy of a batch key: these are
+          // the (rare) buckets a key migrated OUT of — rewrite them minus
+          // the migrated keys; every other partition stays untouched
+          val untouched = existing.join(broadcast(touched), Seq(p), "left_anti")
+          val stalePartitions = untouched
+            .join(batchKeys, keys, "left_semi")
+            .select(p).distinct().persist()
+          val rewritten = untouched
+            .join(broadcast(stalePartitions), Seq(p), "left_semi")
+            .join(batchKeys, keys, "left_anti")
+            .persist()
+          // bucket lists are collected BEFORE the overwrite: their plans
+          // read the files the write below replaces (the persist()s keep
+          // the write job from re-scanning, but correctness must not
+          // depend on cache retention)
+          val staleVals = stalePartitions.collect().map(_.get(0).toString)
+          val liveVals = rewritten.select(p).distinct()
+            .collect().map(_.get(0).toString).toSet
+          write(merged.unionByName(rewritten), path, partitionCol)
+          // dynamic overwrite replaces only partitions that receive rows:
+          // a stale partition whose every row migrated away writes
+          // nothing and must be dropped explicitly (driver-side bucket
+          // list, same move as Retention.compact)
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          staleVals.filterNot(liveVals).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$p=$v"), true)
+          }
+          stalePartitions.unpersist(); rewritten.unpersist()
+        case None =>
+          write(dedupByKey(existing.unionByName(batch), keys, versionCol),
+            path, partitionCol)
+      }
     }
 
   private def write(df: DataFrame, path: String, pcol: Option[String]): Unit = {

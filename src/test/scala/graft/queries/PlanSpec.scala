@@ -111,6 +111,32 @@ class PlanSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("ev_funnel: range predicate rides the user_id equi-join, never an NLJ") {
+    val plan = executed(query("ev_funnel"))
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      plan.toString)
+  }
+
+  test("text_top_terms: partial map-side aggregation + bounded top-k, no global sort") {
+    val df = query("text_top_terms")
+    df.collect()
+    val plan = executed(df)
+    // the limit must execute as TakeOrdered (heap of k per partition),
+    // not a full sort of the distinct-term aggregate
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+    // and the term counts must combine map-side before the exchange
+    assert(plan.toString.contains("partial_count"), plan.toString)
+  }
+
+  test("mm_features: feature extraction is a narrow map stage") {
+    val feats = graft.operators.Multimodal.histogramFeatures(
+      graft.operators.Multimodal.syntheticMedia(
+        graft.sources.Tables.documents(spark, sf001)))
+    val shuffles = executed(feats.toDF())
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, "histogram features must not shuffle")
+  }
+
   test("pipe_pack_sequences: no single-task global window in the plan") {
     // WindowExec presence is static — the initial plan suffices, no
     // action needed (query construction itself runs the two-phase scan)

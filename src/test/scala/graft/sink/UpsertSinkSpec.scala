@@ -55,6 +55,32 @@ class UpsertSinkSpec extends SparkSpec {
       .collect().toSeq == Seq(("k1", 3L, "202402M")))
   }
 
+  test("upsertGlobal removes the stale row when a key migrates buckets") {
+    val dir = tmpDir("upsert_global")
+    val sink = new ParquetUpsertSink(spark, dir, Some("p"))
+    sink.upsertGlobal(
+      Seq(("k1", 1L, "202401M"), ("k2", 1L, "202401M"), ("k3", 1L, "202403M"))
+        .toDF("id", "v", "p"), Seq("id"), "v")
+    // k1's corrected timestamp moves it a month forward: the 202401M copy
+    // must die in the same commit, k2 (untouched neighbour) must survive
+    sink.upsertGlobal(Seq(("k1", 2L, "202402M")).toDF("id", "v", "p"),
+      Seq("id"), "v")
+    val out = sink.read().orderBy("id").as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("k1", 2L, "202402M"), ("k2", 1L, "202401M"),
+      ("k3", 1L, "202403M")))
+    // migrating the last key out of a bucket drops the bucket entirely
+    sink.upsertGlobal(Seq(("k3", 2L, "202404M")).toDF("id", "v", "p"),
+      Seq("id"), "v")
+    val after = sink.read()
+    assert(after.filter($"p" === "202403M").count() == 0)
+    assert(after.count() == 3)
+    // replay of the migrating batch converges (idempotent)
+    sink.upsertGlobal(Seq(("k1", 2L, "202402M")).toDF("id", "v", "p"),
+      Seq("id"), "v")
+    assert(sink.read().orderBy("id").as[(String, Long, String)].collect().toSeq
+      == Seq(("k1", 2L, "202402M"), ("k2", 1L, "202401M"), ("k3", 2L, "202404M")))
+  }
+
   test("distinct-set upsert converges under replay (summary semantics)") {
     val dir = tmpDir("upsert_set")
     val sink = new ParquetUpsertSink(spark, dir)
