@@ -23,6 +23,22 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
 
+  /** PII patterns kept deliberately inside the RE2 ∩ java.util.regex
+    * common subset (character classes + bounded repetition only): the
+    * same literal pattern must mean the same thing to Spark, to the
+    * DuckDB oracle, and to any engine a redaction audit replays on.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+1-555-[0-9]{4}"
+
+  /** Redact emails and phone numbers (all occurrences). Pure per-row
+    * string work — a narrow map stage at any scale.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(PhonePattern), lit("<PHONE>"))
+
   /** Punctuation density: non-word non-space chars / total chars. */
   def punctRatio(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9_\\s]")).cast("double") /

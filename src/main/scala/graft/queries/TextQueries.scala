@@ -124,6 +124,51 @@ object TextQueries {
           sum(tokenCount(col("text"))).as("total_tokens"))
         .orderBy("source")),
 
+    // source-mixture construction: per-source keep rates (the
+    // pretraining "data mixing" stage) applied as deterministic
+    // systematic sampling, with token accounting and each source's share
+    // of the mixed corpus — replay-stable (pure function of the data,
+    // no RNG), so retries and re-partitioning build the identical mix.
+    // Systematic-sampling caveat made concrete: the key must be uniform
+    // WITHIN each stratum — raw doc_id cycles through the 20 sources
+    // (source = src{doc_id % 20}), so doc_id parity IS source parity and
+    // sampling on it keeps or kills whole sources; the per-cycle index
+    // doc_id div 20 decorrelates
+    "pipe_mix_sources" -> ((s, d) => {
+      val rates = (0 until 20).map(i =>
+        s"src$i" -> (if (i % 2 == 0) (1, 2) else (1, 4))).toMap
+      val mixed = graft.operators.Sampling.stratifiedSystematic(
+        Tables.documents(s, d), col("source"), expr("doc_id div 20"),
+        rates)
+        .withColumn("tok", tokenCount(col("text")))
+      val perSource = mixed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      val total = mixed.agg(sum(col("tok")).as("total_tokens"))
+      perSource.crossJoin(total)
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(col("tokens").cast("double") / col("total_tokens"), 6)
+            .as("mix_share"))
+        .orderBy("source")}),
+
+    // PII scrubbing: email/phone redaction over a deterministically
+    // PII-augmented corpus (the raw corpus is synthetic word soup, so
+    // the PII is injected in-query from doc_id — both engines build and
+    // scrub the identical strings). regexp_replace is all-occurrence in
+    // both engines; counts come from the pre-scrub match count
+    "text_scrub" -> ((s, d) => {
+      import graft.operators.TextAnalysis.{EmailPattern, PhonePattern}
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com now or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      aug.select(col("doc_id"),
+          scrubPii(col("text")).as("scrubbed"),
+          (regexp_count(col("text"), lit(EmailPattern)) +
+            regexp_count(col("text"), lit(PhonePattern))).cast("long")
+            .as("n_pii"))
+        .orderBy("doc_id")}),
+
     // corpus vocabulary head: explode (generator) → count → global top-k.
     // Map-side partial aggregation collapses each partition's term counts
     // before the shuffle, and the final top-k is a TakeOrdered over the
@@ -288,6 +333,32 @@ object TextQueries {
         |WHERE length(term) >= 3
         |GROUP BY term
         |ORDER BY n DESC, term
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+    "pipe_mix_sources" ->
+      """WITH mixed AS (
+        |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |  WHERE (CAST(substr(source, 4) AS INT) % 2 = 0 AND (doc_id // 20) % 2 < 1)
+        |     OR (CAST(substr(source, 4) AS INT) % 2 = 1 AND (doc_id // 20) % 4 < 1)
+        |), tot AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tokens FROM mixed)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tokens,
+        |  round(CAST(CAST(sum(tok) AS BIGINT) AS DOUBLE)
+        |        / CAST(total_tokens AS DOUBLE), 6) AS mix_share
+        |FROM mixed, tot GROUP BY source, total_tokens ORDER BY source""".stripMargin,
+    "text_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com now or call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_pii
+        |FROM aug ORDER BY doc_id""".stripMargin
   )
 }

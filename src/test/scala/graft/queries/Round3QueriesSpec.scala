@@ -88,6 +88,28 @@ class Round3QueriesSpec extends SparkSpec {
     assert(rows.head.getLong(2) == n)
   }
 
+  test("text_scrub: every injected email and phone is redacted, none survive") {
+    val rows = q("text_scrub").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scrubbed = r.getString(1)
+      assert(r.getLong(2) == 2L) // one email + one phone injected per doc
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+      assert(!scrubbed.contains("@") && !scrubbed.contains("+1-555-"))
+    }
+  }
+
+  test("pipe_mix_sources: all sources present at their configured rates, shares sum to 1") {
+    val rows = q("pipe_mix_sources").collect()
+    assert(rows.length == 20, s"aliased sampling dropped sources: ${rows.length}")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    val byParity = rows.groupBy(r => r.getString(0).drop(3).toInt % 2)
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+    // even sources keep 1/2, odd keep 1/4 → even docs ≈ 2× odd docs
+    val ratio = byParity(0).toDouble / byParity(1)
+    assert(ratio > 1.5 && ratio < 2.6, s"mixture ratio off: $ratio")
+  }
+
   test("text_top_terms: descending counts, terms >= 3 chars, k rows") {
     val rows = q("text_top_terms").collect()
     assert(rows.length == 25)
