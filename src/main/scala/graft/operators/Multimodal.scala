@@ -137,11 +137,14 @@ object Multimodal {
       */
     private def isBmp24(b: Array[Byte]): Boolean =
       isBmp(b) && b.length >= 34 && leShort(b, 28) == 24 && leInt(b, 30) == 0 && {
-        val w = math.abs(leInt(b, 18)); val h = math.abs(leInt(b, 22))
-        val rowBytes = ((w * 3 + 3) / 4) * 4
+        // negative HEIGHT is the legal top-down convention; negative
+        // WIDTH is malformed and must fall back (resize uses the raw
+        // signed width, so admitting it would index out of bounds)
+        val w = leInt(b, 18); val h = math.abs(leInt(b, 22))
+        val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
         val off = leInt(b, 10)
         w > 0 && h > 0 && off >= 54 &&
-          off.toLong + rowBytes.toLong * h <= b.length
+          off.toLong + rowBytes * h <= b.length
       }
 
     /** REAL nearest-neighbour resize for 24-bit BMPs: handles bottom-up

@@ -138,17 +138,28 @@ object SimilarityQueries {
       """WITH chars AS (
         |  SELECT doc_id, greatest(length(text), 1) AS n,
         |         unnest(string_split(text, '')) AS c
-        |  FROM documents)
-        |SELECT doc_id,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 0)::DOUBLE / max(n), 6) AS f0,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 1)::DOUBLE / max(n), 6) AS f1,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 2)::DOUBLE / max(n), 6) AS f2,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 3)::DOUBLE / max(n), 6) AS f3,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 4)::DOUBLE / max(n), 6) AS f4,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 5)::DOUBLE / max(n), 6) AS f5,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 6)::DOUBLE / max(n), 6) AS f6,
-        |  round(count(*) FILTER (WHERE ord(c) // 32 = 7)::DOUBLE / max(n), 6) AS f7
-        |FROM chars GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 0)::DOUBLE / max(n), 6) AS f0,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 1)::DOUBLE / max(n), 6) AS f1,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 2)::DOUBLE / max(n), 6) AS f2,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 3)::DOUBLE / max(n), 6) AS f3,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 4)::DOUBLE / max(n), 6) AS f4,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 5)::DOUBLE / max(n), 6) AS f5,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 6)::DOUBLE / max(n), 6) AS f6,
+        |    round(count(*) FILTER (WHERE ord(c) // 32 = 7)::DOUBLE / max(n), 6) AS f7
+        |  FROM chars GROUP BY doc_id)
+        |-- LEFT JOIN from documents: an empty text unnests to zero char
+        |-- rows and would otherwise drop the doc, while the engine emits
+        |-- its zero vector
+        |SELECT d.doc_id,
+        |  coalesce(f0, 0.0) AS f0, coalesce(f1, 0.0) AS f1,
+        |  coalesce(f2, 0.0) AS f2, coalesce(f3, 0.0) AS f3,
+        |  coalesce(f4, 0.0) AS f4, coalesce(f5, 0.0) AS f5,
+        |  coalesce(f6, 0.0) AS f6, coalesce(f7, 0.0) AS f7
+        |FROM documents d LEFT JOIN hist USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** DuckDB replica of [[Multimodal.StubDecoder.probe]] over the

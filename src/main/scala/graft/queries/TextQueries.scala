@@ -143,8 +143,13 @@ object TextQueries {
         .withColumn("tok", tokenCount(col("text")))
       val perSource = mixed.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
-      val total = mixed.agg(sum(col("tok")).as("total_tokens"))
-      perSource.crossJoin(total)
+      // the grand total comes from a window over the 20-row aggregate —
+      // NOT a second mixed.agg(...): DataFrame plans don't share common
+      // subtrees, so a separate total would re-scan and re-tokenize the
+      // whole corpus
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      perSource
+        .withColumn("total_tokens", sum(col("tokens")).over(w))
         .select(col("source"), col("n_docs"), col("tokens"),
           round(col("tokens").cast("double") / col("total_tokens"), 6)
             .as("mix_share"))

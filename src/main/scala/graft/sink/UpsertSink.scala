@@ -83,50 +83,55 @@ final class ParquetUpsertSink(
     * cross-bucket case the plain O(touched-buckets) path documents as out
     * of contract.
     *
-    * Cost: one key-level anti-join over the partitions that hold stale
-    * copies (located by key semi-join first, so only THOSE partitions are
-    * rewritten — still never the whole table). Use when bucket-changing
-    * rewrites are actually possible; otherwise [[upsert]] is strictly
-    * cheaper.
+    * All copies of a batch key — whichever bucket they live in — join
+    * the batch rows in a single `versionCol` arbitration, so replayed or
+    * out-of-order older batches still lose (the at-least-once-replay
+    * contract holds across bucket migrations, not just within one).
+    *
+    * Cost: rewrites every partition holding a copy of a batch key
+    * (located by one broadcast key semi-join, never a table shuffle).
+    * When keys do imply buckets that set equals the touched partitions —
+    * same cost as [[upsert]] — and grows only with actual migrations.
     */
   def upsertGlobal(batch: DataFrame, keys: Seq[String], versionCol: String): Unit =
     retry.run {
       val existing = readExisting(spark, path, batch)
       partitionCol match {
         case Some(p) =>
-          val touched = batch.select(p).distinct()
-          val relevant = existing.join(broadcast(touched), Seq(p), "left_semi")
-          val merged = dedupByKey(relevant.unionByName(batch), keys, versionCol)
+          // every copy of a batch key — wherever it lives — enters ONE
+          // versionCol arbitration together with the batch rows, so a
+          // replayed/out-of-order OLDER batch loses to the row the key
+          // migrated to (plain per-bucket LWW, extended across buckets).
+          // batchKeys is micro-batch-sized; broadcast keeps the semi-join
+          // from shuffling the table (consistent with `touched` above)
           val batchKeys = batch.select(keys.map(col): _*).distinct()
-          // untouched partitions holding a copy of a batch key: these are
-          // the (rare) buckets a key migrated OUT of — rewrite them minus
-          // the migrated keys; every other partition stays untouched
-          val untouched = existing.join(broadcast(touched), Seq(p), "left_anti")
-          val stalePartitions = untouched
-            .join(batchKeys, keys, "left_semi")
-            .select(p).distinct().persist()
-          val rewritten = untouched
-            .join(broadcast(stalePartitions), Seq(p), "left_semi")
-            .join(batchKeys, keys, "left_anti")
+          val involvedParts = existing
+            .join(broadcast(batchKeys), keys, "left_semi").select(col(p))
+            .union(batch.select(col(p))).distinct().persist()
+          val involved = existing
+            .join(broadcast(involvedParts), Seq(p), "left_semi")
+          // winner per key across all copies + the batch; keys local to
+          // an involved partition ride through as their own sole copy
+          val merged = dedupByKey(involved.unionByName(batch), keys, versionCol)
             .persist()
           // bucket lists are collected BEFORE the overwrite: their plans
           // read the files the write below replaces (the persist()s keep
           // the write job from re-scanning, but correctness must not
           // depend on cache retention)
-          val staleVals = stalePartitions.collect().map(_.get(0).toString)
-          val liveVals = rewritten.select(p).distinct()
+          val involvedVals = involvedParts.collect().map(_.get(0).toString)
+          val liveVals = merged.select(p).distinct()
             .collect().map(_.get(0).toString).toSet
-          write(merged.unionByName(rewritten), path, partitionCol)
+          write(merged, path, partitionCol)
           // dynamic overwrite replaces only partitions that receive rows:
-          // a stale partition whose every row migrated away writes
-          // nothing and must be dropped explicitly (driver-side bucket
-          // list, same move as Retention.compact)
+          // a partition whose every row was a losing copy of a migrated
+          // key writes nothing and must be dropped explicitly
+          // (driver-side bucket list, same move as Retention.compact)
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          staleVals.filterNot(liveVals).foreach { v =>
+          involvedVals.filterNot(liveVals).foreach { v =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$path/$p=$v"), true)
           }
-          stalePartitions.unpersist(); rewritten.unpersist()
+          involvedParts.unpersist(); merged.unpersist()
         case None =>
           write(dedupByKey(existing.unionByName(batch), keys, versionCol),
             path, partitionCol)

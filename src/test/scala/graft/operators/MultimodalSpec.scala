@@ -147,6 +147,11 @@ class MultimodalSpec extends SparkSpec {
     val txt = "not a bitmap".getBytes("UTF-8")
     assert(dec.resize(txt, 3, 3).toSeq == new StubDecoder().resize(txt, 3, 3).toSeq)
     assert(dec.resize(txt, 3, 3).length == 27)
+    // malformed negative WIDTH (legal only for height) must take the
+    // fallback, not index the payload with a negative row stride
+    val negW = bmp24(2, 2, px)
+    System.arraycopy(le32(-2), 0, negW, 18, 4)
+    assert(dec.resize(negW, 2, 2).toSeq == new StubDecoder().resize(negW, 2, 2).toSeq)
   }
 
   test("resizeMedia: fixed-size RGB tensors per doc through the partition-wise path") {

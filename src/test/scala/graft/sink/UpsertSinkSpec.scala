@@ -77,8 +77,16 @@ class UpsertSinkSpec extends SparkSpec {
     // replay of the migrating batch converges (idempotent)
     sink.upsertGlobal(Seq(("k1", 2L, "202402M")).toDF("id", "v", "p"),
       Seq("id"), "v")
+    // at-least-once replay of the ORIGINAL (older) batch: every row loses
+    // the cross-bucket version arbitration — the migrated rows must NOT
+    // regress to their old buckets/versions, and the dropped bucket must
+    // not resurrect
+    sink.upsertGlobal(
+      Seq(("k1", 1L, "202401M"), ("k2", 1L, "202401M"), ("k3", 1L, "202403M"))
+        .toDF("id", "v", "p"), Seq("id"), "v")
     assert(sink.read().orderBy("id").as[(String, Long, String)].collect().toSeq
       == Seq(("k1", 2L, "202402M"), ("k2", 1L, "202401M"), ("k3", 2L, "202404M")))
+    assert(sink.read().filter($"p" === "202403M").count() == 0)
   }
 
   test("distinct-set upsert converges under replay (summary semantics)") {
