@@ -148,21 +148,38 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
 
-  /** Order-independent mean: inputs round deterministically into
-    * decimal(38,15), the decimal sum is exact and associative-
-    * commutative, and one final division lands in double. A double
-    * `avg` would depend on the shuffle-fetch merge order of partial
-    * sums (non-associative float addition) — run-to-run centroid
-    * jitter that can flip a borderline vector's cell and break the
-    * documented determinism of the k-means path.
+  /** Order-independent mean via scaled-long fixed point: each input
+    * rounds deterministically to an integer number of 1e-9 units
+    * (half-away-from-zero, pure primitive ops — no BigDecimal in the
+    * hot loop), the long sum is exact and associative-commutative, and
+    * one final division lands in double. A double `avg` would depend
+    * on the shuffle-fetch merge order of partial sums (non-associative
+    * float addition) — run-to-run centroid jitter that can flip a
+    * borderline vector's cell and break the documented determinism of
+    * the k-means path. An earlier decimal(38,15) form had the same
+    * guarantee but its interpreted wide-decimal sum dominated the
+    * whole k-means bench; the long sum stays inside whole-stage
+    * codegen as a primitive loop.
     *
     * `count(v)` (not count(*)) keeps avg's null semantics: a null
-    * element is skipped, never deflating the mean. 23 integer digits
-    * absorb any plausible embedding magnitude; a component beyond 1e23
-    * errors loudly under ANSI rather than silently skewing a centroid.
+    * element is skipped, never deflating the mean. Overflow headroom:
+    * unit-scale embeddings scale to ~1e9 per element, so a group can
+    * sum ~9e9 rows before nearing Long.MaxValue; the guard checks
+    * count·max|scaled| and errors loudly instead of wrapping silently
+    * when a group is too large or a component too big.
     */
-  private def exactMean(v: Column): Column =
-    (sum(v.cast("decimal(38,15)")) / count(v)).cast("double")
+  private def exactMean(v: Column): Column = {
+    val d = v.cast("double")
+    // round-half-away-from-zero to 1e-9 units: truncate-toward-zero
+    // cast after a signed +-0.5 nudge, all primitive codegen
+    val scaled = (d * 1e9 + when(d >= 0, 0.5).otherwise(-0.5)).cast("long")
+    val n = count(v)
+    val maxAbs = greatest(max(abs(scaled)), lit(1L))
+    val guard = when(n > lit(Long.MaxValue) / maxAbs, raise_error(lit(
+      "exactMean: fixed-point sum could overflow (group too large for 1e-9 units)"
+    )).cast("long")).otherwise(lit(0L))
+    (sum(scaled) + guard).cast("double") / (n.cast("double") * 1e9)
+  }
 
   /** IVF (inverted-file) approximate top-k: vectors are assigned to
     * their nearest centroid cell once; a query scores only vectors in

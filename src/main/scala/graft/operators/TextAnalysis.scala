@@ -74,6 +74,45 @@ object TextAnalysis {
       swScore * lit(0.25), 6)
   }
 
+  /** Single-pass per-row feature struct (n_tokens, n_punct, n_stopwords,
+    * n_chars, n_nonws, n_markers, quality) — the native form of the
+    * Column features above, every field bit-identical to its namesake
+    * (TextAnalysisSpec cross-checks). Use via [[withFeatures]] so the
+    * pass really happens once per row.
+    */
+  def features(text: Column, markers: Seq[String] = Nil): Column =
+    graft.plans.TextFeatures(text, stopwords, markers)
+
+  /** Attach [[features]] as column `fCol`, computed ONCE per row.
+    *
+    * The binding goes through `explode(array(...))` deliberately: the
+    * resulting Generate node materializes the struct as an attribute,
+    * and downstream `f.getField(...)` reads are O(1) field accesses.
+    * A plain `withColumn` would NOT do this — Catalyst has no
+    * let-binding, so CollapseProject/predicate-pushdown re-inline the
+    * whole expression into every consumer (filter + each aggregate),
+    * re-tokenizing the document per reference.
+    */
+  def withFeatures(df: DataFrame, textCol: String, fCol: String = "f",
+      markers: Seq[String] = Nil): DataFrame =
+    df.withColumn(fCol, explode(array(features(col(textCol), markers))))
+
+  /** Quality-feature ratios from a [[features]] struct — same arithmetic
+    * (and same 6-dp rounding sites in the queries) as the text-column
+    * forms above, but each reference costs a field read, not a re-parse.
+    */
+  def punctRatioFrom(f: Column): Column =
+    f.getField("n_punct").cast("double") /
+      greatest(f.getField("n_chars"), lit(1)).cast("double")
+
+  def stopwordRatioFrom(f: Column): Column =
+    f.getField("n_stopwords").cast("double") /
+      greatest(f.getField("n_tokens"), lit(1)).cast("double")
+
+  def meanTokenLenFrom(f: Column): Column =
+    f.getField("n_nonws").cast("double") /
+      greatest(f.getField("n_tokens"), lit(1)).cast("double")
+
   /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
     * Tiny by design: language ID at corpus scale is a per-row map; the
     * dictionary rides along as a literal (no join, no shuffle).

@@ -14,16 +14,19 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "text_stats" -> ((s, d) =>
-      Tables.documents(s, d).select(
+    // all quality signals from ONE string pass per row ([[withFeatures]]
+    // Generate barrier); only the BPE-ish subword regex stays separate
+    "text_stats" -> ((s, d) => {
+      val f = col("f")
+      withFeatures(Tables.documents(s, d), "text").select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
+        f.getField("n_tokens").as("n_tokens"),
         subwordCount(col("text")).as("n_subwords"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"),
-        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(meanTokenLen(col("text")), 6).as("mean_token_len"),
-        qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")),
+        round(punctRatioFrom(f), 6).as("punct_ratio"),
+        round(stopwordRatioFrom(f), 6).as("stopword_ratio"),
+        round(meanTokenLenFrom(f), 6).as("mean_token_len"),
+        f.getField("quality").as("quality"))
+        .orderBy("doc_id")}),
 
     "text_langid" -> ((s, d) =>
       langIdAgg(Tables.documents(s, d), "text", Seq("doc_id", "lang"))
@@ -50,9 +53,9 @@ object TextQueries {
 
     // corpus quality histogram: docs per 0.1-wide quality bucket
     "text_quality_histogram" -> ((s, d) =>
-      Tables.documents(s, d)
+      withFeatures(Tables.documents(s, d), "text")
         .withColumn("bucket",
-          least(floor(qualityScore(col("text")) * 10).cast("int"), lit(9)))
+          least(floor(col("f.quality") * 10).cast("int"), lit(9)))
         .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket")),
 
@@ -67,17 +70,21 @@ object TextQueries {
     "pipe_clean_corpus" -> ((s, d) => {
       val deduped = graft.operators.Dedup.dropExact(
         Tables.documents(s, d), "text", "doc_id")
-      val gated = deduped
-        .withColumn("q", qualityScore(col("text")))
+      // one feature pass feeds the quality gate, the language gate AND
+      // both aggregates (quality re-used as `q`, en-marker hits as the
+      // langScore(_, "en") count, n_tokens as the token budget)
+      val gated = withFeatures(deduped, "text",
+          markers = langMarkers("en"))
+        .withColumn("q", col("f.quality"))
         .filter(col("q") >= 0.5)
         .withColumn("lang_guess",
-          when(langScore(col("text"), "en") > 0, "en").otherwise("other"))
+          when(col("f.n_markers") > 0, "en").otherwise("other"))
         .filter(col("lang_guess") === "en")
       val sampled = graft.operators.Sampling.systematicSample(
         gated, col("doc_id"), numerator = 3, denominator = 4)
       sampled.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(tokenCount(col("text"))).as("token_budget"),
+          sum(col("f.n_tokens")).as("token_budget"),
           round(sum(col("q")) / count(lit(1)), 6).as("mean_quality"))
         .orderBy("lang")}),
 
@@ -116,12 +123,11 @@ object TextQueries {
 
     // corpus-level quality report: per-source doc counts + mean quality
     "text_quality_by_source" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("q", qualityScore(col("text")))
+      withFeatures(Tables.documents(s, d), "text")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("q")) / count(lit(1)), 6).as("mean_quality"),
-          sum(tokenCount(col("text"))).as("total_tokens"))
+          round(sum(col("f.quality")) / count(lit(1)), 6).as("mean_quality"),
+          sum(col("f.n_tokens")).as("total_tokens"))
         .orderBy("source")),
 
     // source-mixture construction: per-source keep rates (the

@@ -54,6 +54,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) == expected)
   }
 
+  test("features struct is bit-identical to the Column forms, incl. edge cases") {
+    // unicode, emoji, pure punctuation, whitespace edge cases (leading
+    // tab survives trim), empty string, and real corpus rows
+    val edge = Seq(
+      "the cat sat on the mat", "!!!", "", "  padded   out  ",
+      "\tleading tab", "xé 中😀 éy",
+      "THE the The a of to in is").toDF("text")
+    val corpus = graft.sources.Tables.documents(spark, sf001).select("text")
+    for (df <- Seq(edge, corpus)) {
+      val mismatched = withFeatures(df, "text", markers = langMarkers("en"))
+        .filter(!(
+          col("f.n_tokens") <=> tokenCount($"text") &&
+          col("f.quality") <=> qualityScore($"text") &&
+          round(punctRatioFrom($"f"), 6) <=> round(punctRatio($"text"), 6) &&
+          round(stopwordRatioFrom($"f"), 6) <=> round(stopwordRatio($"text"), 6) &&
+          round(meanTokenLenFrom($"f"), 6) <=> round(meanTokenLen($"text"), 6) &&
+          col("f.n_markers") <=> langScore($"text", "en")))
+        .count()
+      assert(mismatched == 0)
+    }
+    // null text → null struct, like every Column form
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(features($"text")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("fingerprint: full-Unicode code-point parity (ADVICE r1)") {
     // one BMP accent, one CJK, one supplementary-plane emoji (surrogate
     // pair in UTF-16), one combining mark — ascii()/split("") must see
