@@ -154,6 +154,11 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextHashExprs.minhashSig(col("sh"), numHashes))
 
+  /** Convenience form of [[minhashNearDupsManaged]] that leaves the
+    * internal signature cache to LRU eviction / `catalog.clearCache` /
+    * session end. Long-lived sessions issuing many dedup runs should
+    * call the Managed form and release after acting on the result.
+    */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numHashes: Int = 64,
@@ -491,7 +496,10 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within blocking keys: hamming(sig) <= maxDist. */
+  /** SimHash near-dup pairs within blocking keys: hamming(sig) <= maxDist.
+    * Cache note as on [[minhashNearDups]]: prefer the Managed form in
+    * long-lived sessions.
+    */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], maxDist: Int = 12): DataFrame =

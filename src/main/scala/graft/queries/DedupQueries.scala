@@ -68,7 +68,35 @@ object DedupQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id",
         Seq("lang", "source"), maxDist = 8)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // MinHash recall as an ORACLE-CHECKED property: exact-Jaccard pairs
+    // the banded MinHash candidates fail to find. The oracle asserts the
+    // empty set — the approximate pair set must CONTAIN the exact pairs
+    // at the threshold, so any hash/banding regression that drops a true
+    // pair flips this row red (the pair list itself stays rows-only; the
+    // subset property is what SQL can express without replaying xxhash64)
+    "dedup_minhash_superset" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.5).select("id_a", "id_b")
+      val approx = Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5).select("id_a", "id_b")
+      exact.join(approx, Seq("id_a", "id_b"), "left_anti")
+        .orderBy("id_a", "id_b")}),
+
+    // same property for SimHash at the operator-default radius 12 (the
+    // tighter radius-8 census above stays rows-only: true jaccard-0.9
+    // pairs land at hamming 9 on this corpus — simhash variance on
+    // short docs — so 8 is a precision/recall trade, 12 the recall pin)
+    "dedup_simhash_superset" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.5).select("id_a", "id_b")
+      val approx = Dedup.simhashNearDups(docs, "text", "doc_id",
+        Seq("lang", "source"), maxDist = 12).select("id_a", "id_b")
+      exact.join(approx, Seq("id_a", "id_b"), "left_anti")
+        .orderBy("id_a", "id_b")})
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -155,6 +183,12 @@ object DedupQueries {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(a.sh || b.sh)) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // recall property oracles: the expected answer is the EMPTY set —
+    // the approximate candidate sets must contain every exact pair
+    "dedup_minhash_superset" ->
+      "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1=0",
+    "dedup_simhash_superset" ->
+      "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1=0"
   )
 }

@@ -86,6 +86,28 @@ object MessageQueries {
     "msg_pipeline_encrypted" -> ((s, d) =>
       Enrich(Tables.messages(s, d), GraftConfig.dev).orderBy("message_id")),
 
+    // M2: the reference's tolerant char policy (MXParser.java:371-387
+    // widened legal XML to 0x20–0xFFFD + tab/CR/LF to admit emoji) as an
+    // oracle-checked validator. The synthetic payloads are clean, so the
+    // probe chars are injected in-query from the message id — both
+    // engines build the identical strings (same move as text_scrub):
+    // BEL/VT/U+FFFF violate the policy; tab and 😀 (the emoji case the
+    // reference's widening exists for) are admitted.
+    "msg_xml_policy" -> ((s, d) => {
+      val idNum = substring(col("msgId"), 2, 18).cast("long")
+      val probe = pmod(idNum, lit(6))
+      val injected = concat(col("stanza"),
+        when(probe === 0, lit("\u0007"))
+          .when(probe === 1, lit("\u000b"))
+          .when(probe === 2, lit("\uffff"))
+          .when(probe === 3, lit("\t"))
+          .when(probe === 4, lit("😀"))
+          .otherwise(lit("")))
+      Tables.messages(s, d)
+        .select(col("msgId").as("message_id"),
+          hasIllegalXmlChars(injected).as("illegal"))
+        .orderBy("message_id")}),
+
     // X2 round-trip: decrypt(encrypt(stanza)) == stanza, as a query the
     // oracle CAN check (it must equal the plaintext projection)
     "msg_roundtrip" -> ((s, d) => {
@@ -147,6 +169,13 @@ object MessageQueries {
         |FROM m
         |WINDOW w AS (PARTITION BY username, jid ORDER BY sentTime, msgId)
         |ORDER BY username, jid, seq""".stripMargin,
+    "msg_xml_policy" ->
+      """SELECT 'm'||event_id AS message_id,
+        |  regexp_matches(props || CASE event_id % 6
+        |      WHEN 0 THEN chr(7) WHEN 1 THEN chr(11) WHEN 2 THEN chr(65535)
+        |      WHEN 3 THEN chr(9) WHEN 4 THEN chr(128512) ELSE '' END,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}\x{FFFF}]') AS illegal
+        |FROM events ORDER BY message_id""".stripMargin,
     // from_xml must recover exactly what was embedded (no XML-special
     // chars exist in the synthetic payloads)
     "msg_stanza_parse" ->
