@@ -70,6 +70,12 @@ object GraftExtensions {
       arity(children, "simhash_sig", 1)
       SimHashSigExpr(children.head)
     },
+    // topk_pairs(score, id, k) — native bounded-heap top-k aggregate
+    "topk_pairs" -> { children =>
+      arity(children, "topk_pairs", 3)
+      TopKPairs.widened(children.head, children(1), litInt(children(2), "k"))
+        .toAggregateExpression()
+    },
     // hyperplane_sigs(vec, dim, planes, tables[, seed=7])
     "hyperplane_sigs" -> { children =>
       arity(children, "hyperplane_sigs", 4, 5)

@@ -89,22 +89,21 @@ object RelationalQueries {
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")}),
 
-    // the same top-3-per-customer via the typed bounded-heap Aggregator
+    // the same top-3-per-customer via the NATIVE bounded-heap aggregate
     // (algebraic partial top-k: shuffles k rows per group per partition
-    // instead of whole groups; identical output to rel_window_topk)
-    "rel_topk_aggregator" -> ((s, d) => {
-      import s.implicits._
+    // instead of whole groups; identical output to rel_window_topk).
+    // graft.plans.TopKPairsAgg updates primitive arrays straight from
+    // InternalRow — no Encoder ser/de per input row like the typed
+    // Aggregator form (kept as API coverage in plans.TopKAggregator)
+    "rel_topk_aggregator" -> ((s, d) =>
       Tables.orders(s, d)
-        .select(col("o_custkey"),
-          struct(col("o_totalprice"), col("o_orderkey")).as("p"))
-        .as[(Long, (Double, Long))]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new graft.plans.TopKAggregator(3).toColumn.name("topk"))
-        .flatMap { case (cust, topk) =>
-          topk.zipWithIndex.map { case ((price, okey), i) => (cust, i + 1, okey, price) }
-        }
-        .toDF("o_custkey", "rk", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rk")}),
+        .groupBy("o_custkey")
+        .agg(graft.plans.TopKPairs(
+          col("o_totalprice"), col("o_orderkey"), 3).as("topk"))
+        .select(col("o_custkey"), posexplode(col("topk")).as(Seq("i", "p")))
+        .select(col("o_custkey"), (col("i") + 1).as("rk"),
+          col("p.id").as("o_orderkey"), col("p.score").as("o_totalprice"))
+        .orderBy("o_custkey", "rk")),
 
     // running aggregate over the default RANGE frame: peers (tied order
     // keys) share one running value, so the result is deterministic even
