@@ -70,6 +70,38 @@ class PlanSpec extends SparkSpec {
       s"expected partial window group limit:\n$plan")
   }
 
+  test("rel_topk_aggregator: native partial top-k aggregation, no window machinery") {
+    val df = query("rel_topk_aggregator")
+    df.collect()
+    val plan = executed(df).toString
+    // TypedImperativeAggregate → ObjectHashAggregate with partial and
+    // final topk_pairs phases; shuffle volume is k rows per group per
+    // partition. The whole point is NOT paying the window sort path.
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topk_pairs"),
+      s"expected partial native top-k aggregation:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window "),
+      s"native aggregate must not fall back to window machinery:\n$plan")
+  }
+
+  test("text_features is evaluated once per row (Generate barrier holds)") {
+    // Catalyst has no let-binding: if CollapseProject/pushdown ever
+    // re-inline the feature struct into its consumers, the plan shows
+    // one text_features call per reference (quality filter + marker
+    // gate + two aggregates in pipe_clean_corpus). The explode(array(_))
+    // binding must keep it to exactly one.
+    for (name <- Seq("pipe_clean_corpus", "text_stats", "text_quality_by_source")) {
+      val plan = executed(query(name)).toString
+      val n = "text_features".r.findAllIn(plan).size
+      assert(n == 1, s"$name evaluates text_features $n times:\n$plan")
+    }
+  }
+
+  test("msg_xml_policy: narrow validator map (only the presentation sort exchanges)") {
+    val plan = executed(query("msg_xml_policy"))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"xml policy scan must stay narrow:\n$plan")
+  }
+
   test("count() over an ordered query eliminates the sort (bench path)") {
     val counted = query("rel_window_running").groupBy().count()
     val sorts = executed(counted).collect { case s: SortExec => s }
