@@ -58,6 +58,22 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
 
+    // symmetric int8 embedding quantization (training-corpus compression):
+    // per-vector scale, integer code checksums, and worst reconstruction
+    // residual — every op IEEE-deterministic (no transcendentals), so the
+    // oracle replays the identical doubles. Narrow per-row map
+    "sim_quantize_int8" -> ((s, d) => {
+      import graft.operators.Quantize
+      val emb = Tables.embeddings(s, d)
+      emb.select(col("vec_id"),
+        round(Quantize.int8Scale(col("embedding")), 9).as("scale"),
+        aggregate(Quantize.int8Codes(col("embedding")), lit(0L),
+          (a, q) => a + q).as("q_sum"),
+        aggregate(Quantize.int8Codes(col("embedding")), lit(0L),
+          (a, q) => a + abs(q)).as("q_l1"),
+        round(array_max(Quantize.int8Error(col("embedding"))), 9).as("max_err"))
+        .orderBy("vec_id")}),
+
     // multimodal: codec-free payload stats (oracle-checked)
     "mm_blob_stats" -> ((s, d) =>
       Multimodal.blobStats(
@@ -100,6 +116,30 @@ object SimilarityQueries {
        |    * sqrt(list_sum(list_transform(list_zip($b, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // same IEEE ops as Quantize: scale = max|v|/127; codes round half
+    // away from zero via the SAME floor/ceil formula (both engines'
+    // built-in `round` algorithms are not spelled identically; the
+    // explicit formula is) — integer checksums exact, double residuals
+    // bit-identical
+    "sim_quantize_int8" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    [x::DOUBLE FOR x IN embedding] AS v,
+        |    list_max([abs(x::DOUBLE) FOR x IN embedding]) / 127.0 AS s
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, v, s,
+        |    [CASE WHEN s > 0 THEN
+        |       CASE WHEN x >= 0 THEN floor(x / s + 0.5)
+        |            ELSE ceil(x / s - 0.5) END
+        |     ELSE 0 END FOR x IN v] AS codes
+        |  FROM t)
+        |SELECT vec_id, round(s, 9) AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |  CAST(list_sum([abs(c) FOR c IN codes]) AS BIGINT) AS q_l1,
+        |  round(list_max([abs(v[i] - codes[i] * s)
+        |                  FOR i IN range(1, len(v) + 1)]), 9) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

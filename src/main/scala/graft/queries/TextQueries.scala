@@ -180,6 +180,25 @@ object TextQueries {
             .as("n_pii"))
         .orderBy("doc_id")}),
 
+    // inverted-index rarity statistics: per doc, its distinct-term count,
+    // the sum of corpus document-frequencies of its terms, and its rarest
+    // term (min df, ties to the lexicographically first term via one
+    // struct-min — no second pass). Two-phase shape: df table from one
+    // explode+agg, joined back on term. Integer/string outputs only →
+    // hash-exact across engines
+    "text_rarity" -> ((s, d) => {
+      val docTerms = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      val dfreq = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+      docTerms.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("df")).as("sum_df"),
+          min(struct(col("df"), col("term"))).as("r"))
+        .select(col("doc_id"), col("n_terms"), col("sum_df"),
+          col("r.df").as("rarest_df"), col("r.term").as("rarest_term"))
+        .orderBy("doc_id")}),
+
     // corpus vocabulary head: explode (generator) → count → global top-k.
     // Map-side partial aggregation collapses each partition's term counts
     // before the shuffle, and the final top-k is a TakeOrdered over the
@@ -337,6 +356,21 @@ object TextQueries {
          |  round(sum($qualityExpr) / count(*), 6) AS mean_quality,
          |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_rarity" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+        |  FROM documents
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM dt GROUP BY term
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(df) AS BIGINT) AS sum_df,
+        |    min(struct_pack(df := df, term := term)) AS r
+        |  FROM dt JOIN dfreq USING (term) GROUP BY doc_id)
+        |SELECT doc_id, n_terms, sum_df,
+        |  CAST(r.df AS BIGINT) AS rarest_df, r.term AS rarest_term
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
