@@ -35,26 +35,55 @@ object MessageSource {
         k.stripPrefix(KafkaPrefix) -> v
     }
 
+  /** Reference consumer properties → Spark Kafka reader options, as a
+    * PURE function so the translation is unit-testable without the
+    * connector jar (offline container ships without it):
+    *
+    *  - `topic` → `subscribe` (conf default `message-topic`,
+    *    message-consumer.properties:4)
+    *  - `bootstrap.servers` → `kafka.bootstrap.servers`, REQUIRED: the
+    *    reference's Kafka-0.8-era configs carry `zookeeper.connect`,
+    *    which is a ZooKeeper address, not a broker endpoint — fail fast
+    *    rather than dialing ZK
+    *  - `auto.offset.reset` → `startingOffsets`, accepting the 0.8-era
+    *    values (`smallest`/`largest`) alongside the modern ones — Spark's
+    *    source reserves `kafka.auto.offset.reset` and would reject a
+    *    blind passthrough
+    *  - `zookeeper.connect` dropped (the Spark source speaks only to
+    *    brokers; offsets live in the checkpoint, not ZK)
+    *  - everything else passes through under the `kafka.` option prefix
+    *    the consumer config expects (`group.id` → `kafka.group.id`, …)
+    */
+  def kafkaReaderOptions(props: Map[String, String]): Map[String, String] = {
+    val kp = kafkaProps(props)
+    val topic = kp.getOrElse("topic", "message-topic")
+    val servers = kp.getOrElse("bootstrap.servers",
+      throw new IllegalArgumentException(
+        s"${KafkaPrefix}bootstrap.servers is required (zookeeper.connect " +
+          "is a ZooKeeper address, not a Kafka broker endpoint)"))
+    val starting = kp.get("auto.offset.reset").map {
+      case "smallest" | "earliest" => "startingOffsets" -> "earliest"
+      case "largest" | "latest" => "startingOffsets" -> "latest"
+      case x => throw new IllegalArgumentException(
+        s"unsupported auto.offset.reset: $x (smallest/largest/earliest/latest)")
+    }
+    val handled = Set("topic", "bootstrap.servers", "auto.offset.reset",
+      "zookeeper.connect")
+    val passthrough = (kp -- handled).map { case (k, v) => s"kafka.$k" -> v }
+    Map("subscribe" -> topic, "kafka.bootstrap.servers" -> servers) ++
+      starting ++ passthrough
+  }
+
   /** Kafka source (requires the spark-sql-kafka connector jar; not on the
     * offline classpath — constructing the reader fails lazily at
     * `stream()` with Spark's missing-data-source error if absent).
     */
   final case class Kafka(props: Map[String, String]) extends MessageSource {
-    def stream(spark: SparkSession): DataFrame = {
-      val kp = kafkaProps(props)
-      val topic = kp.getOrElse("topic", "message-topic") // conf default, message-consumer.properties:4
-      // NB: the reference's Kafka-0.8-era configs carry zookeeper.connect,
-      // which is NOT a broker endpoint — fail fast rather than dialing ZK
-      val servers = kp.getOrElse("bootstrap.servers",
-        throw new IllegalArgumentException(
-          s"${KafkaPrefix}bootstrap.servers is required (zookeeper.connect " +
-            "is a ZooKeeper address, not a Kafka broker endpoint)"))
+    def stream(spark: SparkSession): DataFrame =
       spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
+        .options(kafkaReaderOptions(props))
         .load()
         .select(col("value"))
-    }
   }
 
   /** File-stream source: binary-value parquet files under `path` (the

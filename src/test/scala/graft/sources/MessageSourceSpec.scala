@@ -23,6 +23,32 @@ class MessageSourceSpec extends SparkSpec {
       "group.id" -> "message-consumer", "zookeeper.connect" -> "zk:2181"))
   }
 
+  test("kafka reader options: full reference-convention translation") {
+    val got = MessageSource.kafkaReaderOptions(Map(
+      "kafka.message.backup.topic" -> "message-topic",
+      "kafka.message.backup.bootstrap.servers" -> "b1:9092,b2:9092",
+      "kafka.message.backup.group.id" -> "message-consumer",
+      "kafka.message.backup.auto.offset.reset" -> "smallest", // 0.8-era value
+      "kafka.message.backup.zookeeper.connect" -> "zk:2181",  // dropped
+      "record.ttl" -> "86400"))                               // unprefixed, dropped
+    assert(got == Map(
+      "subscribe" -> "message-topic",
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "startingOffsets" -> "earliest",
+      "kafka.group.id" -> "message-consumer"))
+    // topic defaults like the reference's conf default
+    assert(MessageSource.kafkaReaderOptions(Map(
+      "kafka.message.backup.bootstrap.servers" -> "b:9092"))("subscribe")
+      == "message-topic")
+    // unknown offset-reset values fail loudly, not silently as 'latest'
+    val e = intercept[IllegalArgumentException] {
+      MessageSource.kafkaReaderOptions(Map(
+        "kafka.message.backup.bootstrap.servers" -> "b:9092",
+        "kafka.message.backup.auto.offset.reset" -> "sideways"))
+    }
+    assert(e.getMessage.contains("auto.offset.reset"))
+  }
+
   test("file source streams binary values end-to-end through the pipeline") {
     val msgs = (0 until 8).map(i =>
       Message(s"f$i", s"u$i", "peer@x", s"payload-$i", 1704067200000L + i))
