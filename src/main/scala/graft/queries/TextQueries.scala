@@ -180,6 +180,18 @@ object TextQueries {
             .as("n_pii"))
         .orderBy("doc_id")}),
 
+    // filter-cascade census: every doc attributed to the FIRST gate that
+    // rejects it (length → quality → language), survivors under "kept" —
+    // the observability row a mix engineer reads before touching weights.
+    // One feature pass feeds the quality and language gates
+    "pipe_filter_funnel" -> ((s, d) => {
+      val fed = withFeatures(Tables.documents(s, d), "text",
+        markers = langMarkers("en"))
+      graft.operators.Funnel.census(fed, Seq(
+        "minlen" -> (col("n_chars") >= 80),
+        "quality" -> (col("f.quality") >= 0.4),
+        "lang" -> (col("f.n_markers") > 0)))}),
+
     // inverted-index rarity statistics: per doc, its distinct-term count,
     // the sum of corpus document-frequencies of its terms, and its rarest
     // term (min df, ties to the lexicographically first term via one
@@ -356,6 +368,16 @@ object TextQueries {
          |  round(sum($qualityExpr) / count(*), 6) AS mean_quality,
          |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_filter_funnel" ->
+      s"""SELECT CASE
+         |    WHEN NOT (n_chars >= 80) THEN '1_minlen'
+         |    WHEN NOT ($qualityExpr >= 0.4) THEN '2_quality'
+         |    WHEN NOT (len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |               t -> list_contains(${markers("en")}, lower(t)))) > 0)
+         |      THEN '3_lang'
+         |    ELSE 'kept' END AS stage,
+         |  count(*) AS n
+         |FROM documents GROUP BY stage ORDER BY stage""".stripMargin,
     "text_rarity" ->
       """WITH dt AS (
         |  SELECT doc_id,
