@@ -189,36 +189,86 @@ object Similarity {
     * [[centroids]] over a labeling (k-means iterations would refine the
     * same shape without changing any plan).
     */
+  /** Centroid table with precomputed norms — broadcast everywhere. */
+  private def withCentroidNorms(cells: DataFrame): DataFrame =
+    cells.select(col("cell"), col("centroid"),
+      l2norm(col("centroid")).as("centroid_n"))
+
+  /** Nearest-cell assignment against a (broadcast) normed centroid
+    * table: input rows carry a precomputed norm so each (row, cell)
+    * pair costs ONE dot product, not three. Extra input columns ride
+    * through untouched.
+    */
+  private def assignToCells(cellsN: DataFrame)(
+      df: DataFrame, id: String, vec: String, norm: String,
+      keep: Int): DataFrame = {
+    val scored = df.join(broadcast(cellsN))
+      .withColumn("cell_sim",
+        safeRatio(dot(col(vec), col("centroid")), col(norm) * col("centroid_n")))
+    val w = Window.partitionBy(id).orderBy(col("cell_sim").desc, col("cell"))
+    scored.withColumn("cr", row_number().over(w))
+      .filter(col("cr") <= keep)
+      .drop("centroid", "centroid_n", "cell_sim", "cr")
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, cells: DataFrame, k: Int,
       nprobe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // centroid table with precomputed norms — broadcast everywhere
-    val cellsN = cells.select(col("cell"), col("centroid"),
-      l2norm(col("centroid")).as("centroid_n"))
-    // nearest-cell assignment: input rows carry a precomputed norm so
-    // each (row, cell) pair costs ONE dot product, not three
-    def assign(df: DataFrame, id: String, vec: String, norm: String,
-        keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cellsN))
-        .withColumn("cell_sim",
-          safeRatio(dot(col(vec), col("centroid")), col(norm) * col("centroid_n")))
-      val w = Window.partitionBy(id).orderBy(col("cell_sim").desc, col("cell"))
-      scored.withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= keep)
-        .drop("centroid", "centroid_n", "cell_sim", "cr")
-    }
+    val assign = assignToCells(withCentroidNorms(cells)) _
     val c = assign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         l2norm(col(vecCol)).as("cn")),
-      "neighbor_id", "cv", "cn", keep = 1)
+      "neighbor_id", "cv", "cn", 1)
     val q = assign(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2norm(col(vecCol)).as("qn")),
-      "query_id", "qv", "qn", keep = nprobe)
+      "query_id", "qv", "qn", nprobe)
     // each corpus vector sits in exactly one cell and each query probes
     // distinct cells → pairs are already unique, skip the distinct shuffle
     scoreCandidates(c, q, "cell", k, dedupe = false)
+  }
+
+  /** IVF top-k with int8-quantized candidate scoring and exact fp32
+    * rerank — the big-corpus ANN layout: the inverted file prunes to
+    * O(n·nprobe/cells) candidates, those are scored on 4×-smaller int8
+    * codes (under symmetric per-vector quantization the scales cancel
+    * in cosine, so the approximate score is pure integer-code
+    * arithmetic), and only the top `k·rerankFactor` shortlist per query
+    * is rescored against the fp32 vectors. At 100 TB the quantized
+    * corpus is what streams off disk; full-precision vectors are
+    * touched for k·factor rows per query.
+    */
+  def ivfQuantizedTopK(
+      queries: DataFrame, corpus: DataFrame, cells: DataFrame, k: Int,
+      nprobe: Int = 3, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor >= 1")
+    val assign = assignToCells(withCentroidNorms(cells)) _
+    def prep(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        l2norm(col(vecCol)).as(n),
+        Quantize.int8Codes(col(vecCol)).as(s"${v}q"))
+        .withColumn(s"${n}q", sqrt(dot(col(s"${v}q"), col(s"${v}q"))))
+    val c = assign(prep(corpus, "neighbor_id", "cv", "cn"),
+      "neighbor_id", "cv", "cn", 1)
+    val q = assign(prep(queries, "query_id", "qv", "qn"),
+      "query_id", "qv", "qn", nprobe)
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos",
+        safeRatio(dot(col("qvq"), col("cvq")), col("qnq") * col("cnq")))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val shortlist = cand.withColumn("ar", row_number().over(wA))
+      .filter(col("ar") <= k * rerankFactor)
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** Nearest-centroid cell id for each row of `df`, against a DRIVER-side

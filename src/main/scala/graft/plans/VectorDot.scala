@@ -30,14 +30,14 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   private def elemOk(t: DataType): Boolean =
-    t == FloatType || t == DoubleType
+    t == FloatType || t == DoubleType || t == IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(lt, _), ArrayType(rt, _)) if elemOk(lt) && elemOk(rt) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"vector_dot expects array<float|double> inputs, got ${l.sql} and ${r.sql}")
+        s"vector_dot expects array<float|double|int> inputs, got ${l.sql} and ${r.sql}")
     }
 
   @transient private lazy val leftElem =
@@ -54,8 +54,16 @@ case class VectorDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (la.isNullAt(i) || ra.isNullAt(i)) return null
-      val x = if (leftElem == FloatType) la.getFloat(i).toDouble else la.getDouble(i)
-      val y = if (rightElem == FloatType) ra.getFloat(i).toDouble else ra.getDouble(i)
+      val x = leftElem match {
+        case FloatType => la.getFloat(i).toDouble
+        case IntegerType => la.getInt(i).toDouble
+        case _ => la.getDouble(i)
+      }
+      val y = rightElem match {
+        case FloatType => ra.getFloat(i).toDouble
+        case IntegerType => ra.getInt(i).toDouble
+        case _ => ra.getDouble(i)
+      }
       acc += x * y
       i += 1
     }
@@ -63,8 +71,13 @@ case class VectorDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getL = if (leftElem == FloatType) "getFloat" else "getDouble"
-    val getR = if (rightElem == FloatType) "getFloat" else "getDouble"
+    def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case IntegerType => "getInt"
+      case _ => "getDouble"
+    }
+    val getL = getter(leftElem)
+    val getR = getter(rightElem)
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

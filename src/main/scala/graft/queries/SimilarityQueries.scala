@@ -58,6 +58,16 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
 
+    // IVF + int8 candidate scoring + fp32 rerank of the k·4 shortlist
+    // (rows-only; approx-score fidelity and recall asserted in
+    // SimilaritySpec) — the 4×-less-IO form of sim_ivf_topk
+    "sim_ivf_quantized_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb,
+        Similarity.centroids(emb, "label"), k = 5, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
     // symmetric int8 embedding quantization (training-corpus compression):
     // per-vector scale, integer code checksums, and worst reconstruction
     // residual — every op IEEE-deterministic (no transcendentals), so the

@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cands < emb.count() * q.count() / 2, s"cands=$cands")
   }
 
+  test("IVF quantized rerank: recall matches plain IVF; approx scores faithful") {
+    val q = emb.filter($"vec_id" < 20)
+    val cells = Similarity.centroids(emb, "label")
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.ivfQuantizedTopK(q, emb, cells, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val plain = Similarity.ivfTopK(q, emb, cells, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rQuant = (exact & quant).size.toDouble / exact.size
+    val rPlain = (exact & plain).size.toDouble / exact.size
+    assert(rQuant >= rPlain - 0.1, s"quantized recall $rQuant vs plain $rPlain")
+    // the reported scores are the EXACT fp32 cosines of the reranked rows
+    val drift = Similarity.ivfQuantizedTopK(q, emb, cells, k = 5, nprobe = 4)
+      .join(emb.select($"vec_id".as("query_id"), $"embedding".as("qe")), "query_id")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")), "neighbor_id")
+      .select(max(abs($"cos" - Similarity.cosine($"qe", $"ne")))).as[Double].head()
+    assert(drift < 1e-12, s"rerank must report exact cosine, drift=$drift")
+  }
+
   test("k-means: objective improves, deterministic, ivf over learned cells works") {
     val emb2 = graft.sources.Tables.embeddings(spark, sf001)
     // mean cosine of each vector to its assigned centroid must not
