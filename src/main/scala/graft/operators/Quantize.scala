@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** The production form: the whole quantization — scale, codes, code
+    * norm, integer checksums, worst residual — as ONE O(dim) native
+    * pass ([[graft.plans.Int8QuantizeExpr]]). The Column forms below
+    * are the readable reference semantics and the spec's parity
+    * baseline; they re-evaluate the scale sub-expression per element
+    * (no let-binding inside lambdas), which is O(dim²) per row — fine
+    * at dim 64, wrong at dim 1024.
+    */
+  def int8(vec: Column): Column = graft.plans.Int8Quantize(vec)
+
   /** Per-vector symmetric scale: max|v| / 127 (0 for the zero vector —
     * callers treat q=0 everywhere as exact).
     */

@@ -245,11 +245,15 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerankFactor >= 1, "rerankFactor >= 1")
     val assign = assignToCells(withCentroidNorms(cells)) _
+    // one native quantization pass per row; codes + code-norm are field
+    // reads off the struct (qnorm = sqrt(Σc²) left-to-right, the same
+    // fold vector_dot would produce)
     def prep(df: DataFrame, id: String, v: String, n: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
         l2norm(col(vecCol)).as(n),
-        Quantize.int8Codes(col(vecCol)).as(s"${v}q"))
-        .withColumn(s"${n}q", sqrt(dot(col(s"${v}q"), col(s"${v}q"))))
+        Quantize.int8(col(vecCol)).as("q8"))
+        .select(col(id), col(v), col(n),
+          col("q8.codes").as(s"${v}q"), col("q8.qnorm").as(s"${n}q"))
     val c = assign(prep(corpus, "neighbor_id", "cv", "cn"),
       "neighbor_id", "cv", "cn", 1)
     val q = assign(prep(queries, "query_id", "qv", "qn"),

@@ -70,6 +70,11 @@ object GraftExtensions {
       arity(children, "simhash_sig", 1)
       SimHashSigExpr(children.head)
     },
+    // int8_quantize(vec) → struct(scale, codes, qnorm, q_sum, q_l1, max_err)
+    "int8_quantize" -> { children =>
+      arity(children, "int8_quantize", 1)
+      Int8QuantizeExpr(children.head)
+    },
     // topk_pairs(score, id, k) — native bounded-heap top-k aggregate
     "topk_pairs" -> { children =>
       arity(children, "topk_pairs", 3)

@@ -73,15 +73,14 @@ object SimilarityQueries {
     // residual — every op IEEE-deterministic (no transcendentals), so the
     // oracle replays the identical doubles. Narrow per-row map
     "sim_quantize_int8" -> ((s, d) => {
-      import graft.operators.Quantize
       val emb = Tables.embeddings(s, d)
-      emb.select(col("vec_id"),
-        round(Quantize.int8Scale(col("embedding")), 9).as("scale"),
-        aggregate(Quantize.int8Codes(col("embedding")), lit(0L),
-          (a, q) => a + q).as("q_sum"),
-        aggregate(Quantize.int8Codes(col("embedding")), lit(0L),
-          (a, q) => a + abs(q)).as("q_l1"),
-        round(array_max(Quantize.int8Error(col("embedding"))), 9).as("max_err"))
+      emb.withColumn("q",
+          explode(array(graft.operators.Quantize.int8(col("embedding")))))
+        .select(col("vec_id"),
+          round(col("q.scale"), 9).as("scale"),
+          col("q.q_sum").as("q_sum"),
+          col("q.q_l1").as("q_l1"),
+          round(col("q.max_err"), 9).as("max_err"))
         .orderBy("vec_id")}),
 
     // multimodal: codec-free payload stats (oracle-checked)

@@ -27,6 +27,32 @@ class QuantizeSpec extends SparkSpec {
     assert(checked.filter($"vec_id" === -1L && $"s" === 0).count() == 1)
   }
 
+  test("native int8 struct is bit-identical to the Column reference forms") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding")
+      .union(Seq((-1L, Array.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val mismatched = emb.select($"vec_id",
+        Quantize.int8($"embedding").as("q"),
+        Quantize.int8Scale($"embedding").as("s"),
+        Quantize.int8Codes($"embedding").as("codes"),
+        Quantize.int8Error($"embedding").as("errs"))
+      .filter(!(
+        $"q.scale" <=> $"s" &&
+        $"q.codes" <=> $"codes" &&
+        $"q.qnorm" <=> sqrt(graft.plans.VectorDot($"codes", $"codes")) &&
+        $"q.q_sum" <=> aggregate($"codes", lit(0L), (a, c) => a + c) &&
+        $"q.q_l1" <=> aggregate($"codes", lit(0L), (a, c) => a + abs(c)) &&
+        $"q.max_err" <=> array_max($"errs")))
+      .count()
+    assert(mismatched == 0)
+    // null input → null struct; SQL registration resolves
+    assert(Seq(Option.empty[Seq[Float]]).toDF("v")
+      .select(graft.operators.Quantize.int8($"v")).collect()(0).isNullAt(0))
+    // scale 2/127 → codes (64, -127): 63.5 rounds away to 64
+    assert(spark.sql("SELECT (int8_quantize(array(1.0F, -2.0F))).q_l1")
+      .as[Long].head() == 191L)
+  }
+
   test("quantized cosine approximates fp32 cosine (compression sanity)") {
     val emb = graft.sources.Tables.embeddings(spark, sf001).limit(200)
     val q = emb.select($"vec_id",
