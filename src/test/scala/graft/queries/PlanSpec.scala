@@ -89,7 +89,8 @@ class PlanSpec extends SparkSpec {
     // one text_features call per reference (quality filter + marker
     // gate + two aggregates in pipe_clean_corpus). The explode(array(_))
     // binding must keep it to exactly one.
-    for (name <- Seq("pipe_clean_corpus", "text_stats", "text_quality_by_source")) {
+    for (name <- Seq("pipe_clean_corpus", "text_stats", "text_quality_by_source",
+        "pipe_filter_funnel")) {
       val plan = executed(query(name)).toString
       val n = "text_features".r.findAllIn(plan).size
       assert(n == 1, s"$name evaluates text_features $n times:\n$plan")
