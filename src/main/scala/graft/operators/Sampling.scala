@@ -23,6 +23,24 @@ object Sampling {
   def systematicSample(df: DataFrame, key: Column, numerator: Int, denominator: Int): DataFrame =
     df.filter(pmod(key, lit(denominator.toLong)) < numerator)
 
+  /** Deterministic global-shuffle key: an affine permutation-style hash
+    * of a numeric id over the prime field M = 1e9+7 — portable integer
+    * arithmetic (so an external oracle can reproduce it exactly, which
+    * `xxhash64` is not guaranteed to be across engines) and independent
+    * of partitioning. Training pipelines order by this key to break
+    * source/temporal locality before sharding; at scale the ordering is
+    * `repartitionByRange(shuffleKey)` + `sortWithinPartitions`, never a
+    * global sort to one task. Collisions are possible (it is a hash,
+    * not a bijection) — tie-break on the id when a total order matters.
+    */
+  def shuffleKey(id: Column, salt: Long = 40503L): Column = {
+    val M = 1000000007L
+    // 2654435761 (Knuth's multiplicative constant) reduced mod M, so the
+    // product of two sub-M longs stays < 1e18.1 — no overflow under ANSI
+    val P = 654435747L
+    pmod(pmod(id, lit(M)) * lit(P) + lit(salt % M), lit(M))
+  }
+
   /** Per-stratum rates: `fractions` maps stratum value → (num, denom).
     * Strata missing from the map are dropped.
     */

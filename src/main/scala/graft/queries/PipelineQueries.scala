@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, Dedup, Sampling, Search}
+import graft.sources.Tables
+
+/** Corpus-preparation pipeline stages a training-data pipeline runs
+  * between raw ingestion and tokenization: lexical search, context
+  * chunking, deterministic global shuffle, incremental ingestion.
+  * Each is oracle-checked with portable arithmetic (integer hashes,
+  * sha-256 digests, doubles rounded before comparison/ordering).
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 keyword retrieval: top-20 docs for a 3-term query. Ranks on
+    // the ROUNDED score with doc_id tie-break so the cut is engine-stable
+    "text_bm25_search" -> ((s, d) =>
+      Search.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        Seq("vector", "merge", "window"), 20)),
+
+    // context-window chunking: 32-token windows, stride 24 (8-token
+    // overlap); every chunk row is emitted verbatim so the oracle pins
+    // each window boundary and its exact text
+    "pipe_chunk_docs" -> ((s, d) =>
+      Chunking.chunkTokens(Tables.documents(s, d), "text", "doc_id", 32, 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    // deterministic global shuffle: portable affine hash key over the
+    // 1e9+7 field, 32 output shards, dense position within each shard.
+    // At scale: repartitionByRange(shuffle_key) + sortWithinPartitions;
+    // the rank-per-shard window partitions on shard (bounded fan-in)
+    "pipe_shuffle_global" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Sampling.shuffleKey(col("doc_id")).as("shuffle_key"))
+        .withColumn("shard", pmod(col("shuffle_key"), lit(32L)))
+      keyed
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("shuffle_key", "doc_id"))
+          .cast("long"))
+        .orderBy("shard", "pos")}),
+
+    // incremental ingestion: history = digests of doc_id % 5 != 0; the
+    // new batch = the % 5 == 0 docs plus re-submissions of the % 7 == 0
+    // docs under shifted ids (both engines build identical frames, as
+    // in text_scrub). Replays of history dedup away in the anti-join;
+    // replays of in-batch docs dedup away in the min-id group
+    "pipe_ingest_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("text"))
+      val replayed = docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.incrementalIngest(history, fresh.unionByName(replayed),
+        "text", "doc_id")
+        .orderBy("doc_id")})
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "text_bm25_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, toks, len(toks) AS dl FROM d
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        |  WHERE term IN ('vector', 'merge', 'window')
+        |  GROUP BY doc_id, dl, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |)
+        |SELECT doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |            * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+        |        6) AS score
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "pipe_chunk_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  start // 24 AS chunk_id,
+        |  CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tok,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+        |FROM (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(len(toks), 1), 24)) AS start
+        |      FROM d)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipe_shuffle_global" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000000007) * 654435747 + 40503) % 1000000007
+        |      AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, shuffle_key, shuffle_key % 32 AS shard,
+        |  row_number() OVER (PARTITION BY shuffle_key % 32
+        |                     ORDER BY shuffle_key, doc_id) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+
+    "pipe_ingest_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), novel AS (
+        |  SELECT doc_id, sha256(text) AS content_sha FROM batch
+        |  WHERE sha256(text) NOT IN (
+        |    SELECT sha256(text) FROM documents WHERE doc_id % 5 <> 0)
+        |)
+        |SELECT min(doc_id) AS doc_id, content_sha
+        |FROM novel GROUP BY content_sha ORDER BY doc_id""".stripMargin
+  )
+}

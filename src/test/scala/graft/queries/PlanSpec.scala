@@ -179,6 +179,48 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "packing must use the distributed scan, not Window")
   }
 
+  test("text_bm25_search: stats and term-df sides broadcast; corpus tokens filtered before the agg shuffle") {
+    val plan = executed(query("text_bm25_search"))
+    // dfreq join + 1-row stats cross join both arrive as broadcasts
+    val bcasts = plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j }
+    assert(bcasts.size >= 2, s"expected broadcast dfreq + stats sides:\n$plan")
+    assert(plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
+      "expected explode of the token array")
+    // decisive scale property: no shuffle carries raw token rows — every
+    // exchange input is already a (partial) aggregate, so shuffle volume
+    // is O(matching docs × |query|), not O(corpus tokens)
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    val aggBelowEveryShuffle = shuffles.forall(s => s.child.find {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _ => false
+    }.isDefined)
+    assert(aggBelowEveryShuffle,
+      s"a shuffle carries unaggregated token rows:\n$plan")
+  }
+
+  test("pipe_chunk_docs: chunk generation is narrow (no shuffle before the presentation sort)") {
+    val plan = executed(query("pipe_chunk_docs"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // only the final orderBy may exchange; chunk expansion itself is a map
+    assert(shuffles.size <= 1, s"chunking must not shuffle:\n$plan")
+    assert(plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty)
+  }
+
+  test("pipe_ingest_incremental: anti-join shuffles digests, never document bodies") {
+    val plan = executed(query("pipe_ingest_incremental"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // every exchanged row set projects only id/digest-width columns —
+    // the `text` column must be consumed scan-side by sha2
+    val leaksText = shuffles.exists(_.child.output.exists(_.name == "text"))
+    assert(!leaksText, s"document bodies crossed a shuffle:\n$plan")
+  }
+
   test("partitioned history table prunes month partitions at read") {
     val dir = tmpDir("hist_prune")
     graft.pipeline.Enrich.plain(graft.sources.Tables.messages(spark, sf0001))
