@@ -109,8 +109,19 @@ object Dedup {
     * stays as the semantic (Bloom false positives must not drop docs).
     */
   def incrementalIngest(history: DataFrame, batch: DataFrame,
-                        textCol: String, idCol: String): DataFrame = {
-    val seen = history.select(sha2(col(textCol), 256).as("content_sha")).distinct()
+                        textCol: String, idCol: String): DataFrame =
+    incrementalIngestDigests(
+      history.select(sha2(col(textCol), 256).as("content_sha")),
+      batch, textCol, idCol)
+
+  /** [[incrementalIngest]] against a pre-digested history index — the
+    * form a long-running ingestion service uses (the index table stores
+    * one `content_sha` per ever-ingested doc; bodies are never re-read
+    * to re-digest). See StreamingIngestSpec for the foreachBatch wiring.
+    */
+  def incrementalIngestDigests(seenDigests: DataFrame, batch: DataFrame,
+                               textCol: String, idCol: String): DataFrame = {
+    val seen = seenDigests.select(col("content_sha")).distinct()
     batch
       .select(col(idCol), sha2(col(textCol), 256).as("content_sha"))
       .join(seen, Seq("content_sha"), "left_anti")

@@ -63,4 +63,28 @@ object Search {
       .withColumn("score", round(col("score"), 6))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+
+  /** Reciprocal-rank fusion: merge N ranked candidate lists (each
+    * (idCol, rankCol), rank 1-based) into one score
+    * Σ 1/(k0 + rank) — the standard hybrid-retrieval combiner (BM25
+    * list ∪ ANN list) because it needs no score calibration between
+    * modalities. Returns (idCol, rrf, n_lists).
+    *
+    * Scale shape: candidate lists are top-k, so every input is k rows —
+    * the union + re-aggregation runs on N·k rows total regardless of
+    * corpus size. With two lists the per-id sum has at most two terms,
+    * so the result is bit-exact under any execution order (IEEE
+    * addition is commutative); for N > 2 round before cross-engine
+    * comparison.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String,
+              rankCol: String = "rank", k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no candidate lists")
+    lists
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(k0) + col(rankCol))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_lists"))
+  }
 }

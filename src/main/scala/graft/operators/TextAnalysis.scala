@@ -196,6 +196,37 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Deflate compression ratio (compressed/raw bytes) — the classic
+    * gibberish/boilerplate detector (highly repetitive text compresses
+    * far below prose; random noise barely compresses). No SQL engine
+    * exposes deflate, so there is no oracle — ground truth lives in
+    * TextAnalysisSpec. Runs as `mapPartitions` so one Deflater (native
+    * zlib state) is allocated per PARTITION and reset per row, the same
+    * init-amortization shape as [[Multimodal.extractMeta]]; a UDF would
+    * allocate and finalize native state per row.
+    */
+  def withCompressionRatio(df: DataFrame, textCol: String,
+                           outCol: String = "compress_ratio"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema.add(outCol, "double"))
+    val idx = df.schema.fieldIndex(textCol)
+    df.toDF().mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+      val buf = new Array[Byte](1 << 16)
+      it.map { r =>
+        val raw = r.getString(idx).getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var compressed = 0L
+        while (!deflater.finished()) compressed += deflater.deflate(buf)
+        val ratio = if (raw.length == 0) 1.0
+                    else compressed.toDouble / raw.length
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ratio)
+      }
+    }(enc)
+  }
+
   /** Polynomial rolling-hash fingerprint over Unicode CODE POINTS
     * (Karp-Rabin style): order-sensitive, so re-orderings fingerprint
     * differently; stable across engines (pure integer arithmetic).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Dedup, Sampling, Search}
+import graft.operators.{Chunking, Dedup, Sampling, Search, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Corpus-preparation pipeline stages a training-data pipeline runs
@@ -59,8 +59,52 @@ object PipelineQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       Dedup.incrementalIngest(history, fresh.unionByName(replayed),
         "text", "doc_id")
-        .orderBy("doc_id")})
+        .orderBy("doc_id")}),
+
+    // hybrid retrieval: BM25 top-50 ∪ exact-cosine top-50 (vec 0 as the
+    // query, vec→doc via id mod |documents|), fused by reciprocal-rank.
+    // With two lists the per-doc sum is two IEEE-commutative terms, so
+    // the fused score is bit-exact across engines before rounding
+    "sim_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count() // 1 driver scalar: the vec→doc modulus
+      val lex = Search.bm25TopK(docs, "text", "doc_id",
+        Seq("vector", "merge", "window"), 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val sem = Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 50)
+        .select(pmod(col("neighbor_id"), lit(nDocs)).as("doc_id"),
+          col("rank").cast("long").as("rank"))
+        .groupBy("doc_id").agg(min(col("rank")).as("rank"))
+      Search.rrfFuse(Seq(lex, sem), "doc_id")
+        .withColumn("rrf", round(col("rrf"), 9))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)}),
+
+    // deterministic 90/5/5 train/val/test split on the shuffle key —
+    // replay-stable and partitioning-independent, with per-(split,
+    // source) document and token accounting
+    "pipe_split_train" -> ((s, d) => {
+      val key = Sampling.shuffleKey(col("doc_id"))
+      val bucket = pmod(key, lit(1000L))
+      Tables.documents(s, d)
+        .select(
+          when(bucket < 900, "train").when(bucket < 950, "val")
+            .otherwise("test").as("split"),
+          col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+        .orderBy("split", "source")})
   )
+
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(list_zip($a, $a), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+       |    * sqrt(list_sum(list_transform(list_zip($b, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -127,6 +171,69 @@ object PipelineQueries {
         |    SELECT sha256(text) FROM documents WHERE doc_id % 5 <> 0)
         |)
         |SELECT min(doc_id) AS doc_id, content_sha
-        |FROM novel GROUP BY content_sha ORDER BY doc_id""".stripMargin
+        |FROM novel GROUP BY content_sha ORDER BY doc_id""".stripMargin,
+
+    "sim_hybrid_rrf" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), base AS (
+         |  SELECT doc_id, toks, len(toks) AS dl FROM d
+         |), stats AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+         |  WHERE term IN ('vector', 'merge', 'window')
+         |  GROUP BY doc_id, dl, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), lex0 AS (
+         |  SELECT doc_id,
+         |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |          * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+         |        6) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50
+         |), lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM lex0
+         |), semv AS (
+         |  SELECT c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings c JOIN embeddings q
+         |    ON q.vec_id = 0 AND c.vec_id != 0
+         |), semr AS (
+         |  SELECT neighbor_id,
+         |    row_number() OVER (ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM semv
+         |), sem AS (
+         |  SELECT neighbor_id % (SELECT count(*) FROM documents) AS doc_id,
+         |    min(rank) AS rank
+         |  FROM semr WHERE rank <= 50 GROUP BY 1
+         |), u AS (
+         |  SELECT doc_id, (1.0::DOUBLE) / (60 + rank) AS contrib FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, (1.0::DOUBLE) / (60 + rank) AS contrib FROM sem
+         |)
+         |SELECT doc_id, round(sum(contrib), 9) AS rrf,
+         |  count(*) AS n_lists
+         |FROM u GROUP BY doc_id
+         |ORDER BY round(sum(contrib), 9) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "pipe_split_train" ->
+      """WITH k AS (
+        |  SELECT source,
+        |    ((doc_id % 1000000007) * 654435747 + 40503) % 1000000007 % 1000
+        |      AS bucket,
+        |    len(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 900 THEN 'train'
+        |            WHEN bucket < 950 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
+        |FROM k GROUP BY split, source ORDER BY split, source""".stripMargin
   )
 }

@@ -215,6 +215,19 @@ object TextQueries {
     // Map-side partial aggregation collapses each partition's term counts
     // before the shuffle, and the final top-k is a TakeOrdered over the
     // (small) distinct-term aggregate — no global sort of the corpus
+    // deflate-compressibility signal (no SQL oracle — zlib isn't
+    // exposed by DuckDB; ground truth in TextAnalysisSpec): per-source
+    // document counts and mean compression ratio. Low ratio = highly
+    // repetitive/boilerplate source; near-1 = high-entropy noise
+    "text_compress_ratio" -> ((s, d) =>
+      graft.operators.TextAnalysis.withCompressionRatio(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("compress_ratio")), 4).as("mean_ratio"))
+        .orderBy("source")),
+
     "text_top_terms" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("term"))

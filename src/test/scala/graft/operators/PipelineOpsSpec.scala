@@ -80,6 +80,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(11L, 13L))
   }
 
+  test("rrfFuse sums reciprocal ranks across lists, counts list hits") {
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val sem = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq(lex, sem), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(got(0)._2 - 1.0 / 61) < 1e-15 && got(0)._3 == 1)
+    assert(math.abs(got(1)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15 && got(1)._3 == 2)
+    assert(math.abs(got(2)._2 - 1.0 / 62) < 1e-15 && got(2)._3 == 1)
+  }
+
+  test("rrfFuse ranks a doc found by both modalities above single-modality docs") {
+    val lex = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rank")
+    val sem = Seq((11L, 1L), (12L, 2L)).toDF("doc_id", "rank")
+    val top = Search.rrfFuse(Seq(lex, sem), "doc_id")
+      .orderBy(desc("rrf")).select("doc_id").as[Long].collect()
+    assert(top.head == 11L) // rank-2 lex + rank-1 sem beats any single hit
+  }
+
   test("pipeline ops survive empty inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Search.bm25(empty, "text", "doc_id", Seq("x")).count() == 0)

@@ -103,4 +103,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cps == s.codePoints().toArray.toSeq)
     assert(cps.contains(128512) && cps.contains(20013) && cps.contains(769))
   }
+
+  test("compression ratio separates repetitive from high-entropy text") {
+    val rep = "spam spam spam spam " * 50           // compresses hard
+    val rnd = (1 to 1000).map(i =>                  // hash soup: high entropy
+      Integer.toHexString(i * 2654435761L.toInt)).mkString(" ")
+    val df = Seq((1L, rep), (2L, rnd)).toDF("doc_id", "text")
+    val got = TextAnalysis.withCompressionRatio(df, "text")
+      .select("doc_id", "compress_ratio").as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.1, s"repetitive ratio ${got(1L)}")
+    assert(got(2L) > 0.3, s"entropy ratio ${got(2L)}")
+    assert(got.values.forall(r => r > 0 && r <= 1.5)) // deflate overhead can exceed 1 slightly
+  }
+
+  test("compression ratio: schema appended, deterministic, partition-independent") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i " + ("x " * i.toInt))).toDF("doc_id", "text")
+    val a = TextAnalysis.withCompressionRatio(docs.repartition(1), "text")
+      .select("doc_id", "compress_ratio").as[(Long, Double)].collect().sorted
+    val b = TextAnalysis.withCompressionRatio(docs.repartition(7), "text")
+      .select("doc_id", "compress_ratio").as[(Long, Double)].collect().sorted
+    assert(a.sameElements(b))
+    val out = TextAnalysis.withCompressionRatio(docs, "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "compress_ratio"))
+  }
+
+  test("compression ratio handles empty strings without dividing by zero") {
+    val got = TextAnalysis.withCompressionRatio(
+      Seq((1L, "")).toDF("doc_id", "text"), "text")
+      .select("compress_ratio").as[Double].head()
+    assert(got == 1.0)
+  }
 }
