@@ -130,6 +130,44 @@ object Dedup {
       .select(col(idCol), col("content_sha"))
   }
 
+  /** [[incrementalIngestDigests]] with a Bloom prefilter: rows whose
+    * digest the filter has definitely never seen skip the anti-join
+    * shuffle entirely; only possible-duplicates (true dups + the fpp
+    * false positives) join against the index. Identical output to the
+    * exact form — Bloom false positives reach the anti-join and
+    * survive it; only the shuffle volume changes, from |batch| to
+    * |dups| + fpp·|batch|. Worth it when the history index is large
+    * and batches are mostly novel (the steady state of corpus growth).
+    *
+    * The filter is built distributed (`stat.bloomFilter` merges
+    * per-partition sketches) and broadcast once. `mightContain` runs
+    * through a scalar UDF: Spark's BloomFilterMightContain expression
+    * is not in the public API, and this predicate gates a shuffle —
+    * its per-row cost is noise against the exchange it avoids.
+    */
+  def incrementalIngestBloom(seenDigests: DataFrame, batch: DataFrame,
+                             textCol: String, idCol: String,
+                             expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val seen = seenDigests.select(col("content_sha")).distinct()
+    // stat.bloomFilter NPEs on an empty frame (no partial sketch to
+    // merge); an empty history also makes the prefilter pointless
+    if (seen.isEmpty)
+      return incrementalIngestDigests(seenDigests, batch, textCol, idCol)
+    val digested = batch
+      .select(col(idCol), sha2(col(textCol), 256).as("content_sha"))
+    val bloom = seen.stat.bloomFilter("content_sha",
+      math.max(expectedItems, 1L), fpp)
+    val bloomB = batch.sparkSession.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((s: String) => bloomB.value.mightContainString(s))
+    val surelyNovel = digested.filter(!maybeSeen(col("content_sha")))
+    val checked = digested.filter(maybeSeen(col("content_sha")))
+      .join(seen, Seq("content_sha"), "left_anti")
+    surelyNovel.unionByName(checked)
+      .groupBy(col("content_sha"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("content_sha"))
+  }
+
   // --- MinHash + LSH -----------------------------------------------------
 
 
