@@ -46,4 +46,32 @@ object Decontaminate {
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Intra-corpus duplicate-passage census: per document, how many of
+    * its distinct word n-grams also occur in at least one OTHER
+    * document, and that count as a fraction — the passage-level dedup
+    * signal (documents can be globally unique yet stitched from
+    * recycled spans; span-level dedup is what removes the memorization
+    * pressure document-level dedup misses).
+    *
+    * Scale shape: two aggregations over 8-byte hashed grams (per-gram
+    * doc counts, then per-doc shared counts via a gram-keyed join).
+    * Gram strings never materialize and documents never shuffle —
+    * volume is O(corpus tokens) long rows, with map-side partial
+    * aggregation collapsing repeats before each exchange.
+    */
+  def duplicatePassageStats(corpus: DataFrame, textCol: String,
+                            idCol: String, n: Int = 4): DataFrame = {
+    val grams = corpus.select(col(idCol).as("doc_id"),
+      explode(Dedup.hashedShingles(col(textCol), n)).as("gram"))
+    // per-doc distinct grams ⇒ count(*) per gram = containing-doc count
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("nd"))
+    grams.join(docFreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Dedup, Sampling, Search, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Decontaminate, Dedup, Sampling, Search, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Corpus-preparation pipeline stages a training-data pipeline runs
@@ -98,7 +98,39 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
-        .orderBy("split", "source")})
+        .orderBy("split", "source")}),
+
+    // passage-level duplication census: per doc, distinct 4-gram count
+    // and how many of those grams appear in >= 2 docs. Spark counts
+    // 8-byte hashed grams, the oracle counts the gram strings — equal
+    // up to a ~2^-64 collision (same contract as text_decontaminate)
+    "text_dup_passages" -> ((s, d) =>
+      Decontaminate.duplicatePassageStats(
+        Tables.documents(s, d), "text", "doc_id", n = 4)
+        .orderBy("doc_id")),
+
+    // length-curriculum with round-robin source interleaving: rank docs
+    // within each source by token count (easy-first), then emit the
+    // first 100 of the (rank, source) order — each difficulty tier
+    // cycles through every source before advancing, the standard
+    // anti-clumping order for curriculum training
+    "pipe_curriculum" -> ((s, d) => {
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy("tok", "doc_id")).cast("long"))
+      ranked.orderBy("rank", "source").limit(100)}),
+
+    // Count-Min heavy hitters: one-pass sketched frequencies for the
+    // vocabulary head (no SQL oracle — the sketch layout is
+    // Spark-internal; the ≥exact / ≤exact+eps·N guarantees are
+    // asserted in SketchesSpec)
+    "text_cms_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketches.cmsTermCounts(s, Tables.documents(s, d),
+        "text", Seq("join", "hash", "row", "batch", "scan", "column",
+          "customer", "filter", "vector", "merge", "window", "table"))
+        .orderBy("term"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -234,6 +266,41 @@ object PipelineQueries {
         |            WHEN bucket < 950 THEN 'val'
         |            ELSE 'test' END AS split,
         |  source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
-        |FROM k GROUP BY split, source ORDER BY split, source""".stripMargin
+        |FROM k GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    "text_dup_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+3], ' ')
+        |                   FOR i IN range(1, len(t) - 2)]) AS gs
+        |  FROM toks WHERE len(t) >= 4
+        |), c AS (
+        |  SELECT doc_id, unnest(gs) AS g FROM grams
+        |), d AS (
+        |  SELECT g, count(*) AS nd FROM c GROUP BY g
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS dup_frac
+        |FROM c JOIN d USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS tok,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY len(string_split_regex(trim(text),
+        |                         '\s+')), doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, tok, rank
+        |FROM r ORDER BY rank, source LIMIT 100""".stripMargin
   )
 }

@@ -72,4 +72,33 @@ class DecontaminateSpec extends SparkSpec {
       .collect { case e: ShuffleExchangeExec => e }
     assert(shufflesBelowJoin.isEmpty, plan.toString)
   }
+
+  test("duplicatePassageStats counts corpus-shared n-grams per doc") {
+    import spark.implicits._
+    // doc1/doc2 share "a b c d"; doc3 is all-unique; doc4 repeats
+    // doc1's tail span "c d e f"
+    val docs = Seq(
+      (1L, "a b c d e f"),   // grams: abcd bcde cdef
+      (2L, "x a b c d y"),   // grams: xabc abcd bcdy
+      (3L, "p q r s t"),     // grams: pqrs qrst
+      (4L, "z c d e f")      // grams: zcde cdef
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.duplicatePassageStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 2L)) // abcd (with 2), cdef (with 4)
+    assert(got(2L) == (3L, 1L))
+    assert(got(3L) == (2L, 0L))
+    assert(got(4L) == (2L, 1L))
+  }
+
+  test("duplicatePassageStats: repeated gram inside ONE doc is not 'shared'") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c d"), // abcd occurs twice in the same doc only
+      (2L, "u v w x y")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.duplicatePassageStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L, s"self-repeat must not count as shared: $got")
+  }
 }
