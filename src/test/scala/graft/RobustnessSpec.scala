@@ -96,4 +96,21 @@ class RobustnessSpec extends SparkSpec {
     assert(decoded.select("msgId").as[String].collect().toSeq == Seq("g1"))
     assert(dead.count() == 1)
   }
+
+  test("round-4 operators on empty and degenerate frames") {
+    import graft.operators.{Chunking, Decontaminate, Search}
+    // degenerate: single doc, doc shorter than one chunk/gram
+    val one = Seq((1L, "only")).toDF("doc_id", "text")
+    assert(Chunking.chunkTokens(one, "text", "doc_id", 32, 24).count() == 1)
+    assert(Decontaminate.duplicatePassageStats(one, "text", "doc_id").count() == 0)
+    assert(Search.bm25(one, "text", "doc_id", Seq("absent")).count() == 0)
+    assert(Search.bm25TopK(one, "text", "doc_id", Seq("only"), 5).count() == 1)
+    // whitespace-only text must not crash tokenize-based ops
+    val ws = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(Chunking.chunkTokens(ws, "text", "doc_id", 4, 4).count() == 1)
+    assert(Decontaminate.duplicatePassageStats(emptyDocs, "text", "doc_id").count() == 0)
+    // empty candidate lists through the fusion
+    val noRanks = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+    assert(Search.rrfFuse(Seq(noRanks, noRanks), "doc_id").count() == 0)
+  }
 }

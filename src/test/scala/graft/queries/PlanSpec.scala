@@ -221,6 +221,23 @@ class PlanSpec extends SparkSpec {
     assert(!leaksText, s"document bodies crossed a shuffle:\n$plan")
   }
 
+  test("text_dup_passages: shuffles carry hashed grams and counts, never document text") {
+    val plan = executed(query("text_dup_passages"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(_.child.output.exists(_.name == "text")),
+      s"document bodies crossed a shuffle:\n$plan")
+  }
+
+  test("pipe_curriculum: rank window is partitioned by source, not global") {
+    val plan = executed(query("pipe_curriculum"))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"found an unpartitioned (single-task) window:\n$plan")
+  }
+
   test("partitioned history table prunes month partitions at read") {
     val dir = tmpDir("hist_prune")
     graft.pipeline.Enrich.plain(graft.sources.Tables.messages(spark, sf0001))
