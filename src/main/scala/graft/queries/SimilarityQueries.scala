@@ -51,6 +51,18 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // IVF with EXHAUSTIVE probing (nprobe = all 10 label cells): the
+    // candidate set degenerates to the whole corpus, so the output must
+    // equal brute force EXACTLY — which makes the whole inverted-file
+    // path (cell assignment, probe, candidate scoring, ranking)
+    // oracle-checkable, not just recall-bounded in spec
+    "sim_ivf_exhaustive_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        Similarity.centroids(emb, "label"), k = 5, nprobe = 10)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
     // exact embedding near-dups: top-20 same-label pairs by cosine
     "sim_neardup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupsBlocked(Tables.embeddings(s, d),
@@ -161,6 +173,21 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // identical to the brute-force oracle: exhaustive probing IS brute
+    // force (see the query comment)
+    "sim_ivf_exhaustive_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "sim_neardup_cosine" ->
       s"""SELECT id_a, id_b, round(cos_raw, 9) AS cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
