@@ -64,6 +64,27 @@ object EventQueries {
           max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // PageRank over a deterministic synthetic follow graph (both
+    // engines derive edges u → (7u+3)%N and u → (13u+5)%N from the
+    // dense user-id space, self-loops dropped — the congruences
+    // 6u ≡ -3 and 12u ≡ -5 (mod N) have no solution for the testdata
+    // N, so no node is dangling and the oracle can omit the dangling
+    // term the operator carries). 3 damped iterations, rank rounded
+    // before the top-30 cut
+    "ev_pagerank" -> ((s, d) => {
+      val users = Tables.events(s, d).select(col("user_id")).distinct()
+      val n = users.count() // 1 driver scalar: the edge modulus
+      val edges = users.select(col("user_id").as("src"),
+        explode(array(pmod(col("user_id") * 7 + 3, lit(n)),
+          pmod(col("user_id") * 13 + 5, lit(n)))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .dropDuplicates("src", "dst")
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3,
+        nodes = Some(users.select(col("user_id").as("id"))))
+        .withColumn("pr", round(col("pr"), 9))
+        .orderBy(desc("pr"), col("id"))
+        .limit(30)}),
+
     // as-of join: each event picks up the user's most recent signup
     // event at-or-before its timestamp (point-in-time state attach)
     "ev_asof_signup" -> ((s, d) => {
@@ -173,6 +194,46 @@ object EventQueries {
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_pagerank" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |cnt AS (SELECT count(*) AS n FROM u),
+        |e0 AS (
+        |  SELECT user_id AS src,
+        |    (user_id * 7 + 3) % (SELECT n FROM cnt) AS dst FROM u
+        |  UNION ALL
+        |  SELECT user_id,
+        |    (user_id * 13 + 5) % (SELECT n FROM cnt) FROM u),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT user_id AS id,
+        |         (1::DOUBLE) / (SELECT n FROM cnt) AS r FROM u),
+        |r1 AS (
+        |  SELECT u.user_id AS id,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM cnt)
+        |      + 0.85::DOUBLE * coalesce(c.s, 0::DOUBLE) AS r
+        |  FROM u LEFT JOIN (
+        |    SELECT e.dst, sum(r0.r / deg.deg) AS s
+        |    FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON u.user_id = c.dst),
+        |r2 AS (
+        |  SELECT u.user_id AS id,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM cnt)
+        |      + 0.85::DOUBLE * coalesce(c.s, 0::DOUBLE) AS r
+        |  FROM u LEFT JOIN (
+        |    SELECT e.dst, sum(r1.r / deg.deg) AS s
+        |    FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON u.user_id = c.dst),
+        |r3 AS (
+        |  SELECT u.user_id AS id,
+        |    (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM cnt)
+        |      + 0.85::DOUBLE * coalesce(c.s, 0::DOUBLE) AS r
+        |  FROM u LEFT JOIN (
+        |    SELECT e.dst, sum(r2.r / deg.deg) AS s
+        |    FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) c ON u.user_id = c.dst)
+        |SELECT id, round(r, 9) AS pr FROM r3
+        |ORDER BY pr DESC, id LIMIT 30""".stripMargin,
+
     "ev_asof_signup" ->
       """SELECT a.event_id, a.user_id, a.event_type, b.signup_event_id
         |FROM (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
