@@ -330,6 +330,35 @@ object Similarity {
       .select(col("cell"), col("centroid"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * by nearest-seed-centroid, then search pairs only WITHIN a cluster
+    * (Abbas et al. 2023, "SemDeDup" — cluster-scoped pairwise search
+    * turns the O(n²) embedding-dedup problem into O(Σ cluster²)).
+    *
+    * Seeds are the first `k` vectors by id — deterministic and
+    * oracle-replayable (swap in [[kmeansCentroids]]' matrix for learned
+    * cells; the plan shape is identical). Assignment is a NARROW map via
+    * the native [[graft.plans.NearestCentroid]] expression (k×dim seed
+    * matrix rides inside the expression — no join, no explode), so the
+    * only shuffle at any scale is the intra-cluster self-join on `cell`
+    * — an equi-join, never a cartesian.
+    */
+  def semanticNearDups(
+      df: DataFrame, k: Int, topPairs: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // k×dim doubles of driver state — same bounded collect as k-means init
+    val seeds: Array[Array[Double]] = df
+      .filter(col(idCol) < k)
+      .orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    cosineNearDupsBlocked(assignCells(df, seeds, vecCol),
+      Seq("cell"), topPairs, idCol, vecCol)
+  }
+
   /** Exact near-duplicate pairs by cosine within blocking keys (the
     * embedding analog of Dedup.ngramJaccardBlocked).
     */

@@ -227,6 +227,45 @@ object TextAnalysis {
     }(enc)
   }
 
+  /** Add-one-smoothed unigram language-model score per document — the
+    * CCNet-style statistical-quality signal: train token frequencies on
+    * the corpus itself, then score each document by its mean token
+    * surprisal −Σ log10 p(tok) / n (higher = more improbable text:
+    * gibberish, boilerplate codes, rare-token soup; low = fluent
+    * high-frequency prose). p(tok) = (c+1)/(N+V) with corpus token
+    * count c, total tokens N, vocabulary size V.
+    *
+    * Scale shape: the model is an aggregate over the exploded corpus
+    * (vocabulary-sized — orders of magnitude smaller than the corpus);
+    * the score join shuffles (id, token) pairs against it, and AQE
+    * broadcasts the model side when the vocabulary fits. Determinism:
+    * each token's log-prob is rounded to 9 dp THEN summed as an exact
+    * decimal — the sum is order-independent at any parallelism, so the
+    * score is bit-stable and oracle-replayable (log10 itself may differ
+    * in the last ulp across libm implementations; the pre-round kills
+    * that before accumulation).
+    *
+    * Output: (idCol, n_tokens, lm_score). Docs: rounding to 6 dp keeps
+    * the [0, ~10] score range well inside double exactness.
+    */
+  def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(trim(col(textCol))))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = model.agg(sum("c").as("n_total"), count(lit(1)).as("v_size"))
+    toks.join(model, "tok") // model covers every corpus token: inner join
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        round(log10((col("c") + 1).cast("double") /
+          (col("n_total") + col("v_size")).cast("double")), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("lp").as("slp"))
+      .withColumn("lm_score",
+        round(-col("slp").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col(idCol), col("n_tokens"), col("lm_score"))
+  }
+
   /** Polynomial rolling-hash fingerprint over Unicode CODE POINTS
     * (Karp-Rabin style): order-sensitive, so re-orderings fingerprint
     * differently; stable across engines (pure integer arithmetic).

@@ -70,6 +70,15 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
 
+    // SemDeDup-style semantic dedup: nearest-seed-centroid clustering
+    // (narrow native assignment), then top-20 cosine pairs searched only
+    // within clusters — oracle-checked end to end (assignment argmax,
+    // tie rule, pair scores)
+    "sim_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticNearDups(Tables.embeddings(s, d), k = 8, topPairs = 20)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
+
     // IVF + int8 candidate scoring + fp32 rerank of the k·4 shortlist
     // (rows-only; approx-score fidelity and recall asserted in
     // SimilaritySpec) — the 4×-less-IO form of sim_ivf_topk
@@ -187,6 +196,38 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // replays NearestCentroid exactly: centroids normalized via
+    // inv = 1/sqrt(Σc²) then multiplied element-wise, score = sequential
+    // v·ĉ fold, argmax ties to the lowest cell (row_number DESC, cell)
+    "sim_semantic_dedup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, [x::DOUBLE FOR x IN embedding] AS c
+         |  FROM embeddings WHERE vec_id < 8
+         |), normed AS (
+         |  SELECT cell,
+         |    [x * (CASE WHEN list_sum([y * y FOR y IN c]) > 0
+         |          THEN 1.0 / sqrt(list_sum([y * y FOR y IN c]))
+         |          ELSE 0 END) FOR x IN c] AS cn
+         |  FROM seeds
+         |), assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, n.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(
+         |          list_zip([x::DOUBLE FOR x IN e.embedding], n.cn),
+         |          p -> p[1] * p[2])) DESC, n.cell) AS rn
+         |    FROM embeddings e CROSS JOIN normed n)
+         |  WHERE rn = 1
+         |)
+         |SELECT id_a, id_b, round(cos_raw, 9) AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  ORDER BY cos_raw DESC, id_a, id_b
+         |  LIMIT 20)
+         |ORDER BY round(cos_raw, 9) DESC, id_a, id_b""".stripMargin,
 
     "sim_neardup_cosine" ->
       s"""SELECT id_a, id_b, round(cos_raw, 9) AS cos FROM (

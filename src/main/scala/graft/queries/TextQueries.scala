@@ -235,7 +235,16 @@ object TextQueries {
         .groupBy("term")
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("term"))
-        .limit(25))
+        .limit(25)),
+
+    // add-one-smoothed unigram LM surprisal (CCNet-style statistical
+    // quality): model = corpus token frequencies, score = mean
+    // −log10 p(tok). Per-token log-probs rounded then decimal-summed →
+    // bit-stable at any parallelism, oracle-checked end to end
+    "text_lm_score" -> ((s, d) =>
+      graft.operators.TextAnalysis.lmScore(
+        Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"))
   )
 
   private val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -269,6 +278,26 @@ object TextQueries {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    // same per-token round-then-decimal-sum discipline as the engine:
+    // log10 may differ in the last ulp across libm builds, so each lp is
+    // rounded to 9 dp BEFORE the (exact, order-free) decimal sum
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), model AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT sum(c) AS n_total, count(*) AS v_size FROM model
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(log10((m.c + 1)::DOUBLE / (n_total + v_size)::DOUBLE), 9)
+        |         AS DECIMAL(28,9)) AS lp
+        |  FROM toks t JOIN model m USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-(sum(lp)::DOUBLE) / count(*), 6) AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |$statsExprs,

@@ -152,4 +152,52 @@ class SimilaritySpec extends SparkSpec {
     val b = sigs.as[Long].collect().toSeq
     assert(a == b)
   }
+
+  test("semantic near-dups match a driver-side SemDeDup replay exactly") {
+    val sub = emb.filter($"vec_id" < 300)
+    val k = 6
+    val got = Similarity.semanticNearDups(sub, k = k, topPairs = 15)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    // plain-Scala ground truth with the engine's exact arithmetic order:
+    // seeds normalized by inv-multiply, sequential dot folds, strict->
+    // argmax (ties to the lowest cell)
+    val rows = sub.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+    def dotSeq(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    val normSeeds = rows.filter(_._1 < k).sortBy(_._1).map { case (_, c) =>
+      val ss = dotSeq(c, c)
+      val inv = if (ss > 0) 1.0 / math.sqrt(ss) else 0.0
+      c.map(_ * inv)
+    }
+    val cellOf = rows.map { case (id, v) =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      for (ci <- normSeeds.indices) {
+        val s = dotSeq(v, normSeeds(ci))
+        if (s > bestScore) { bestScore = s; best = ci }
+      }
+      id -> best
+    }.toMap
+    val expected = (for {
+      (ida, va) <- rows; (idb, vb) <- rows
+      if ida < idb && cellOf(ida) == cellOf(idb)
+    } yield {
+      val cos = dotSeq(va, vb) / (math.sqrt(dotSeq(va, va)) * math.sqrt(dotSeq(vb, vb)))
+      (ida, idb, cos)
+    }).sortBy { case (a, b, c) => (-c, a, b) }.take(15).toSeq
+
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-12, s"pair ${g._1},${g._2}")
+    }
+    // cluster scoping really prunes: pair space < all-pairs
+    val nPairs = rows.length.toLong * (rows.length - 1) / 2
+    val intraPairs = cellOf.values.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(intraPairs < nPairs, "clusters must partition the pair space")
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.operators.TextAnalysis._
+import graft.sources.Tables
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -132,5 +133,33 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "")).toDF("doc_id", "text"), "text")
       .select("compress_ratio").as[Double].head()
     assert(got == 1.0)
+  }
+
+  test("lm score: rare-token docs score higher; hand-computed value matches") {
+    // corpus: "the" ×6 (common), "zyx" ×1 (rare). N=7, V=2.
+    val docs = Seq(
+      (1L, "the the the"), (2L, "the the the"), (3L, "zyx")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val pThe = BigDecimal(math.log10(7.0 / 9.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val pZyx = BigDecimal(math.log10(2.0 / 9.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expCommon = BigDecimal(-(pThe * 3).toDouble / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expRare = BigDecimal(-pZyx.toDouble / 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._2).toSeq == Seq(3L, 3L, 1L))
+    assert(got(0)._3 == expCommon && got(1)._3 == expCommon && got(2)._3 == expRare)
+    assert(expRare > expCommon, "rare tokens must be more surprising")
+  }
+
+  test("lm score is partition-independent (exact decimal log-prob sums)") {
+    val docs = Tables.documents(spark, sf001).limit(60).cache()
+    try {
+      val a = TextAnalysis.lmScore(docs.repartition(1), "text", "doc_id")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val b = TextAnalysis.lmScore(docs.repartition(13), "text", "doc_id")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+    } finally { docs.unpersist(); () }
   }
 }

@@ -238,6 +238,32 @@ class PlanSpec extends SparkSpec {
       s"found an unpartitioned (single-task) window:\n$plan")
   }
 
+  test("sim_semantic_dedup: cluster self-join is an equi-join, assignment is narrow") {
+    val plan = executed(query("sim_semantic_dedup"))
+    // the intra-cluster search must never degenerate to an all-pairs NLJ:
+    // the only join key is the nearest-centroid cell
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      plan.toString)
+    // and vectors only ever cross a shuffle already labeled with their
+    // cell (the assignment itself is narrow — the centroid matrix rides
+    // inside the native expression; the presentation sort moves only
+    // (id_a, id_b, cos) rows)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val vecShuffles = shuffles.filter(
+      _.child.output.exists(a => a.name == "va" || a.name == "vb" ||
+        a.name == "embedding"))
+    assert(vecShuffles.forall(_.child.output.exists(_.name == "cell")),
+      s"an unlabeled vector crossed a shuffle:\n$plan")
+  }
+
+  test("text_lm_score: shuffles carry tokens and counts, never document text") {
+    val plan = executed(query("text_lm_score"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(_.child.output.exists(_.name == "text")),
+      s"document bodies crossed a shuffle:\n$plan")
+  }
+
   test("partitioned history table prunes month partitions at read") {
     val dir = tmpDir("hist_prune")
     graft.pipeline.Enrich.plain(graft.sources.Tables.messages(spark, sf0001))
