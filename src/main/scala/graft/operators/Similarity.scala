@@ -345,18 +345,53 @@ object Similarity {
     */
   def semanticNearDups(
       df: DataFrame, k: Int, topPairs: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineNearDupsBlocked(
+      assignCells(df, seedCentroids(df, k, idCol, vecCol), vecCol),
+      Seq("cell"), topPairs, idCol, vecCol)
+
+  /** First `k` vectors by id as a driver-side centroid matrix —
+    * deterministic, oracle-replayable seeds for [[semanticNearDups]] /
+    * [[clusterQuality]]. k×dim doubles of driver state — the same
+    * bounded collect as the k-means init.
+    */
+  def seedCentroids(df: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     require(k >= 1, "k >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    // k×dim doubles of driver state — same bounded collect as k-means init
-    val seeds: Array[Array[Double]] = df
-      .filter(col(idCol) < k)
+    df.filter(col(idCol) < k)
       .orderBy(col(idCol))
       .select(col(vecCol).cast("array<double>"))
       .as[Seq[Double]].collect().map(_.toArray)
-    cosineNearDupsBlocked(assignCells(df, seeds, vecCol),
-      Seq("cell"), topPairs, idCol, vecCol)
+  }
+
+  /** Clustering diagnostics: per cell, member count and mean cosine to
+    * the cell's (raw, unnormalized) centroid — the cohesion report a
+    * pipeline reads before trusting cluster-scoped dedup or IVF probes.
+    * Per-row cosines are rounded to 9 dp then decimal-summed, so the
+    * mean is bit-stable at any parallelism (same discipline as
+    * [[graft.operators.TextAnalysis.lmScore]]). Assignment is the
+    * narrow native map; the only joins are a broadcast of the k-row
+    * centroid table and the final k-row aggregate.
+    */
+  def clusterQuality(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    assignCells(df, centroids, vecCol)
+      .join(broadcast(cents), "cell")
+      .withColumn("cos9",
+        round(cosine(col(vecCol).cast("array<double>"), col("centroid")), 9)
+          .cast("decimal(28,9)"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("cos9")).as("s"))
+      .withColumn("mean_cos",
+        round(col("s").cast("double") / col("n").cast("double"), 6))
+      .select(col("cell"), col("n"), col("mean_cos"))
   }
 
   /** Exact near-duplicate pairs by cosine within blocking keys (the

@@ -122,6 +122,19 @@ object PipelineQueries {
           Window.partitionBy("source").orderBy("tok", "doc_id")).cast("long"))
       ranked.orderBy("rank", "source").limit(100)}),
 
+    // per-source quality percentile: percent_rank of the (single-pass)
+    // quality score within each source — the normalization step before
+    // cross-source curriculum mixing (a 0.6 from a clean source and a
+    // 0.6 from a noisy one mean different things; percentiles compare).
+    // Window is partitioned by source, never global
+    "pipe_quality_percentile" -> ((s, d) =>
+      TextAnalysis.withFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"),
+          col("f.quality").as("quality"))
+        .withColumn("q_pct", round(percent_rank().over(
+          Window.partitionBy("source").orderBy("quality")), 6))
+        .orderBy("doc_id")),
+
     // Count-Min heavy hitters: one-pass sketched frequencies for the
     // vocabulary head (no SQL oracle — the sketch layout is
     // Spark-internal; the ≥exact / ≤exact+eps·N guarantees are
@@ -139,6 +152,18 @@ object PipelineQueries {
        |    * sqrt(list_sum(list_transform(list_zip($b, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // percent_rank has identical ANSI semantics in both engines (peers
+    // share a rank; (rank-1)/(n-1)); ordering is by the already-rounded
+    // quality value so peer groups agree bit-for-bit
+    "pipe_quality_percentile" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${TextQueries.qualityExpr} AS quality
+         |  FROM documents)
+         |SELECT doc_id, source, quality,
+         |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6)
+         |    AS q_pct
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     "text_bm25_search" ->
       """WITH d AS (

@@ -79,6 +79,15 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
 
+    // clustering cohesion report over the same seed cells as
+    // sim_semantic_dedup: per-cell member count + exact-decimal mean
+    // cosine to the centroid (oracle-checked; the go/no-go diagnostic
+    // before trusting cluster-scoped dedup)
+    "sim_cluster_quality" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.clusterQuality(emb, Similarity.seedCentroids(emb, k = 8))
+        .orderBy("cell")}),
+
     // IVF + int8 candidate scoring + fp32 rerank of the k·4 shortlist
     // (rows-only; approx-score fidelity and recall asserted in
     // SimilaritySpec) — the 4×-less-IO form of sim_ivf_topk
@@ -196,6 +205,36 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same assignment CTEs as sim_semantic_dedup; the cosine here is
+    // against the RAW seed vector (cosSql normalizes internally)
+    "sim_cluster_quality" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, [x::DOUBLE FOR x IN embedding] AS c
+         |  FROM embeddings WHERE vec_id < 8
+         |), normed AS (
+         |  SELECT cell,
+         |    [x * (CASE WHEN list_sum([y * y FOR y IN c]) > 0
+         |          THEN 1.0 / sqrt(list_sum([y * y FOR y IN c]))
+         |          ELSE 0 END) FOR x IN c] AS cn
+         |  FROM seeds
+         |), assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, n.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(
+         |          list_zip([x::DOUBLE FOR x IN e.embedding], n.cn),
+         |          p -> p[1] * p[2])) DESC, n.cell) AS rn
+         |    FROM embeddings e CROSS JOIN normed n)
+         |  WHERE rn = 1
+         |), j AS (
+         |  SELECT a.cell,
+         |    CAST(round(${cosSql("a.embedding", "s.c")}, 9)
+         |         AS DECIMAL(28,9)) AS cos9
+         |  FROM assigned a JOIN seeds s ON a.cell = s.cell)
+         |SELECT cell, count(*) AS n,
+         |  round((sum(cos9)::DOUBLE) / count(*), 6) AS mean_cos
+         |FROM j GROUP BY cell ORDER BY cell""".stripMargin,
 
     // replays NearestCentroid exactly: centroids normalized via
     // inv = 1/sqrt(Σc²) then multiplied element-wise, score = sequential

@@ -263,7 +263,7 @@ object TextQueries {
        |  round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
        |        / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mean_token_len""".stripMargin
 
-  private val qualityExpr =
+  private[queries] val qualityExpr =
     """round(least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0) * 0.5
       |  + (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))::DOUBLE
       |                 / greatest(length(text), 1) * 4.0, 1.0)) * 0.25

@@ -153,6 +153,18 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cluster quality: counts partition the corpus, means bounded, partition-independent") {
+    val seeds = Similarity.seedCentroids(emb, 8)
+    val a = Similarity.clusterQuality(emb, seeds)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a.map(_._2).sum == emb.count(), "every vector lands in exactly one cell")
+    assert(a.forall { case (_, _, m) => m >= -1.0 && m <= 1.0 })
+    // exact-decimal mean: identical at any parallelism
+    val b = Similarity.clusterQuality(emb.repartition(13), seeds)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("semantic near-dups match a driver-side SemDeDup replay exactly") {
     val sub = emb.filter($"vec_id" < 300)
     val k = 6
