@@ -178,6 +178,48 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("n_orders"))}),
 
+    // TPC-H Q18 shape (large-order customers): the big-shuffle pattern —
+    // a full lineitem aggregation keyed by orderkey, HAVING-filtered to
+    // a tiny survivor set that then drives two cheap joins. At 100 TB
+    // the aggregate combines map-side (partial sums per partition) and
+    // the joins see only the survivors; quantities sum as exact decimal
+    "rel_q18_big_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sq"))
+        .filter(col("sq") > 150)
+      big.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("sq").cast("double").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(100)}),
+
+    // TPC-H Q10 shape (returned-item revenue): quarter-filtered orders ⋈
+    // R-flagged lineitems ⋈ customer ⋈ nation, revenue as exact decimal,
+    // top-20 accounts. Date + flag predicates push to the scans; the
+    // two dimension joins broadcast
+    "rel_q10_returns" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(BigDecimal(1)).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)"))).as("rev"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)}),
+
     // EXISTS with event-time arithmetic: orders having a lineitem
     // shipped more than 90 days after the order date, per priority
     "rel_q4_late_ships" -> ((s, d) => {
@@ -423,6 +465,30 @@ object RelationalQueries {
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
         |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "rel_q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "rel_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2))
+        |              - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "rel_q4_late_ships" ->
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders

@@ -238,6 +238,23 @@ class PlanSpec extends SparkSpec {
       s"found an unpartitioned (single-task) window:\n$plan")
   }
 
+  test("rel_q18_big_orders: lineitem aggregate combines map-side before the shuffle") {
+    val df = query("rel_q18_big_orders")
+    df.collect()
+    val plan = executed(df).toString
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("rel_q10_returns: returnflag filter pushes to the lineitem scan; dims broadcast") {
+    val plan = executed(query("rel_q10_returns"))
+    val liScan = scans(plan).find(_.metadata("Location").contains("lineitem")).get
+    assert(liScan.metadata("PushedFilters").contains("l_returnflag"),
+      liScan.metadata("PushedFilters"))
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"customer and nation sides must broadcast:\n$plan")
+  }
+
   test("sim_semantic_dedup: cluster self-join is an equi-join, assignment is narrow") {
     val plan = executed(query("sim_semantic_dedup"))
     // the intra-cluster search must never degenerate to an all-pairs NLJ:
