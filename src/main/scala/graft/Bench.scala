@@ -32,6 +32,17 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // and one synthetic shuffle/window/join pass: JIT-compiles the Janino
+    // compiler itself and the exchange/sort/agg machinery, which would
+    // otherwise land on the alphabetically-first query's samples
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = spark.range(20000).select(col("id"), pmod(col("id"), lit(13)).as("k"))
+      w.join(w.groupBy("k").agg(count(lit(1)).as("n")), "k")
+        .withColumn("r", row_number().over(Window.partitionBy("k").orderBy("id")))
+        .filter(col("r") <= 5).count()
+    } catch { case _: Throwable => () }
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run while
     // iterating on one query; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

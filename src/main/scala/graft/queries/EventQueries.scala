@@ -71,6 +71,25 @@ object EventQueries {
     // N, so no node is dangling and the oracle can omit the dangling
     // term the operator carries). 3 damped iterations, rank rounded
     // before the top-30 cut
+    // cohort retention: users bucketed by the week of their first event,
+    // counted in every later week they act — the product-analytics
+    // staple. Both aggregations combine map-side; the cohort join
+    // shuffles only (user_id, week) rows, and since `weekly` is already
+    // distinct per (user, week) the final count needs no countDistinct
+    "ev_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val weekly = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      weekly.join(first, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")}),
+
     "ev_pagerank" -> ((s, d) => {
       val users = Tables.events(s, d).select(col("user_id")).distinct()
       val n = users.count() // 1 driver scalar: the edge modulus
@@ -194,6 +213,25 @@ object EventQueries {
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // trunc(min(ts)) == min(trunc(ts)) for a monotone truncation, so the
+    // oracle takes min over pre-truncated weeks; // is DuckDB integer
+    // division (offsets are exact multiples of 7 days)
+    "ev_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+        |  FROM events
+        |), fst AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |), weekly AS (
+        |  SELECT DISTINCT user_id, week FROM ev)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM weekly JOIN fst USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "ev_pagerank" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |cnt AS (SELECT count(*) AS n FROM u),
