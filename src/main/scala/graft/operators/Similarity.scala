@@ -384,8 +384,12 @@ object Similarity {
       .toDF("cell", "centroid")
     assignCells(df, centroids, vecCol)
       .join(broadcast(cents), "cell")
+      // zero-norm members (cosine undefined → null) count as 0 cohesion
+      // rather than silently shrinking the mean's numerator only
       .withColumn("cos9",
-        round(cosine(col(vecCol).cast("array<double>"), col("centroid")), 9)
+        coalesce(
+          round(cosine(col(vecCol).cast("array<double>"), col("centroid")), 9),
+          lit(0.0))
           .cast("decimal(28,9)"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), sum(col("cos9")).as("s"))

@@ -229,7 +229,7 @@ object SimilarityQueries {
          |  WHERE rn = 1
          |), j AS (
          |  SELECT a.cell,
-         |    CAST(round(${cosSql("a.embedding", "s.c")}, 9)
+         |    CAST(coalesce(round(${cosSql("a.embedding", "s.c")}, 9), 0.0)
          |         AS DECIMAL(28,9)) AS cos9
          |  FROM assigned a JOIN seeds s ON a.cell = s.cell)
          |SELECT cell, count(*) AS n,

@@ -113,4 +113,32 @@ class RobustnessSpec extends SparkSpec {
     val noRanks = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
     assert(Search.rrfFuse(Seq(noRanks, noRanks), "doc_id").count() == 0)
   }
+
+  test("semantic dedup / cluster quality / lm score on degenerate inputs") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val tiny = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    // corpus smaller than the seed count: every vector is its own seed →
+    // all-singleton cells, zero pairs — degenerate but well-defined
+    assert(Similarity.semanticNearDups(tiny, k = 8, topPairs = 10).count() == 0)
+    // with 2 seeds, vector 2 joins seed 0's cell and pairs with it
+    val pairs = Similarity.semanticNearDups(tiny, k = 2, topPairs = 10)
+    assert(pairs.count() >= 1)
+    // zero-norm member: counted, contributes 0 cohesion (not null-poisoned)
+    val withZero = tiny.union(Seq((3L, Array(0f, 0f))).toDF("vec_id", "embedding"))
+    val cq = Similarity.clusterQuality(withZero,
+      Similarity.seedCentroids(withZero, 2))
+      .as[(Int, Long, Double)].collect()
+    assert(cq.map(_._2).sum == 4, "zero vector still lands in a cell")
+    assert(cq.forall { case (_, _, m) => !m.isNaN })
+    // single-doc corpus: every token has c=1, score well-defined;
+    // whitespace-only text tokenizes to one empty token, not a crash
+    val oneDoc = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val lm = TextAnalysis.lmScore(oneDoc, "text", "doc_id")
+      .as[(Long, Long, Double)].head()
+    assert(lm._2 == 3 && lm._3 > 0)
+    val wsDoc = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(TextAnalysis.lmScore(wsDoc, "text", "doc_id").count() == 1)
+  }
 }
