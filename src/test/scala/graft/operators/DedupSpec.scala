@@ -192,7 +192,10 @@ class DedupSpec extends SparkSpec {
     }
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
     val expect = touched.map(i => i -> find(i)).toMap
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // set-difference, not a size compare: Spark's async ContextCleaner
+    // may unpersist an earlier suite's garbage-collected cache entries
+    // mid-test, shrinking the global count under a size equality
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
     // both execution strategies must produce identical labels: the
     // driver-local union-find fast path (default for small edge lists)
     // and the distributed label-propagation loop (forced via
@@ -208,7 +211,8 @@ class DedupSpec extends SparkSpec {
     releaseDist()
     assert(gotDist == expect)
     // every round's backing RDD was released, incl. the final one
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // (only ids created by THIS test can appear in the difference)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- beforeIds).isEmpty)
     // long chain exercises multi-round convergence (diameter > 1 round)
     // through the DISTRIBUTED loop (the local path has no rounds)
     val chain = (0L until 30L).sliding(2).map(s => (s(1), s(0))).toSeq
@@ -254,17 +258,19 @@ class DedupSpec extends SparkSpec {
   }
 
   test("managed variants release their internal cache (ADVICE r1)") {
-    def cachedTables: Int =
-      spark.sparkContext.getPersistentRDDs.size
+    // set-difference, not size equality: the async ContextCleaner can
+    // remove an earlier suite's dead cache entries mid-test
+    def cachedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
     docs.count() // materialize the suite's own docs cache first
-    val before = cachedTables
+    val before = cachedIds
     // parameters deliberately differ from every other test so the
     // internal persist() can't dedup against a still-alive cache entry
     // from an earlier test (CacheManager reuses identical plans)
     val (pairs, release) = Dedup.minhashNearDupsManaged(
       docs, "text", "doc_id", threshold = 0.4, numHashes = 32, bands = 8)
     assert(pairs.select("id_a", "id_b").count() > 0)
-    assert(cachedTables > before) // signature table really was cached
+    assert((cachedIds -- before).nonEmpty) // signature table really was cached
     release()
     val (shPairs, shRelease) = Dedup.simhashNearDupsManaged(
       docs, "text", "doc_id", Seq("lang", "source"), maxDist = 6)
@@ -275,7 +281,7 @@ class DedupSpec extends SparkSpec {
       docs, "text", "doc_id", Seq("lang", "source"), threshold = 0.6, shingleN = 4)
     assert(ngPairs.count() >= 0)
     ngRelease()
-    assert(cachedTables == before) // every handle unpersisted its table
+    assert((cachedIds -- before).isEmpty) // every handle unpersisted its table
   }
 
   test("simhash near-dups on testdata include the exact near-dup pair") {
