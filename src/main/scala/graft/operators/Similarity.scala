@@ -360,9 +360,13 @@ object Similarity {
     require(k >= 1, "k >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(idCol) < k)
+    // orderBy+limit (a TakeOrdered, not a sort) so sparse/offset id
+    // spaces still yield k seeds; on the dense testdata ids this equals
+    // the oracles' `WHERE vec_id < k` replay
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .orderBy(col(idCol))
-      .select(col(vecCol).cast("array<double>"))
+      .limit(k)
+      .select(col("v"))
       .as[Seq[Double]].collect().map(_.toArray)
   }
 

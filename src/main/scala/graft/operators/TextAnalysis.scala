@@ -251,6 +251,9 @@ object TextAnalysis {
   def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(lower(trim(col(textCol))))).as("tok"))
+    // `toks` is evaluated twice (model build + score join) — Spark plans
+    // share no subtrees; at corpus scale train the model once, persist
+    // or write it, and join against the materialized table instead
     val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = model.agg(sum("c").as("n_total"), count(lit(1)).as("v_size"))
     toks.join(model, "tok") // model covers every corpus token: inner join
