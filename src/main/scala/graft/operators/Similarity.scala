@@ -345,10 +345,17 @@ object Similarity {
     */
   def semanticNearDups(
       df: DataFrame, k: Int, topPairs: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    cosineNearDupsBlocked(
-      assignCells(df, seedCentroids(df, k, idCol, vecCol), vecCol),
-      Seq("cell"), topPairs, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // bind the assignment through a Generate barrier: `cell` is consumed
+    // by the join key AND its implicit isnotnull filter, and Catalyst
+    // has no let-binding — a plain withColumn would re-run the k-dot
+    // nearest_centroid scan 2-3× per row (visible in PLANS.md before
+    // this change). Same move as TextAnalysis.withFeatures
+    val assigned = df.withColumn("cell", explode(array(
+      graft.plans.NearestCentroid(col(vecCol),
+        seedCentroids(df, k, idCol, vecCol)))))
+    cosineNearDupsBlocked(assigned, Seq("cell"), topPairs, idCol, vecCol)
+  }
 
   /** First `k` vectors by id as a driver-side centroid matrix —
     * deterministic, oracle-replayable seeds for [[semanticNearDups]] /
