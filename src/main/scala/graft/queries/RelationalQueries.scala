@@ -197,6 +197,37 @@ object RelationalQueries {
         .orderBy(col("sum_qty").desc, col("o_orderkey"))
         .limit(100)}),
 
+    // TPC-H Q7 shape (two-nation volume shipping): the dual-alias dim
+    // pattern — nation joins twice under different roles, pre-filtered
+    // to the pair so the selectivity lands in the supplier/customer
+    // joins instead of post-join; cross-pairs drop in the final OR.
+    // Volume sums as exact decimal, grouped by shipment year
+    "rel_q7_nation_volume" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") -
+            col("l_discount").cast("decimal(12,2)"))).as("vol"))
+      li.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("vol")).cast("double").as("volume"),
+          count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")}),
+
     // TPC-H Q10 shape (returned-item revenue): quarter-filtered orders ⋈
     // R-flagged lineitems ⋈ customer ⋈ nation, revenue as exact decimal,
     // top-20 accounts. Date + flag predicates push to the scans; the
@@ -476,6 +507,25 @@ object RelationalQueries {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |         JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "rel_q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(vol) AS DOUBLE) AS volume, count(*) AS n
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2))
+        |         - CAST(l_discount AS DECIMAL(12,2))) AS vol
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "rel_q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
