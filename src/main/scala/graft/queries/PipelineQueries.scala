@@ -143,7 +143,26 @@ object PipelineQueries {
       graft.operators.Sketches.cmsTermCounts(s, Tables.documents(s, d),
         "text", Seq("join", "hash", "row", "batch", "scan", "column",
           "customer", "filter", "vector", "merge", "window", "table"))
-        .orderBy("term"))
+        .orderBy("term")),
+
+    // the CMS one-sided guarantee as an oracle row (same move as the
+    // dedup_*_superset queries): a Count-Min estimate can NEVER
+    // undercount, so probe terms where est < exact must be empty —
+    // checkable without replaying the sketch layout in SQL
+    "text_cms_lower_bound" -> ((s, d) => {
+      val probes = Seq("join", "hash", "row", "batch", "scan", "column",
+        "customer", "filter", "vector", "merge", "window", "table")
+      val docs = Tables.documents(s, d)
+      val est = graft.operators.Sketches.cmsTermCounts(s, docs, "text", probes)
+      val exact = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(probes: _*))
+        .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("term"), "left")
+        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+        .filter(col("est_count") < col("n_exact"))
+        .select("term", "est_count", "n_exact")
+        .orderBy("term")})
   )
 
   private def cosSql(a: String, b: String): String =
@@ -152,6 +171,10 @@ object PipelineQueries {
        |    * sqrt(list_sum(list_transform(list_zip($b, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "text_cms_lower_bound" ->
+      ("SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS est_count, " +
+        "CAST(NULL AS BIGINT) AS n_exact WHERE 1=0"),
 
     // percent_rank has identical ANSI semantics in both engines (peers
     // share a rank; (rank-1)/(n-1)); ordering is by the already-rounded
