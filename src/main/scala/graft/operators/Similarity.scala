@@ -197,7 +197,9 @@ object Similarity {
   /** Nearest-cell assignment against a (broadcast) normed centroid
     * table: input rows carry a precomputed norm so each (row, cell)
     * pair costs ONE dot product, not three. Extra input columns ride
-    * through untouched.
+    * through untouched. Used only for the `nprobe > 1` QUERY side —
+    * query sets are small, so the window shuffle is trivial; the corpus
+    * side goes through the narrow [[assignTop1]] path instead.
     */
   private def assignToCells(cellsN: DataFrame)(
       df: DataFrame, id: String, vec: String, norm: String,
@@ -211,16 +213,57 @@ object Similarity {
       .drop("centroid", "centroid_n", "cell_sim", "cr")
   }
 
+  /** Collect the (tiny by construction: k rows) cell table to the
+    * driver once, in ascending-cell order so matrix row i ↔ i-th
+    * smallest cell id — the same ties→lowest-cell rule as the
+    * join+window assignment. Returns (projected schema, rows, k×dim
+    * double matrix); the rows rebuild a LocalRelation for the query
+    * side so the centroid aggregation job runs exactly once per call.
+    */
+  private def collectCellMatrix(cells: DataFrame)
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row], Array[Array[Double]]) = {
+    val projected = cells.select(col("cell"), col("centroid")).orderBy("cell")
+    val rows = projected.collect()
+    require(rows.nonEmpty, "ivf: empty cell table — need at least one centroid")
+    val matrix = rows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    (projected.schema, rows, matrix)
+  }
+
+  /** Narrow top-1 cell assignment for the CORPUS side: the k×dim
+    * centroid matrix rides inside the native
+    * [[graft.plans.NearestCentroid]] expression, so corpus rows never
+    * cross an exchange (the old join+window form shuffled the whole
+    * corpus — vectors included — just to learn its cell; at 100 TB
+    * that exchange IS the job). `element_at` maps the matrix index
+    * back to the (possibly sparse) cell ids; the Generate barrier
+    * binds the k-dot scan once per row (same move as
+    * [[semanticNearDups]]).
+    */
+  private def assignTop1(df: DataFrame, vec: String,
+      cellRows: Array[org.apache.spark.sql.Row],
+      matrix: Array[Array[Double]]): DataFrame = {
+    val cellIds = array(cellRows.map(r => lit(r.get(0))): _*)
+    df.withColumn("cell", explode(array(element_at(cellIds,
+      graft.plans.NearestCentroid(col(vec), matrix) + 1))))
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, cells: DataFrame, k: Int,
       nprobe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assign = assignToCells(withCentroidNorms(cells)) _
-    val c = assign(
+    import scala.jdk.CollectionConverters._
+    val (cellSchema, cellRows, matrix) = collectCellMatrix(cells)
+    // corpus side: narrow native assignment, zero shuffle
+    val c = assignTop1(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         l2norm(col(vecCol)).as("cn")),
-      "neighbor_id", "cv", "cn", 1)
-    val q = assign(
+      "cv", cellRows, matrix)
+    // query side: LocalRelation rebuilt from the collected rows (no
+    // recompute), broadcast join + window for the nprobe-cell fan-out
+    val local = corpus.sparkSession.createDataFrame(
+      cellRows.toSeq.asJava, cellSchema)
+    val q = assignToCells(withCentroidNorms(local))(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2norm(col(vecCol)).as("qn")),
       "query_id", "qv", "qn", nprobe)
@@ -244,7 +287,8 @@ object Similarity {
       nprobe: Int = 3, rerankFactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerankFactor >= 1, "rerankFactor >= 1")
-    val assign = assignToCells(withCentroidNorms(cells)) _
+    import scala.jdk.CollectionConverters._
+    val (cellSchema, cellRows, matrix) = collectCellMatrix(cells)
     // one native quantization pass per row; codes + code-norm are field
     // reads off the struct (qnorm = sqrt(Σc²) left-to-right, the same
     // fold vector_dot would produce)
@@ -254,9 +298,13 @@ object Similarity {
         Quantize.int8(col(vecCol)).as("q8"))
         .select(col(id), col(v), col(n),
           col("q8.codes").as(s"${v}q"), col("q8.qnorm").as(s"${n}q"))
-    val c = assign(prep(corpus, "neighbor_id", "cv", "cn"),
-      "neighbor_id", "cv", "cn", 1)
-    val q = assign(prep(queries, "query_id", "qv", "qn"),
+    // narrow corpus assignment + LocalRelation query side, as in ivfTopK
+    val c = assignTop1(prep(corpus, "neighbor_id", "cv", "cn"),
+      "cv", cellRows, matrix)
+    val local = corpus.sparkSession.createDataFrame(
+      cellRows.toSeq.asJava, cellSchema)
+    val q = assignToCells(withCentroidNorms(local))(
+      prep(queries, "query_id", "qv", "qn"),
       "query_id", "qv", "qn", nprobe)
     val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -370,11 +418,16 @@ object Similarity {
     // orderBy+limit (a TakeOrdered, not a sort) so sparse/offset id
     // spaces still yield k seeds; on the dense testdata ids this equals
     // the oracles' `WHERE vec_id < k` replay
-    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val seeds = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .orderBy(col(idCol))
       .limit(k)
       .select(col("v"))
       .as[Seq[Double]].collect().map(_.toArray)
+    // fail here with a named message instead of letting NearestCentroid's
+    // require(centroids.nonEmpty) surface an opaque error downstream
+    require(seeds.nonEmpty,
+      "seedCentroids: input corpus is empty — no seed vectors to cluster around")
+    seeds
   }
 
   /** Clustering diagnostics: per cell, member count and mean cosine to

@@ -70,6 +70,41 @@ class SimilaritySpec extends SparkSpec {
     assert(cands < emb.count() * q.count() / 2, s"cands=$cands")
   }
 
+  test("IVF exhaustive probing equals brute force exactly (ranks and scores)") {
+    // probing every cell degenerates the candidate set to the whole
+    // corpus — the inverted-file plumbing (narrow corpus assignment,
+    // probe fan-out, scoring, ranking) must then reproduce brute force
+    // bit-for-bit; this is the local twin of the sim_ivf_exhaustive_topk
+    // oracle row
+    val q = emb.filter($"vec_id" < 10)
+    val cells = Similarity.centroids(emb, "label")
+    val bf = Similarity.bruteForceTopK(q, emb, k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val ivf = Similarity.ivfTopK(q, emb, cells, k = 5, nprobe = 10)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(ivf == bf)
+  }
+
+  test("seedCentroids on an empty corpus fails with a named message") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.seedCentroids(emb.filter($"vec_id" < 0), 4)
+    }
+    assert(err.getMessage.contains("seedCentroids"), err.getMessage)
+  }
+
+  test("testdata seed ids are dense from 0 (oracle `WHERE vec_id < k` parity)") {
+    // seedCentroids takes the first k vectors by id (orderBy+limit); the
+    // DuckDB oracles replay it as `WHERE vec_id < k`. Those agree only
+    // while ids 0..k-1 all exist — pin that executable here so a testdata
+    // regeneration with sparse/offset ids fails loudly instead of
+    // silently hash-mismatching sim_semantic_dedup/sim_cluster_quality.
+    val k = 8
+    val present = emb.filter($"vec_id" < k).select("vec_id")
+      .as[Long].collect().toSet
+    assert(present == (0L until k).toSet,
+      s"ids below $k present: ${present.toSeq.sorted}")
+  }
+
   test("IVF quantized rerank: recall matches plain IVF; approx scores faithful") {
     val q = emb.filter($"vec_id" < 20)
     val cells = Similarity.centroids(emb, "label")

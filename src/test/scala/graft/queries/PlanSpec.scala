@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.nonEmpty, s"expected broadcast NLJ for the query panel:\n$plan")
   }
 
+  test("sim_ivf_topk: corpus branch assigns cells narrowly — no exchange before the candidate join") {
+    // the old join+window assignment shuffled the whole corpus (vectors
+    // included) just to learn each row's cell — the one flagged
+    // scale-killer at 100 TB. The narrow nearest_centroid Generate must
+    // keep the corpus branch exchange-free up to the candidate join.
+    val plan = executed(query("sim_ivf_topk"))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val cand = bhj.find(_.left.toString.contains("nearest_centroid"))
+    assert(cand.nonEmpty, s"no candidate join streaming the narrow-assigned corpus:\n$plan")
+    val shuffles = cand.get.left.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"corpus branch must not shuffle to learn its cell:\n${cand.get.left}")
+  }
+
   test("rel_window_topk: partial top-k pushed below the shuffle (WindowGroupLimit)") {
     // Catalyst's InferWindowGroupLimit bounds shuffle volume at
     // partitions×k for rank<=k filters — the custom partial-top-k
