@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * reuses that exchange. Dangling mass is folded in via a broadcast
   * 1-row aggregate instead of a per-iteration driver action, so the
   * whole run stays ONE lazy plan (nothing executes until the caller's
-  * action). Iteration count is a constant here (lineage depth ~iters);
-  * past ~10 iterations cut lineage per round the way the components
-  * loop does.
+  * action). Lineage depth grows with the iteration count, so every
+  * `itersPerCut` rounds the rank table round-trips through a persisted
+  * RDD — the same plan truncation the components loop uses — keeping
+  * the optimizer's tree bounded at any iteration count.
   */
 object Graph {
 
@@ -25,11 +26,31 @@ object Graph {
     * Returns (id, pr); Σ pr = 1 at every step (mass conserved through
     * the dangling term). Multi-edges count multiply — dedupe first if
     * simple-graph semantics are wanted.
+    *
+    * Convenience form of [[pageRankManaged]]: any lineage-cut caches
+    * (none at all when `iters < itersPerCut`, e.g. the 3-iteration
+    * query default) are left to LRU eviction / session end.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               nodes: Option[DataFrame] = None): DataFrame = {
+               nodes: Option[DataFrame] = None,
+               itersPerCut: Int = 8): DataFrame =
+    pageRankManaged(edges, srcCol, dstCol, iters, damping, nodes, itersPerCut)._1
+
+  /** [[pageRank]] plus a release handle for the last lineage-cut cache
+    * (same contract as [[Dedup.connectedComponentsManaged]]: call after
+    * consuming the result; a no-op when no cut happened). Each cut
+    * forces the ranks computed so far (one count job per cut, O(nodes)
+    * rows of MEMORY_AND_DISK state) and releases its predecessor
+    * immediately, so at most one rank snapshot is ever cached.
+    */
+  def pageRankManaged(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85,
+               nodes: Option[DataFrame] = None,
+               itersPerCut: Int = 8): (DataFrame, () => Unit) = {
     require(iters >= 1, "pageRank: iters >= 1")
+    require(itersPerCut >= 1, "pageRank: itersPerCut >= 1")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ns = nodes
       .map(_.toDF("id"))
@@ -40,7 +61,8 @@ object Graph {
     val nodeDeg = ns.join(deg, Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
     var ranks = nodeDeg.select(col("id"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iters) {
+    var release: () => Unit = () => ()
+    for (i <- 1 to iters) {
       val withDeg = ranks.join(nodeDeg, "id")
       // dangling (deg = 0) rank mass, as a broadcast scalar — not head()
       val m = withDeg.filter(col("deg") === 0)
@@ -56,7 +78,19 @@ object Graph {
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("in_c"), lit(0.0)) + col("m") / n)).as("r"))
+      if (i % itersPerCut == 0 && i < iters) {
+        // persisted-RDD round-trip (see connectedComponentsManaged): cuts
+        // the plan AND lets the previous snapshot free deterministically.
+        // The count forces THIS snapshot before its predecessor goes away
+        val rdd = ranks.rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        val prev = release
+        ranks = spark.createDataFrame(rdd, ranks.schema)
+        prev()
+        release = () => { rdd.unpersist(false); () }
+      }
     }
-    ranks.select(col("id"), col("r").as("pr"))
+    (ranks.select(col("id"), col("r").as("pr")), release)
   }
 }

@@ -249,11 +249,32 @@ object TextAnalysis {
     * the [0, ~10] score range well inside double exactness.
     */
   def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(tokens(lower(trim(col(textCol))))).as("tok"))
-    // `toks` is evaluated twice (model build + score join) — Spark plans
-    // share no subtrees; at corpus scale train the model once, persist
-    // or write it, and join against the materialized table instead
+    // the token table is evaluated twice (model build + score join) —
+    // Spark plans share no subtrees. Fine for one-shot queries; at
+    // corpus scale use [[lmScoreManaged]], which persists the token
+    // table so tokenization/explode runs once
+    lmScoreOver(tokenTable(df, textCol, idCol), idCol)
+  }
+
+  /** [[lmScore]] with the exploded token table persisted, so the
+    * heaviest pass (tokenize + explode over the whole corpus) runs
+    * ONCE instead of twice (model build + score join). Returns the
+    * result plus a release handle for the token cache — same contract
+    * as [[Dedup.minhashNearDupsManaged]]: call it after consuming the
+    * result. The cache is MEMORY_AND_DISK and token-table-sized
+    * (larger than the corpus), so the managed form is for pipelines
+    * that would otherwise pay the double scan, not a default.
+    */
+  def lmScoreManaged(
+      df: DataFrame, textCol: String, idCol: String): (DataFrame, () => Unit) = {
+    val toks = tokenTable(df, textCol, idCol).persist()
+    (lmScoreOver(toks, idCol), () => { toks.unpersist(); () })
+  }
+
+  private def tokenTable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(lower(trim(col(textCol))))).as("tok"))
+
+  private def lmScoreOver(toks: DataFrame, idCol: String): DataFrame = {
     val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = model.agg(sum("c").as("n_total"), count(lit(1)).as("v_size"))
     toks.join(model, "tok") // model covers every corpus token: inner join

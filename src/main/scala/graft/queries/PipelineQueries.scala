@@ -70,8 +70,11 @@ object PipelineQueries {
       val nDocs = docs.count() // 1 driver scalar: the vec→doc modulus
       val lex = Search.bm25TopK(docs, "text", "doc_id",
         Seq("vector", "merge", "window"), 50)
+        // constant partition key: the input is the bounded top-50 list, so
+        // a global window is correct and scale-safe — the lit(1) key just
+        // silences WindowExec's single-partition warning in bench logs
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+          Window.partitionBy(lit(1)).orderBy(desc("score"), col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("rank"))
       val emb = Tables.embeddings(s, d)
       val sem = Similarity

@@ -31,6 +31,29 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // LSH recall as a checkable row (the dedup_*_superset move for ANN):
+    // per query, the LSH top-5 must recover >= 2 of the exact top-5 —
+    // the output is the VIOLATION set, so the oracle asserts the empty
+    // set. Both sides are deterministic (seeded planes, exact ranking);
+    // measured floor: min hits = 2 at sf0.01, 3 at sf0.1. Any
+    // signature/banding regression that tanks recall flips this row red
+    // while the pair lists themselves stay rows-only
+    "sim_lsh_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val panel = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(panel, emb, k = 5)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(panel, emb, k = 5,
+        dim = Dim, planes = 4, tables = 12)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .filter(col("hits") < 2)
+        .orderBy("query_id")}),
+
     // IVF (inverted-file) approximate top-5: centroid cells from labels,
     // nprobe=4 (rows-only; recall + centroid math asserted in
     // SimilaritySpec)
@@ -155,6 +178,12 @@ object SimilarityQueries {
        |    * sqrt(list_sum(list_transform(list_zip($b, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // recall property oracle: the expected answer is the EMPTY set —
+    // every query must recover >= 2 exact neighbors via LSH (DuckDB
+    // cannot replay the hash side; the floor property is what SQL can
+    // express, same move as dedup_minhash_superset)
+    "sim_lsh_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits WHERE 1=0",
     // same IEEE ops as Quantize: scale = max|v|/127; codes round half
     // away from zero via the SAME floor/ceil formula (both engines'
     // built-in `round` algorithms are not spelled identically; the

@@ -153,7 +153,10 @@ object TextQueries {
       // NOT a second mixed.agg(...): DataFrame plans don't share common
       // subtrees, so a separate total would re-scan and re-tokenize the
       // whole corpus
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      // constant partition key: the window runs over the bounded 20-row
+      // aggregate, so it is correct and scale-safe — lit(1) only silences
+      // WindowExec's single-partition warning in bench logs
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
       perSource
         .withColumn("total_tokens", sum(col("tokens")).over(w))
         .select(col("source"), col("n_docs"), col("tokens"),

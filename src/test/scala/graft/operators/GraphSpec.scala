@@ -55,4 +55,28 @@ class GraphSpec extends SparkSpec {
     assert(got(9L) == got.values.max)
     nodes.foreach(v => assert(math.abs(got(v) - expect(v)) < 1e-12))
   }
+
+  test("20 iterations with lineage cuts: bounded plan, reference parity, cache released") {
+    val e = Seq((1L, 2L), (3L, 2L), (2L, 4L), (4L, 1L), (2L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val expect = ref(e, nodes, iters = 20)
+    val (ranks, release) = Graph.pageRankManaged(e.toDF("src", "dst"),
+      "src", "dst", iters = 20, nodes = Some(nodes.toDF("id")), itersPerCut = 5)
+    // the plan must reflect only the rounds SINCE the last cut, not all
+    // 20 — without truncation this tree is ~4× deeper
+    val planLines = ranks.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    val (oneCut, release1) = Graph.pageRankManaged(e.toDF("src", "dst"),
+      "src", "dst", iters = 5, nodes = Some(nodes.toDF("id")), itersPerCut = 99)
+    val fiveIterLines = oneCut.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(planLines <= fiveIterLines + 10,
+      s"20-iter plan has $planLines lines vs 5-iter $fiveIterLines — lineage not cut")
+    val got = ranks.as[(Long, Double)].collect().toMap
+    nodes.foreach(v =>
+      assert(math.abs(got(v) - expect(v)) < 1e-12, s"node $v: ${got(v)} vs ${expect(v)}"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    release(); release1()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore,
+      "release() must free the last rank snapshot")
+  }
 }

@@ -162,4 +162,17 @@ class TextAnalysisSpec extends SparkSpec {
       assert(a == b)
     } finally { docs.unpersist(); () }
   }
+
+  test("lmScoreManaged equals lmScore and releases its token cache") {
+    val docs = Tables.documents(spark, sf001).limit(60)
+    val plain = TextAnalysis.lmScore(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val (scored, release) = TextAnalysis.lmScoreManaged(docs, "text", "doc_id")
+    val managed = scored.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(managed == plain)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore,
+      "release() must unpersist the token cache")
+  }
 }

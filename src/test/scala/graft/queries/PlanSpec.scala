@@ -253,11 +253,37 @@ class PlanSpec extends SparkSpec {
   }
 
   test("rel_q18_big_orders: lineitem aggregate combines map-side before the shuffle") {
+    // structural pin (not a substring match): a Partial-mode sum over
+    // l_quantity must sit BELOW the exchange that hashes on l_orderkey —
+    // i.e. the map-side combine happens before lineitem's rows shuffle
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    // AQE wraps executed exchanges in leaf QueryStageExec nodes — a plain
+    // collect stops at the stage boundary, so expand through them
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
     val df = query("rel_q18_big_orders")
     df.collect()
-    val plan = executed(df).toString
-    assert(plan.contains("partial_sum") || plan.contains("Partial"),
-      s"expected map-side partial aggregation:\n$plan")
+    val plan = executed(df)
+    val combinedBelowShuffle = allNodes(plan)
+      .collect { case e: ShuffleExchangeExec => e }
+      .exists { e =>
+        e.outputPartitioning.toString.contains("l_orderkey") &&
+        allNodes(e.child).collect {
+          case h: HashAggregateExec if h.aggregateExpressions.exists(a =>
+            a.mode == Partial &&
+            a.aggregateFunction.toString.contains("l_quantity")) => h
+        }.nonEmpty
+      }
+    assert(combinedBelowShuffle,
+      s"expected Partial sum(l_quantity) below the l_orderkey exchange:\n$plan")
   }
 
   test("rel_q10_returns: returnflag filter pushes to the lineitem scan; dims broadcast") {
