@@ -8,7 +8,15 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get(GraftSession.envCpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev aid (driver sets nothing): SPARK_GRAFT_VERIFY_ONLY=q1,q2
+    // narrows the dump while iterating on a single operator
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video ride through the engine
   * as opaque `binary` columns with a typed metadata struct. The Spark
   * side — schema, partition-wise batch processing, column contracts — is
-  * real and tested; the *decoders* are deliberately stubbed (this
-  * container ships no image/audio codecs) behind [[MediaDecoder]], with a
-  * deterministic fake for tests. Swapping in a real codec is a one-class
-  * change that does not touch any plan shape.
+  * real and tested. Decode is REAL for the formats this container can
+  * open: PNG/JPEG/GIF via the JDK's `javax.imageio`
+  * ([[ImageIODecoder]]), PCM-WAV and BMP via direct header/pixel
+  * parsing ([[HeaderDecoder]]); formats with no bundled codec (MP4 …)
+  * fall through to a deterministic [[StubDecoder]] fake, so swapping in
+  * a real codec is a one-class change that touches no plan shape.
   *
   * Scale notes: decode runs as `mapPartitions` so a real decoder
   * amortizes its init per partition (not per row), mirroring how a
@@ -180,6 +182,106 @@ object Multimodal {
     }
   }
 
+  /** Codec-format decoder via the JDK's `javax.imageio` — real decode
+    * for the readers every Java 17 runtime bundles (PNG/JPEG/GIF/BMP).
+    * Only payloads whose magic bytes identify one of those formats go
+    * through ImageIO, so the probe cost for non-image blobs stays a
+    * few-byte compare before delegating to `fallback` (WAV/BMP headers,
+    * then the stub). Corrupt image payloads also fall back rather than
+    * throw — a poisoned blob must not kill a 100 TB scan.
+    *
+    * probe() → (formatName, widthPx, heightPx, nImages): width/height
+    * come from the reader's header parse (no pixel decode); nImages
+    * walks the stream only for GIF, the one bundled multi-image format.
+    */
+  final class ImageIODecoder(fallback: MediaDecoder = new HeaderDecoder)
+      extends MediaDecoder {
+    def init(): Unit = fallback.init()
+
+    private def isPng(b: Array[Byte]) =
+      b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isJpeg(b: Array[Byte]) =
+      b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+    private def isGif(b: Array[Byte]) =
+      b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    private def isImage(b: Array[Byte]) = isPng(b) || isJpeg(b) || isGif(b)
+
+    /** None when no reader claims the stream or the header is corrupt —
+      * callers fall back instead of propagating the IOException.
+      */
+    private def withReader[A](blob: Array[Byte])(
+        f: javax.imageio.ImageReader => A): Option[A] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(in); Some(f(r)) }
+          catch { case _: java.io.IOException | _: RuntimeException => None }
+          finally r.dispose()
+        }
+      } finally in.close()
+    }
+
+    def probe(blob: Array[Byte]): (String, Int, Int, Int) =
+      if (!isImage(blob)) fallback.probe(blob)
+      else withReader(blob) { r =>
+        val frames = if (isGif(blob)) r.getNumImages(true) else 1
+        (r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+          r.getWidth(0), r.getHeight(0), frames)
+      }.getOrElse(fallback.probe(blob))
+
+    /** idx-th image (GIF frame) decoded to packed row-major RGB. */
+    def frame(blob: Array[Byte], idx: Int): Array[Byte] =
+      if (!isImage(blob)) fallback.frame(blob, idx)
+      else withReader(blob) { r =>
+        val img = r.read(r.getMinIndex + idx)
+        val out = new Array[Byte](img.getWidth * img.getHeight * 3)
+        copyRgb(img, out, img.getWidth, img.getHeight)
+        out
+      }.getOrElse(fallback.frame(blob, idx))
+
+    /** REAL decode + nearest-neighbour resample for ImageIO formats;
+      * same sampling grid as [[HeaderDecoder.resize]] so the PNG and
+      * BMP paths of one corpus produce comparable tensors.
+      */
+    def resize(blob: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      require(outW > 0 && outH > 0, "output dims must be positive")
+      if (!isImage(blob)) return fallback.resize(blob, outW, outH)
+      withReader(blob) { r =>
+        val img = r.read(r.getMinIndex)
+        val out = new Array[Byte](outW * outH * 3)
+        copyRgb(img, out, outW, outH)
+        out
+      }.getOrElse(fallback.resize(blob, outW, outH))
+    }
+
+    /** Nearest-neighbour sample of `img` onto an outW×outH RGB grid
+      * (identity copy when dims match). getRGB returns sRGB packed
+      * 0xRRGGBB regardless of the source raster layout.
+      */
+    private def copyRgb(img: java.awt.image.BufferedImage,
+        out: Array[Byte], outW: Int, outH: Int): Unit = {
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val rgb = img.getRGB((x.toLong * w / outW).toInt, sy)
+          val d = (y * outW + x) * 3
+          out(d) = ((rgb >> 16) & 0xFF).toByte
+          out(d + 1) = ((rgb >> 8) & 0xFF).toByte
+          out(d + 2) = (rgb & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
   implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
   implicit private val rowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
 
@@ -320,4 +422,53 @@ object Multimodal {
     */
   def syntheticMedia(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("text").cast("binary").as("blob"))
+
+  /** Test/bench IMAGE table: one real encoded PNG (even ids) or JPEG
+    * (odd ids) per document, whose dimensions and — for the lossless
+    * PNGs — exact pixel values derive arithmetically from the id. An
+    * oracle can therefore predict the probe/resize output without being
+    * able to open the container, which makes the [[ImageIODecoder]]
+    * path oracle-checkable end to end. Pixel (x, y) of image `id` is
+    * RGB ((37x + 101y + id) mod 256, 7x mod 256, 13y mod 256).
+    * Encoding runs partition-wise with the writers the JDK bundles —
+    * a narrow map stage, like any real decode/encode would be.
+    */
+  def syntheticImages(documents: DataFrame): DataFrame = {
+    val ds = documents.select(col("doc_id")).as[Long](Encoders.scalaLong)
+    ds.map { id =>
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 17).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((37 * x + 101 * y + id.toInt) & 0xFF) << 16 |
+              ((7 * x) & 0xFF) << 8 | ((13 * y) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "jpeg", bos)
+      (id, bos.toByteArray)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "blob")
+  }
+
+  /** Integer checksum over a [[resizeMedia]] output: (doc_id, unsigned
+    * byte sum, byte count). Narrow partition-wise map — the cheap way
+    * to oracle-check a decoded tensor without hauling pixels anywhere.
+    */
+  def pixelChecksum(resized: DataFrame): DataFrame = {
+    val ds = resized.select(col("doc_id"), col("pixels").as("blob"))
+      .as[MediaRow](rowEnc)
+    ds.map { r =>
+      var s = 0L; var i = 0
+      while (i < r.blob.length) { s += r.blob(i) & 0xFF; i += 1 }
+      (r.doc_id, s, r.blob.length.toLong)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "px_sum", "px_len")
+  }
 }

@@ -159,6 +159,31 @@ object SimilarityQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
         .orderBy("doc_id")),
 
+    // multimodal: REAL PNG/JPEG decode — encode one image per document
+    // (dims derived from doc_id), probe it back through javax.imageio.
+    // byte_len is dropped: container size is codec business, not oracle
+    // arithmetic
+    "mm_image_probe" -> ((s, d) =>
+      Multimodal.extractMeta(
+        Multimodal.syntheticImages(Tables.documents(s, d)),
+        () => new Multimodal.ImageIODecoder)
+        .toDF()
+        .select("doc_id", "format", "width", "height", "n_frames")
+        .orderBy("doc_id")),
+
+    // multimodal: REAL PNG pixel round-trip — decode the lossless even-id
+    // images, nearest-neighbour resize to 16×16 RGB, checksum the tensor.
+    // The oracle recomputes the expected sum arithmetically from the
+    // generator formula, so a wrong decode OR a wrong sampling grid
+    // flips the row red (JPEGs are lossy and sit out)
+    "mm_image_resize" -> ((s, d) =>
+      Multimodal.pixelChecksum(
+        Multimodal.resizeMedia(
+          Multimodal.syntheticImages(
+            Tables.documents(s, d).filter(col("doc_id") % 2 === 0)),
+          () => new Multimodal.ImageIODecoder, outW = 16, outH = 16))
+        .orderBy("doc_id")),
+
     // multimodal: codec-free feature extraction — 8-bin byte-value
     // histogram per payload, L1-normalized (media content signature
     // before any decode). One scalar column per bin. Oracle parity
@@ -319,6 +344,33 @@ object SimilarityQueries {
          |SELECT doc_id,
          |  CAST(ceil(n_frames / 30.0) AS BIGINT) AS n_sampled
          |FROM probed ORDER BY doc_id""".stripMargin,
+    // the image table is generated FROM doc_id (dims = 8 + id mod 24/17,
+    // format alternates png/jpeg), so the oracle predicts the real
+    // ImageIO probe output purely arithmetically
+    "mm_image_probe" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(8 + doc_id % 24 AS INT) AS width,
+        |  CAST(8 + doc_id % 17 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // replay of generator formula ∘ nearest-neighbour grid: out pixel
+    // (x, y) samples source (sx, sy) = (⌊x·w/16⌋, ⌊y·h/16⌋) whose RGB
+    // is ((37sx+101sy+id) mod 256, 7sx mod 256, 13sy mod 256); PNG
+    // decode is lossless so equality is exact
+    "mm_image_resize" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 15)) AS i),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    (x.i * (8 + d.doc_id % 24)) // 16 AS sx,
+        |    (y.i * (8 + d.doc_id % 17)) // 16 AS sy
+        |  FROM documents d, g x, g y
+        |  WHERE d.doc_id % 2 = 0)
+        |SELECT doc_id,
+        |  CAST(sum((37 * sx + 101 * sy + doc_id) % 256
+        |           + (7 * sx) % 256 + (13 * sy) % 256) AS BIGINT) AS px_sum,
+        |  CAST(768 AS BIGINT) AS px_len
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """WITH chars AS (
         |  SELECT doc_id, greatest(length(text), 1) AS n,

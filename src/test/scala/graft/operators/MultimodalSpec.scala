@@ -189,6 +189,73 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.forall(_.length == 4 * 2 * 3))
   }
 
+  /** Encode a w×h image with the syntheticImages pixel formula through
+    * the JDK writer for `fmt`.
+    */
+  private def imageBytes(w: Int, h: Int, id: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((37 * x + 101 * y + id) & 0xFF) << 16 |
+        ((7 * x) & 0xFF) << 8 | ((13 * y) & 0xFF))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("ImageIODecoder: real header probe for PNG/JPEG/GIF; non-images fall back") {
+    val dec = new ImageIODecoder
+    assert(dec.probe(imageBytes(20, 11, 5, "png")) == ("png", 20, 11, 1))
+    assert(dec.probe(imageBytes(33, 9, 5, "jpeg")) == ("jpeg", 33, 9, 1))
+    assert(dec.probe(imageBytes(12, 12, 5, "gif")) == ("gif", 12, 12, 1))
+    // WAV keeps the HeaderDecoder path through the fallback chain
+    assert(dec.probe(wavBytes(16000, 1, 16, 32)) == ("wav", 16000, 1, 32))
+    // text blobs reach the stub unchanged
+    val txt = "just text".getBytes("UTF-8")
+    assert(dec.probe(txt) == new StubDecoder().probe(txt))
+  }
+
+  test("ImageIODecoder: PNG decode round-trip is pixel-exact; JPEG is shape-exact") {
+    val dec = new ImageIODecoder
+    val png = imageBytes(4, 3, 9, "png")
+    // identity resize = the exact source pixels, row-major top-down RGB
+    val got = dec.resize(png, 4, 3)
+    val want = for (y <- 0 until 3; x <- 0 until 4;
+                    c <- Seq((37 * x + 101 * y + 9) & 0xFF, (7 * x) & 0xFF, (13 * y) & 0xFF))
+      yield c.toByte
+    assert(got.toSeq == want)
+    // frame 0 of a single-image format is the same full decode
+    assert(dec.frame(png, 0).toSeq == want)
+    // downsample floor-samples the same grid as HeaderDecoder.resize:
+    // 4×3 → 2×1 picks source pixels (0,0) and (2,0)
+    val down = dec.resize(png, 2, 1)
+    assert(down.toSeq == want.slice(0, 3) ++ want.slice(6, 9))
+    // lossy JPEG: exact dims, right tensor size (pixels approximate)
+    assert(dec.resize(imageBytes(10, 10, 9, "jpeg"), 5, 5).length == 5 * 5 * 3)
+  }
+
+  test("ImageIODecoder: corrupt image payloads fall back instead of throwing") {
+    val dec = new ImageIODecoder
+    // valid PNG magic, garbage body — a poisoned blob in a 100 TB scan
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Array.fill[Byte](64)(0x42)
+    assert(dec.probe(corrupt) == new StubDecoder().probe(corrupt))
+    assert(dec.resize(corrupt, 2, 2).toSeq == new StubDecoder().resize(corrupt, 2, 2).toSeq)
+  }
+
+  test("syntheticImages + extractMeta: dims/format replay the id arithmetic") {
+    val docs = Tables.documents(spark, sf001).limit(40)
+    val meta = extractMeta(syntheticImages(docs), () => new ImageIODecoder)
+      .collect()
+    assert(meta.length == 40)
+    meta.foreach { m =>
+      assert(m.format == (if (m.doc_id % 2 == 0) "png" else "jpeg"), m.toString)
+      assert(m.width == 8 + (m.doc_id % 24).toInt, m.toString)
+      assert(m.height == 8 + (m.doc_id % 17).toInt, m.toString)
+      assert(m.n_frames == 1)
+    }
+  }
+
   test("histogramFeatures: exact L1-normalized byte histogram, scalar-safe") {
     val blob = Array[Byte](0, 31, 32, 64.toByte, 255.toByte, 255.toByte)
     val feats = histogramFeatures(Seq((7L, blob)).toDF("doc_id", "blob"), bins = 8)
