@@ -122,15 +122,30 @@ object Synthetic {
     }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
   }
 
+  /** The deterministic draw sequence of one order row. Factored out so
+    * [[lineitem]] replays the IDENTICAL prefix when it needs the order
+    * date — a partial replay (skipping the first three draws) silently
+    * decorrelates l_shipdate from o_orderdate and distorts every
+    * date-predicate selectivity the SCALE.md ratios depend on.
+    */
+  private final case class OrderDraw(custkey: Long, status: String,
+      totalprice: Double, epochDay: Long, priority: String)
+
+  private def orderDraw(okey: Long, customers: Long): OrderDraw = {
+    val r = rng("orders", okey)
+    OrderDraw(
+      math.floorMod(r.nextLong(), customers),
+      "OPF".charAt(r.nextInt(3)).toString,
+      round2(1000.0 + r.nextDouble() * 499000.0),
+      orderEpochDay0 + r.nextInt(orderDaySpan),
+      priorities(r.nextInt(priorities.size)))
+  }
+
   def orders(spark: SparkSession, n: Long, customers: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val r = rng("orders", id)
-      (id, math.floorMod(r.nextLong(), customers),
-        "OPF".charAt(r.nextInt(3)).toString,
-        round2(1000.0 + r.nextDouble() * 499000.0),
-        dayTs(orderEpochDay0 + r.nextInt(orderDaySpan)),
-        priorities(r.nextInt(priorities.size)))
+      val o = orderDraw(id, customers)
+      (id, o.custkey, o.status, o.totalprice, dayTs(o.epochDay), o.priority)
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")
   }
@@ -148,7 +163,10 @@ object Synthetic {
       val r = rng("lineitem", okey)
       var k = 0; var p = 1.0
       while ({ p *= r.nextDouble(); p > expNeg4 }) k += 1
-      val orderDay = orderEpochDay0 + rng("orders", okey).nextInt(orderDaySpan)
+      // full replay of the order's draw sequence — l_shipdate must land
+      // strictly after this order's o_orderdate (customers count only
+      // scales a discarded floorMod, never the draw sequence)
+      val orderDay = orderDraw(okey, 1L).epochDay
       (1 to k).map { ln =>
         val qty = (1 + r.nextInt(50)).toDouble
         (okey, math.floorMod(r.nextLong(), nParts),
@@ -175,7 +193,9 @@ object Synthetic {
       val r = rng("events", id)
       (id, eventNanos0 + math.floorMod(r.nextLong(), eventNanoSpan),
         math.floorMod(r.nextLong(), users), types(r.nextInt(types.size)),
-        round2(-50.0 * math.log(r.nextDouble())), // Exponential(mean 50)
+        // Exponential(mean 50); 1-u keeps the argument in (0,1] so a
+        // nextDouble()==0.0 draw can't emit +Infinity into sums/avgs
+        round2(-50.0 * math.log(1.0 - r.nextDouble())),
         s"""{"k": ${r.nextInt(100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }

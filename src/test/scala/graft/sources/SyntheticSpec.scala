@@ -33,6 +33,26 @@ class SyntheticSpec extends SparkSpec {
     assert(emptyFrac > 0.005 && emptyFrac < 0.05, s"empty-order fraction $emptyFrac")
   }
 
+  test("every l_shipdate lands strictly after its order's o_orderdate") {
+    val o = Synthetic.orders(spark, 2000, 300)
+    val li = Synthetic.lineitem(spark, 2000, 4000, 200)
+    val violations = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" <= $"o_orderdate").count()
+    assert(violations == 0L, s"$violations lines ship on/before their order date")
+    // and the ship window is the documented 1..96 days after the order
+    val maxGap = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select(datediff($"l_shipdate", $"o_orderdate").as("gap"))
+      .agg(max("gap")).as[Int].head()
+    assert(maxGap <= 96, s"max ship gap $maxGap days")
+  }
+
+  test("event values are finite (Exponential draw can never hit log(0))") {
+    val bad = Synthetic.events(spark, 5000, 500)
+      .filter(isnan($"value") || $"value" === Double.PositiveInfinity ||
+        $"value" < 0.0).count()
+    assert(bad == 0L)
+  }
+
   test("schemas match the shipped tables column-for-column") {
     for ((name, df) <- Seq(
         "customer" -> Synthetic.customer(spark, 10),
