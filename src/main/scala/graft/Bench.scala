@@ -21,6 +21,14 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
@@ -47,6 +55,10 @@ object Bench {
     // iterating on one query; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a query that throws must FAIL the run, not bench as a fast green
+    // number: record the first exception per query, emit them in the JSON
+    // line, and exit non-zero so the driver sees the breakage
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -56,7 +68,10 @@ object Bench {
       System.gc()
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, e.toString.linesIterator.next().take(300))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(samples)
@@ -79,7 +94,15 @@ object Bench {
         ""","streaming_rps":0.0"""
       }
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streaming,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+        .mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streaming$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries threw: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -244,10 +244,18 @@ object TextQueries {
     // quality): model = corpus token frequencies, score = mean
     // −log10 p(tok). Per-token log-probs rounded then decimal-summed →
     // bit-stable at any parallelism, oracle-checked end to end
-    "text_lm_score" -> ((s, d) =>
-      graft.operators.TextAnalysis.lmScore(
+    // registered through the MANAGED single-pass form: the exploded
+    // token table (the heaviest pass — larger than the corpus) is
+    // persisted so tokenize+explode runs once across model build and
+    // score join, the result is materialized eagerly via
+    // localCheckpoint, and the token cache is released before return.
+    // The plain lmScore would evaluate the token subtree twice.
+    "text_lm_score" -> ((s, d) => {
+      val (res, release) = graft.operators.TextAnalysis.lmScoreManaged(
         Tables.documents(s, d), "text", "doc_id")
-        .orderBy("doc_id"))
+      try res.orderBy("doc_id").localCheckpoint(true)
+      finally release()
+    })
   )
 
   private val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")

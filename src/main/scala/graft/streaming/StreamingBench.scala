@@ -47,20 +47,51 @@ object StreamingBench {
     spark.read.parquet(dir).count()
   }
 
-  /** Drive the full pipeline over a prepared wire dir; timed. */
+  /** Drive the full pipeline over a prepared wire dir; timed.
+    *
+    * Records/batches are counted through a [[StreamingQueryListener]]
+    * rather than `q.recentProgress`: Spark retains only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100) progress
+    * entries, so a run with more batches would silently under-count and
+    * deflate the reported rps. The listener sees every progress event.
+    */
   def drain(spark: SparkSession, wireDir: String, workDir: String): Result = {
-    val raw = spark.readStream
-      .schema(wireSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(wireDir)
-    val t0 = System.nanoTime()
-    val q = MessagePipeline.run(raw, GraftConfig.dev,
-      s"$workDir/detail", s"$workDir/summary", s"$workDir/checkpoint")
-    q.processAllAvailable()
-    q.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.filter(_.numInputRows > 0)
-    Result(progress.map(_.numInputRows).sum, progress.length, secs)
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var runId: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.runId == runId && e.progress.numInputRows > 0) {
+          records.addAndGet(e.progress.numInputRows)
+          batches.incrementAndGet()
+          ()
+        }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val raw = spark.readStream
+        .schema(wireSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wireDir)
+      val t0 = System.nanoTime()
+      val q = MessagePipeline.run(raw, GraftConfig.dev,
+        s"$workDir/detail", s"$workDir/summary", s"$workDir/checkpoint")
+      runId = q.runId
+      q.processAllAvailable()
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events are delivered asynchronously — wait until the
+      // counters go quiet (bounded) before reading them
+      var last = -1L
+      var spins = 0
+      while (records.get() != last && spins < 50) {
+        last = records.get(); Thread.sleep(100); spins += 1
+      }
+      Result(records.get(), batches.get(), secs)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** One-call form for Bench: encode at `sfDir`, replay, clean up. */

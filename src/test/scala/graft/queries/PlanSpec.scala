@@ -314,11 +314,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text_lm_score: shuffles carry tokens and counts, never document text") {
-    val plan = executed(query("text_lm_score"))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.nonEmpty)
-    assert(!shuffles.exists(_.child.output.exists(_.name == "text")),
-      s"document bodies crossed a shuffle:\n$plan")
+    // the REGISTERED query checkpoints its result, so inspect the plan it
+    // materializes: the managed form's pre-checkpoint dataflow
+    val (res, release) = graft.operators.TextAnalysis.lmScoreManaged(
+      graft.sources.Tables.documents(spark, sf001), "text", "doc_id")
+    try {
+      val plan = executed(res)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty)
+      assert(!shuffles.exists(_.child.output.exists(_.name == "text")),
+        s"document bodies crossed a shuffle:\n$plan")
+    } finally release()
+  }
+
+  test("text_lm_score managed: token subtree is cache-backed, evaluated once") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val (res, release) = graft.operators.TextAnalysis.lmScoreManaged(
+      docs, "text", "doc_id")
+    try {
+      val plan = executed(res)
+      // every consumer of the token table (score join, model build, and
+      // the totals aggregate over the model) must read the persisted
+      // cache — that IS the single-tokenize guarantee
+      val cacheScans =
+        plan.collect { case s if s.nodeName.contains("InMemoryTableScan") => s }
+      assert(cacheScans.size == 3,
+        s"expected 3 token-cache reads (score + model + totals):\n$plan")
+      // and no direct parquet re-scan of documents survives outside it
+      assert(scans(plan).isEmpty,
+        s"tokenize subtree re-evaluated from source:\n$plan")
+      // managed and two-pass forms agree row for row
+      val managed = res.orderBy("doc_id").collect().map(_.toString)
+      val plain = graft.operators.TextAnalysis.lmScore(docs, "text", "doc_id")
+        .orderBy("doc_id").collect().map(_.toString)
+      assert(managed.sameElements(plain))
+    } finally release()
   }
 
   test("partitioned history table prunes month partitions at read") {
