@@ -34,8 +34,10 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                nodes: Option[DataFrame] = None,
-               itersPerCut: Int = 8): DataFrame =
-    pageRankManaged(edges, srcCol, dstCol, iters, damping, nodes, itersPerCut)._1
+               itersPerCut: Int = 8,
+               nodesCount: Option[Long] = None): DataFrame =
+    pageRankManaged(edges, srcCol, dstCol, iters, damping, nodes,
+      itersPerCut, nodesCount)._1
 
   /** [[pageRank]] plus a release handle for the last lineage-cut cache
     * (same contract as [[Dedup.connectedComponentsManaged]]: call after
@@ -47,7 +49,8 @@ object Graph {
   def pageRankManaged(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                nodes: Option[DataFrame] = None,
-               itersPerCut: Int = 8): (DataFrame, () => Unit) = {
+               itersPerCut: Int = 8,
+               nodesCount: Option[Long] = None): (DataFrame, () => Unit) = {
     require(iters >= 1, "pageRank: iters >= 1")
     require(itersPerCut >= 1, "pageRank: itersPerCut >= 1")
     val spark = edges.sparkSession
@@ -56,7 +59,10 @@ object Graph {
       .map(_.toDF("id"))
       .getOrElse(e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct())
-    val n = ns.count() // 1 driver scalar: the teleport denominator
+    // the teleport denominator: 1 driver scalar. Callers that already
+    // know |V| pass nodesCount and skip the extra full-table count job
+    // (the hint is trusted — a wrong value skews every teleport term)
+    val n = nodesCount.getOrElse(ns.count())
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val nodeDeg = ns.join(deg, Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))

@@ -457,6 +457,77 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "blob")
   }
 
+  /** Test/bench ANIMATED-GIF table: one multi-frame GIF per document,
+    * 2 + id mod 4 frames of the id's image dims. Frame `f`, row `y` is
+    * the solid-striped RGB ((37f + id) mod 256, 7y mod 256,
+    * (13y + f) mod 256) — at most `h` ≤ 24 distinct colors per frame,
+    * written as TYPE_BYTE_INDEXED over an explicit palette so the GIF
+    * encoder stores them LOSSLESSLY (an RGB frame would be re-quantized
+    * by the JDK writer and break pixel prediction). An oracle can
+    * therefore recompute any frame's checksum arithmetically, which
+    * makes [[ImageIODecoder.frame]]'s multi-image indexing
+    * oracle-checkable end to end.
+    */
+  def syntheticGifs(documents: DataFrame): DataFrame = {
+    val ds = documents.select(col("doc_id")).as[Long](Encoders.scalaLong)
+    ds.map { id =>
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 17).toInt
+      val nFrames = 2 + (id % 4).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        // one palette entry per row stripe
+        val pr = new Array[Byte](h); val pg = new Array[Byte](h); val pb = new Array[Byte](h)
+        var y = 0
+        while (y < h) {
+          pr(y) = ((37 * f + id.toInt) & 0xFF).toByte
+          pg(y) = ((7 * y) & 0xFF).toByte
+          pb(y) = ((13 * y + f) & 0xFF).toByte
+          y += 1
+        }
+        val cm = new java.awt.image.IndexColorModel(8, h, pr, pg, pb)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, y); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      (id, bos.toByteArray)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "blob")
+  }
+
+  /** Checksum per sampled frame of a [[sampleFrames]] output:
+    * (doc_id, frame_idx, unsigned byte sum, byte count) — the
+    * frame-indexed analog of [[pixelChecksum]].
+    */
+  def frameChecksum(frames: DataFrame): DataFrame = {
+    val ds = frames.select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+      .as[(Long, Int, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
+    ds.map { case (id, idx, bytes) =>
+      var s = 0L; var i = 0
+      while (i < bytes.length) { s += bytes(i) & 0xFF; i += 1 }
+      (id, idx, s, bytes.length.toLong)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "frame_idx", "px_sum", "px_len")
+  }
+
   /** Integer checksum over a [[resizeMedia]] output: (doc_id, unsigned
     * byte sum, byte count). Narrow partition-wise map — the cheap way
     * to oracle-check a decoded tensor without hauling pixels anywhere.

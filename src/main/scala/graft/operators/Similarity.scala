@@ -393,7 +393,8 @@ object Similarity {
     */
   def semanticNearDups(
       df: DataFrame, k: Int, topPairs: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      alsoMatch: Seq[String] = Nil): DataFrame = {
     // bind the assignment through a Generate barrier: `cell` is consumed
     // by the join key AND its implicit isnotnull filter, and Catalyst
     // has no let-binding — a plain withColumn would re-run the k-dot
@@ -402,7 +403,10 @@ object Similarity {
     val assigned = df.withColumn("cell", explode(array(
       graft.plans.NearestCentroid(col(vecCol),
         seedCentroids(df, k, idCol, vecCol)))))
-    cosineNearDupsBlocked(assigned, Seq("cell"), topPairs, idCol, vecCol)
+    // alsoMatch columns join the equi-key (e.g. label-scoped near-dup
+    // queries): pairs must agree on cell AND every listed column, which
+    // only shrinks blocks — the scale shape is unchanged
+    cosineNearDupsBlocked(assigned, "cell" +: alsoMatch, topPairs, idCol, vecCol)
   }
 
   /** First `k` vectors by id as a driver-side centroid matrix —

@@ -328,6 +328,54 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // ORACLE COMPANION for rel_approx_distinct: per group, the exact
+    // distinct count (DuckDB recomputes it — engine-independent) plus a
+    // within_bound flag that must be uniformly TRUE: HLL++ at rsd 0.05
+    // must land within 3·rsd of exact. A sketch regression flips the
+    // flag and the hash goes red; stronger than an empty violation set
+    // because every group row is value-checked, not just counted
+    "rel_approx_distinct_bound" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("within_bound"))
+        .orderBy("l_returnflag")),
+
+    // ORACLE COMPANION for rel_approx_quantiles: percentile_approx with
+    // accuracy 1000 guarantees rank error <= n/1000. For each requested
+    // percentile the approx value's TRUE rank interval
+    // [count(x < v), count(x <= v)] must intersect [(p-eps)n, (p+eps)n]
+    // (one row of slack each side for rank-convention boundaries).
+    // Output: group size + four must-be-TRUE flags; DuckDB recomputes n
+    // and asserts the constants — any sketch drift flips a flag
+    "rel_approx_quantiles_bound" -> ((s, d) => {
+      val eps = 1.0 / 1000
+      val aq = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000)).as("aq"))
+      val joined = Tables.lineitem(s, d)
+        .join(aq, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (0 until 4).flatMap { i =>
+            Seq(sum(when(col("l_extendedprice") < col("aq")(i), 1L)
+                .otherwise(0L)).as(s"lo$i"),
+              sum(when(col("l_extendedprice") <= col("aq")(i), 1L)
+                .otherwise(0L)).as(s"hi$i"))
+          }: _*)
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      joined.select(col("l_returnflag") +: col("n") +:
+          ps.zipWithIndex.map { case (p, i) =>
+            ((col(s"lo$i") <= (lit(p) + eps) * col("n") + 1) &&
+              (col(s"hi$i") >= (lit(p) - eps) * col("n") - 1))
+              .as(s"within_q${(p * 100).toInt}")
+          }: _*)
+        .orderBy("l_returnflag")}),
+
     // mergeable quantile sketch per group (rows-only: sketch internals
     // are engine-specific; error vs exact percentiles bounded in
     // SparkEntrySpec) — the single-pass path for percentile dashboards
@@ -579,6 +627,20 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.5) AS med_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS price_p25,
         |  quantile_cont(l_extendedprice, 0.75) AS price_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle recomputes the EXACT distinct count; within_bound is the
+    // asserted constant TRUE (the engine-side HLL must stay in bound)
+    "rel_approx_distinct_bound" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // group sizes recomputed exactly; the four rank-containment flags are
+    // asserted constants TRUE
+    "rel_approx_quantiles_bound" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  true AS within_q25, true AS within_q50,
+        |  true AS within_q75, true AS within_q95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_topk_price" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -86,8 +86,23 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
-    // exact embedding near-dups: top-20 same-label pairs by cosine
+    // embedding near-dups, PRODUCTION SHAPE (the headline near-dup
+    // query): same-label top-20 pairs searched only within semantic
+    // clusters — assignment is the narrow native NearestCentroid map and
+    // the pair join is an equi-join on (cell, label), never O(label²).
+    // The oracle replays the identical cluster scoping, so the hash
+    // checks assignment, scoping, and scores end to end
     "sim_neardup_cosine" -> ((s, d) =>
+      Similarity.semanticNearDups(Tables.embeddings(s, d), k = 8,
+        topPairs = 20, alsoMatch = Seq("label"))
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
+
+    // ORACLE COMPANION: the exact same-label search without cluster
+    // scoping (O(block²) within each label) — the small-SF ground truth
+    // the production shape is judged against; never the path to run at
+    // corpus scale
+    "sim_neardup_blocked" -> ((s, d) =>
       Similarity.cosineNearDupsBlocked(Tables.embeddings(s, d),
         Seq("label"), topPairs = 20) // limit taken on raw cos ordering
         .withColumn("cos", round(col("cos"), 9))
@@ -118,6 +133,20 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb,
         Similarity.centroids(emb, "label"), k = 5, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
+    // ORACLE COMPANION for the quantized path (the
+    // sim_ivf_exhaustive_topk move): probe ALL 10 label cells and rerank
+    // a shortlist covering the whole corpus (k·4000 ≥ any gate SF), so
+    // the int8 candidate stage may only reorder candidates the fp32
+    // rerank fully re-scores — the output must equal brute force
+    // EXACTLY, making quantize→score→rerank oracle-checked end to end
+    "sim_ivf_quantized_exhaustive" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb,
+        Similarity.centroids(emb, "label"), k = 5, nprobe = 10,
+        rerankFactor = 4000)
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
@@ -183,6 +212,19 @@ object SimilarityQueries {
             Tables.documents(s, d).filter(col("doc_id") % 2 === 0)),
           () => new Multimodal.ImageIODecoder, outW = 16, outH = 16))
         .orderBy("doc_id")),
+
+    // multimodal: MULTI-FRAME GIF sampling — every 2nd frame of each
+    // synthetic animated GIF decoded through ImageIO's sequence reader
+    // and checksummed. The generator's indexed palette makes GIF
+    // storage lossless, so the oracle predicts each sampled frame's
+    // byte sum arithmetically: wrong frame indexing, wrong frame count,
+    // or a decode regression all flip the hash
+    "mm_gif_frames" -> ((s, d) =>
+      Multimodal.frameChecksum(
+        Multimodal.sampleFrames(
+          Multimodal.syntheticGifs(Tables.documents(s, d)),
+          () => new Multimodal.ImageIODecoder, stride = 2))
+        .orderBy("doc_id", "frame_idx")),
 
     // multimodal: codec-free feature extraction — 8-bin byte-value
     // histogram per payload, L1-normalized (media content signature
@@ -322,7 +364,39 @@ object SimilarityQueries {
          |  LIMIT 20)
          |ORDER BY round(cos_raw, 9) DESC, id_a, id_b""".stripMargin,
 
+    // the production query's oracle replays the SAME cluster scoping
+    // (assignment CTEs identical to sim_semantic_dedup) plus the label
+    // equi-key — hash-checks assignment, scoping, and scores together
     "sim_neardup_cosine" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, [x::DOUBLE FOR x IN embedding] AS c
+         |  FROM embeddings WHERE vec_id < 8
+         |), normed AS (
+         |  SELECT cell,
+         |    [x * (CASE WHEN list_sum([y * y FOR y IN c]) > 0
+         |          THEN 1.0 / sqrt(list_sum([y * y FOR y IN c]))
+         |          ELSE 0 END) FOR x IN c] AS cn
+         |  FROM seeds
+         |), assigned AS (
+         |  SELECT vec_id, embedding, label, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.label, n.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(
+         |          list_zip([x::DOUBLE FOR x IN e.embedding], n.cn),
+         |          p -> p[1] * p[2])) DESC, n.cell) AS rn
+         |    FROM embeddings e CROSS JOIN normed n)
+         |  WHERE rn = 1
+         |)
+         |SELECT id_a, id_b, round(cos_raw, 9) AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.label = b.label AND a.vec_id < b.vec_id
+         |  ORDER BY cos_raw DESC, id_a, id_b
+         |  LIMIT 20)
+         |ORDER BY round(cos_raw, 9) DESC, id_a, id_b""".stripMargin,
+
+    "sim_neardup_blocked" ->
       s"""SELECT id_a, id_b, round(cos_raw, 9) AS cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${cosSql("a.embedding", "b.embedding")} AS cos_raw
@@ -331,6 +405,21 @@ object SimilarityQueries {
          |  ORDER BY cos_raw DESC, id_a, id_b
          |  LIMIT 20)
          |ORDER BY round(cos_raw, 9) DESC, id_a, id_b""".stripMargin,
+
+    // exhaustive probing + corpus-covering rerank ⇒ identical to the
+    // brute-force oracle (see the query comment)
+    "sim_ivf_quantized_exhaustive" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "mm_blob_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS content_sha
@@ -371,6 +460,24 @@ object SimilarityQueries {
         |           + (7 * sx) % 256 + (13 * sy) % 256) AS BIGINT) AS px_sum,
         |  CAST(768 AS BIGINT) AS px_len
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replay of the GIF generator formula ∘ frame sampling: frames
+    // 0, 2, 4 of n = 2 + id mod 4; frame f row y contributes
+    // w · ((37f+id)%256 + (7y)%256 + (13y+f)%256) to the byte sum
+    "mm_gif_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(2 + doc_id % 4 AS INT) - 1, 2)) AS frame_idx
+        |  FROM documents
+        |), rows_ AS (
+        |  SELECT doc_id, frame_idx,
+        |    unnest(generate_series(0, CAST(8 + doc_id % 17 AS INT) - 1)) AS y
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST((8 + doc_id % 24) * sum((37 * frame_idx + doc_id) % 256
+        |       + (7 * y) % 256 + (13 * y + frame_idx) % 256) AS BIGINT) AS px_sum,
+        |  CAST((8 + doc_id % 24) * (8 + doc_id % 17) * 3 AS BIGINT) AS px_len
+        |FROM rows_ GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_features" ->
       """WITH chars AS (
         |  SELECT doc_id, greatest(length(text), 1) AS n,

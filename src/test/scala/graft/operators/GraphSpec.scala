@@ -56,6 +56,37 @@ class GraphSpec extends SparkSpec {
     nodes.foreach(v => assert(math.abs(got(v) - expect(v)) < 1e-12))
   }
 
+  test("nodesCount hint skips the |V| count job; ranks identical") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // unhinted CONSTRUCTION runs the |V| count (1+ jobs — AQE may
+      // stage it); 3 iters < itersPerCut, so no cut jobs
+      val base = Graph.pageRank(e, "src", "dst", iters = 3,
+        nodes = Some(nodes.toDF("id")))
+      org.apache.spark.graft.TestBridge.waitForListenerBus(spark.sparkContext)
+      val unhinted = jobs.get()
+      assert(unhinted >= 1, s"expected the count job at construction, got $unhinted")
+      jobs.set(0)
+      val hinted = Graph.pageRank(e, "src", "dst", iters = 3,
+        nodes = Some(nodes.toDF("id")), nodesCount = Some(3L))
+      org.apache.spark.graft.TestBridge.waitForListenerBus(spark.sparkContext)
+      assert(jobs.get() == 0, s"hinted construction launched ${jobs.get()} jobs")
+      // and the hint changes nothing about the result
+      val a = base.as[(Long, Double)].collect().toMap
+      val b = hinted.as[(Long, Double)].collect().toMap
+      assert(a == b)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("20 iterations with lineage cuts: bounded plan, reference parity, cache released") {
     val e = Seq((1L, 2L), (3L, 2L), (2L, 4L), (4L, 1L), (2L, 1L))
     val nodes = Seq(1L, 2L, 3L, 4L)

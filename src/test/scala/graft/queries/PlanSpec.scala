@@ -313,6 +313,31 @@ class PlanSpec extends SparkSpec {
       s"an unlabeled vector crossed a shuffle:\n$plan")
   }
 
+  test("sim_neardup_cosine production shape: within-cluster equi-join on (cell, label)") {
+    val plan = executed(query("sim_neardup_cosine"))
+    // never an all-pairs NLJ — the pair search is an equi-join whose key
+    // includes BOTH the semantic cell and the label
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      plan.toString)
+    val equiKeySets: Seq[Set[String]] = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      case j: BroadcastHashJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name)).toSet
+    }
+    assert(equiKeySets.exists(ks => ks.contains("cell") && ks.contains("label")),
+      s"no (cell, label) equi-join found:\n$plan")
+    // vectors only cross shuffles already labeled with their cell
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val vecShuffles = shuffles.filter(
+      _.child.output.exists(a => a.name == "va" || a.name == "vb" ||
+        a.name == "embedding"))
+    assert(vecShuffles.forall(_.child.output.exists(_.name == "cell")),
+      s"an unlabeled vector crossed a shuffle:\n$plan")
+  }
+
   test("text_lm_score: shuffles carry tokens and counts, never document text") {
     // the REGISTERED query checkpoints its result, so inspect the plan it
     // materializes: the managed form's pre-checkpoint dataflow
