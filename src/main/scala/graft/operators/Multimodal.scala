@@ -194,9 +194,19 @@ object Multimodal {
     * come from the reader's header parse (no pixel decode); nImages
     * walks the stream only for GIF, the one bundled multi-image format.
     */
+  /** ImageIO's stream factories default to DISK-backed caches (a temp
+    * file per createImage{Input,Output}Stream call): at 32 concurrent
+    * decode tasks the tmpfs round-trips serialize and the image ops go
+    * super-linear (measured 13-14× time at 10× images before this
+    * switch). Media blobs here are in-memory byte arrays — force the
+    * memory-cached stream implementations, once per JVM.
+    */
+  private[operators] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   final class ImageIODecoder(fallback: MediaDecoder = new HeaderDecoder)
       extends MediaDecoder {
-    def init(): Unit = fallback.init()
+    def init(): Unit = { imageIoMemCache; fallback.init() }
 
     private def isPng(b: Array[Byte]) =
       b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
@@ -436,6 +446,7 @@ object Multimodal {
   def syntheticImages(documents: DataFrame): DataFrame = {
     val ds = documents.select(col("doc_id")).as[Long](Encoders.scalaLong)
     ds.map { id =>
+      imageIoMemCache // encoder side pays the same disk-cache tax
       val w = 8 + (id % 24).toInt
       val h = 8 + (id % 17).toInt
       val img = new java.awt.image.BufferedImage(
@@ -471,6 +482,7 @@ object Multimodal {
   def syntheticGifs(documents: DataFrame): DataFrame = {
     val ds = documents.select(col("doc_id")).as[Long](Encoders.scalaLong)
     ds.map { id =>
+      imageIoMemCache
       val w = 8 + (id % 24).toInt
       val h = 8 + (id % 17).toInt
       val nFrames = 2 + (id % 4).toInt
