@@ -74,6 +74,29 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // RECALL FLOOR for the learned-centroid ANN path (the
+    // sim_lsh_recall move): per query, IVF-over-kmeans top-5 must
+    // recover >= 2 of the exact top-5. Both sides deterministic (xxhash
+    // seed pick + exact-decimal centroid means; exact ranking), so the
+    // violation set is stably empty — a Lloyd's/assignment regression
+    // that tanks recall flips this row red while sim_ivf_kmeans_topk
+    // itself stays rows-only
+    "sim_kmeans_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val panel = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(panel, emb, k = 5)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.ivfTopK(panel, emb,
+        Similarity.kmeansCentroids(emb, k = 8, iters = 3), k = 5, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .filter(col("hits") < 2)
+        .orderBy("query_id")}),
+
     // IVF with EXHAUSTIVE probing (nprobe = all 10 label cells): the
     // candidate set degenerates to the whole corpus, so the output must
     // equal brute force EXACTLY — which makes the whole inverted-file
@@ -250,6 +273,9 @@ object SimilarityQueries {
     // cannot replay the hash side; the floor property is what SQL can
     // express, same move as dedup_minhash_superset)
     "sim_lsh_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits WHERE 1=0",
+    // same property-oracle shape for the learned-centroid ANN path
+    "sim_kmeans_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits WHERE 1=0",
     // same IEEE ops as Quantize: scale = max|v|/127; codes round half
     // away from zero via the SAME floor/ceil formula (both engines'

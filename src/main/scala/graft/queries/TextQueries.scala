@@ -231,6 +231,28 @@ object TextQueries {
           round(avg(col("compress_ratio")), 4).as("mean_ratio"))
         .orderBy("source")),
 
+    // ORACLE COMPANION for text_compress_ratio (the violation-set move):
+    // deflate's 32 KB back-reference window covers every corpus doc, so
+    // compressing text||text must cost at most the single-copy bytes
+    // plus a small constant (the second copy is one long match). A
+    // deflater regression or a ratio-arithmetic bug breaks the
+    // inequality; the oracle asserts the empty set
+    "text_compress_doubling" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val single = graft.operators.TextAnalysis.withCompressionRatio(
+        docs, "text").select(col("doc_id"),
+          round(col("compress_ratio") * length(col("text"))).cast("long")
+            .as("c1"))
+      val doubled = graft.operators.TextAnalysis.withCompressionRatio(
+        docs.select(col("doc_id"),
+          concat(col("text"), col("text")).as("text")), "text")
+        .select(col("doc_id"),
+          round(col("compress_ratio") * length(col("text"))).cast("long")
+            .as("c2"))
+      single.join(doubled, "doc_id")
+        .filter(col("c2") > col("c1") + 50)
+        .orderBy("doc_id")}),
+
     "text_top_terms" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -289,6 +311,12 @@ object TextQueries {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    // property oracle: the expected violation set is EMPTY (DuckDB has
+    // no zlib to replay the byte counts; the doubling inequality is the
+    // SQL-assertable property — same move as sim_lsh_recall)
+    "text_compress_doubling" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS c1,
+        |  CAST(NULL AS BIGINT) AS c2 WHERE 1=0""".stripMargin,
     // same per-token round-then-decimal-sum discipline as the engine:
     // log10 may differ in the last ulp across libm builds, so each lp is
     // rounded to 9 dp BEFORE the (exact, order-free) decimal sum
