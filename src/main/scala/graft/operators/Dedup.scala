@@ -319,16 +319,32 @@ object Dedup {
     def minOverlapOf(sz: Column): Column =
       ceil(lit(threshold) * sz - lit(1e-6)).cast("int")
     val minOverlap = minOverlapOf(col("sz"))
+    // prefix tokens with their 0-based POSITION in the sorted array —
+    // feeds the PPJoin positional filter below
     val pre = t.select(Seq(col("id"), col("sz"),
-      explode(slice(col("sh"), lit(1), col("sz") - minOverlap + lit(1))).as("s")) ++
+      posexplode(slice(col("sh"), lit(1), col("sz") - minOverlap + lit(1)))
+        .as(Seq("p", "s"))) ++
       blockCols.map(col): _*)
+    // PPJoin pair bound (Xiao et al., WWW'08): jac ≥ t ⇔ |∩| ≥ t·|∪|
+    // ⟹ |∩| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ =: α — tighter than either per-side
+    // bound alone (same 1e-6 under-round slack as minOverlapOf)
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("l.sz") + col("r.sz")) - lit(1e-6)).cast("int")
     val cands = pre.as("l")
       .join(pre.as("r"),
         blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
           .reduce(_ && _) && col("l.s") === col("r.s") && col("l.id") < col("r.id") &&
           // symmetric size pruning: jac ≥ t ⇒ t·|A| ≤ |∩| ≤ |B| (and vice versa)
           col("r.sz") >= minOverlapOf(col("l.sz")) &&
-          col("l.sz") >= minOverlapOf(col("r.sz")))
+          col("l.sz") >= minOverlapOf(col("r.sz")) &&
+          // POSITIONAL filter: tokens are globally sorted, so a match at
+          // 0-based positions (p_l, p_r) bounds the overlap by
+          // min(sz_l − p_l, sz_r − p_r) — the tokens at/after the match.
+          // Sound: for a qualifying pair, its FIRST common token lies in
+          // both prefixes (else the suffix alone can't reach minOverlap)
+          // and at that match this bound ≥ |∩| ≥ α, so the pair survives
+          // through at least that row — no false negatives
+          least(col("l.sz") - col("l.p"), col("r.sz") - col("r.p")) >= alpha)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sets = t.select(col("id"), col("sh"), col("sz"))
