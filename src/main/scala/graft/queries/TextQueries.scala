@@ -12,6 +12,13 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  /** Deferred release handle for text_lm_score's token cache (see the
+    * query comment): the registered query must return a lazy result, so
+    * its cache outlives the call and is freed on the next invocation.
+    */
+  private val lmScoreRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // all quality signals from ONE string pass per row ([[withFeatures]]
@@ -268,15 +275,19 @@ object TextQueries {
     // bit-stable at any parallelism, oracle-checked end to end
     // registered through the MANAGED single-pass form: the exploded
     // token table (the heaviest pass — larger than the corpus) is
-    // persisted so tokenize+explode runs once across model build and
-    // score join, the result is materialized eagerly via
-    // localCheckpoint, and the token cache is released before return.
-    // The plain lmScore would evaluate the token subtree twice.
+    // persisted so tokenize+explode runs once across model build,
+    // totals, and score join. The result is returned LAZILY (the
+    // caller's action reads through the cache); the cache is released
+    // on the NEXT invocation, so at most one token cache is ever alive
+    // — an eager localCheckpoint here would re-add a full extra job
+    // (measured +0.4 s at sf0.1, DevLm) for no correctness gain. The
+    // plain lmScore would evaluate the token subtree twice.
     "text_lm_score" -> ((s, d) => {
+      lmScoreRelease.getAndSet(() => ()).apply() // free the previous cache
       val (res, release) = graft.operators.TextAnalysis.lmScoreManaged(
         Tables.documents(s, d), "text", "doc_id")
-      try res.orderBy("doc_id").localCheckpoint(true)
-      finally release()
+      lmScoreRelease.set(release)
+      res.orderBy("doc_id")
     })
   )
 
