@@ -97,4 +97,45 @@ class MessageFunctionsSpec extends SparkSpec {
       .toDF("s").select(hasIllegalXmlChars($"s")).as[Boolean].collect()
     assert(got.toSeq == Seq(false, true, false))
   }
+
+  // --- MXParser edge-case parity (XmppPacketReader.java:308-435 /
+  // MXParser.java:44-344): the reference's hand-written pull parser
+  // handles CDATA sections, the five predefined entities, numeric char
+  // refs (incl. supplementary-plane emoji), comments, and processing
+  // instructions. from_xml must cover the same inputs.
+
+  test("CDATA section bodies survive (MXParser parseCDSect parity, modulo edge trim)") {
+    // documented delta vs the reference: MXParser preserves CDATA
+    // verbatim; from_xml trims SURROUNDING whitespace of element text.
+    // Interior markup characters — the thing CDATA exists for — survive
+    // exactly, which is the semantics message bodies rely on
+    val xml = """<message to="a@x"><body><![CDATA[<not> & "markup" ]]></body></message>"""
+    val r = Seq(xml).toDF("s").select(parseStanza($"s").as("p")).select("p.*")
+      .collect().head
+    assert(r.getAs[String]("body") == """<not> & "markup"""")
+  }
+
+  test("predefined entities and numeric char refs decode (parseEntityRef parity)") {
+    val xml = "<message to=\"a@x\"><body>&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos; &#128512; &#x1F600;</body></message>"
+    val r = Seq(xml).toDF("s").select(parseStanza($"s").as("p")).select("p.*")
+      .collect().head
+    assert(r.getAs[String]("body") == "<tag> & \"q\" 'a' \uD83D\uDE00 \uD83D\uDE00")
+  }
+
+  test("comments and an XML declaration around the stanza are tolerated") {
+    val xml = """<?xml version="1.0" encoding="UTF-8"?><!-- relay --><message to="a@x"><!-- mid --><body>hi</body></message>"""
+    val r = Seq(xml).toDF("s").select(parseStanza($"s").as("p")).select("p.*")
+      .collect().head
+    assert(r.getAs[String]("_to") == "a@x")
+    assert(r.getAs[String]("body") == "hi")
+  }
+
+  test("malformed stanzas parse to null fields, never throw (tolerant-reader parity)") {
+    val bad = Seq("<message><body>unclosed", "not xml at all", "")
+    val rows = bad.toDF("s").select(parseStanza($"s").as("p")).select("p.*")
+      .collect()
+    assert(rows.length == 3) // no exception; per-row nulls
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("body")) ||
+      r.getAs[String]("body") == null))
+  }
 }
