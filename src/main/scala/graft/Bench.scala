@@ -55,12 +55,20 @@ object Bench {
     // iterating on one query; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_BENCH_SKIP=q1,q2 excludes queries while keeping the
+    // rest of the suite AND the streaming pass (unlike ONLY). Used for
+    // oracle-companion paths that are quadratic BY DESIGN (small-SF
+    // ground truth) at scale factors where they'd run for hours; every
+    // skip is emitted in the JSON line — never a silent cap
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // a query that throws must FAIL the run, not bench as a fast green
     // number: record the first exception per query, emit them in the JSON
     // line, and exit non-zero so the driver sees the breakage
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
       .map { case (name, fn) =>
       // quiesce: drop caches left by prior queries, collect garbage so
       // this query's heap pressure is its own, not its predecessor's
@@ -98,7 +106,11 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streaming$errJson,"sf":"$sfDir"}""")
+    val skipJson =
+      if (skip.isEmpty) ""
+      else skip.toSeq.sorted.map(jsonStr)
+        .mkString(""","skipped":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streaming$errJson$skipJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries threw: ${errors.keys.mkString(", ")}")
