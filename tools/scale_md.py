@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Assemble SCALE.md from three Bench JSON lines (sf0.1, sf1, sf10).
+
+Usage: python3 tools/scale_md.py bench_scale_sf01.json bench_scale_sf1.json bench_scale_sf10.json
+Writes SCALE.md in the cwd. The narrative sections live here so the doc
+regenerates reproducibly from checked-in measurements.
+"""
+import json
+import sys
+
+
+def table(small, big, ratio_bar, skipped=()):
+    rows = []
+    for q in sorted(small, key=lambda q: -big.get(q, 0)):
+        if q not in big:
+            continue
+        r = big[q] / small[q] if small[q] > 0 else float("inf")
+        flag = "**super-linear**" if r > ratio_bar else ""
+        rows.append(f"| `{q}` | {small[q]:.2f} | {big[q]:.2f} | {r:.1f}x | {flag} |")
+    n_super = sum(1 for r in rows if "super-linear" in r)
+    skip_note = (
+        f"\n({len(skipped)} skipped at the larger SF, listed in the JSON: "
+        + ", ".join(f"`{s}`" for s in skipped) + ")" if skipped else "")
+    return "\n".join(rows), n_super, skip_note
+
+
+def main(p01, p1, p10):
+    a = json.load(open(p01))
+    b = json.load(open(p1))
+    c = json.load(open(p10))
+    qa, qb, qc = a["queries"], b["queries"], c["queries"]
+    skipped10 = c.get("skipped", [])
+    t1, s1, _ = table(qa, qb, 12)
+    t2, s2, note2 = table(qb, qc, 12, skipped10)
+    common12 = [q for q in qa if q in qb]
+    common23 = [q for q in qb if q in qc]
+    tot_b_on_c = sum(qb[q] for q in common23)
+    tot_c = sum(qc[q] for q in common23)
+    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 6)
+
+**Method.** All three datasets come from the SAME deterministic generator
+(`sources/Synthetic.scala`; distribution parity with the shipped testdata
+pinned in SyntheticSpec), so the only variable between columns is data
+volume — 10× per step in every table (at sf10: lineitem ~60M rows,
+events 10M, documents 500k, embeddings 200k; 1.3 GB parquet). Each run
+is the full `SparkEntry.queries` suite through `graft.Bench` — per-query
+MEDIAN OF 3 back-to-back samples, catalog cache cleared + GC forced per
+query, session warm-up untimed — on an otherwise idle machine
+(local[32], 128 GiB), all three runs at the SAME commit. Raw JSON lines
+are checked in as `bench_scale_sf01.json` / `bench_scale_sf1.json` /
+`bench_scale_sf10.json`. One query is skipped at sf10 and ONLY there:
+`sim_neardup_blocked`, the all-pairs small-SF oracle companion that is
+quadratic BY DESIGN (its production counterpart `sim_neardup_cosine` is
+measured at every SF); the skip is recorded in the sf10 JSON line
+itself, never silent. The generator bugs that would have skewed these
+ratios (ship-date decorrelation, Exponential log(0)) were fixed and
+spec-pinned before generation (ADVICE r5).
+
+**Headline.**
+
+| metric | sf0.1 | sf1 | sf10 |
+|---|---|---|---|
+| suite total (same-query set per step) | {a['value']:.1f} s | {b['value']:.1f} s ({b['value']/a['value']:.2f}× for 10× data) | {tot_c:.1f} s ({tot_c/tot_b_on_c:.2f}× for 10× data) |
+| streaming pipeline (decode→enrich→dual checkpointed upsert) | {a['streaming_rps']:,.0f} rec/s | {b['streaming_rps']:,.0f} rec/s | {c['streaming_rps']:,.0f} rec/s |
+| queries over the 12× linearity bar | — | **{s1}** | **{s2}** |
+| per-query errors (bench fails the run on any) | 0 | 0 | 0 |
+
+Two decades of measured scale-up: 100× the data costs
+{tot_c/sum(qa[q] for q in common23):.1f}× the suite wall-clock on the
+common query set, and streaming throughput RISES
+{c['streaming_rps']/a['streaming_rps']:.1f}× (fixed per-micro-batch
+costs — checkpoint commits, partition merges of both sinks — amortize
+over more records per batch; the per-record cost is what a
+1000-executor deployment scales with).
+
+## What this gate caught (and the fixes it forced)
+
+The first decade (sf0.1→sf1) was nearly all fixed-overhead-bound and
+caught two super-linearities; the second decade (sf1→sf10) exposed four
+more that small scale factors structurally CANNOT show. All six are
+fixed and re-measured in the tables below:
+
+1. **ImageIO disk-backed stream cache** — `javax.imageio` creates a
+   temp cache file per stream by default; 32 concurrent decode tasks
+   serialized on it (probe/resize 13–14× at 10× images). Fix: force
+   memory-cached streams (`ImageIO.setUseCache(false)`); ratios fell to
+   ~2×, sf1 absolute times up to 6× faster.
+2. **n-gram Jaccard candidate blowup** — prefix-token buckets grow
+   linearly under a closed vocabulary, candidate pairs quadratically
+   (12.2×). Fix: PPJoin pair-sum bound α = ⌈t/(1+t)·(|A|+|B|)⌉ plus the
+   positional filter min(sz_l−p_l, sz_r−p_r) ≥ α (Xiao et al., WWW'08)
+   — lossless, oracle bit-identical, 11.2× and 25% faster absolute.
+3. **Fixed cluster count in SemDeDup queries** — k=8 forever means
+   cluster size grows with the corpus and within-cluster pair search is
+   quadratic: `sim_semantic_dedup` hit **346×** (0.93 s → 320.8 s) at
+   sf1→sf10. Fix: k = max(8, n/1000) pins expected cluster size; the
+   oracles replay the same formula via a subquery, and both gate SFs
+   still evaluate to k=8. Measured at sf10: 320.8 s → ~13 s.
+4. **SimHash all-pairs within blocks** — the signature was computed but
+   never used for BLOCKING, so candidates were quadratic in block
+   occupancy (91×). Fix: lossless pigeonhole band blocking (Manku et
+   al., WWW'07 — maxDist+1 disjoint bands, equi-join on band value,
+   hamming verify; equivalence vs the exhaustive join pinned in
+   DedupSpec at radii 4/8/12), adaptive fallback to the plain join when
+   bands are under 6 bits (narrow bands collide so often the explode
+   costs more than it saves — measured both ways), and the registered
+   query moved to the web-scale radius 3 with 16-bit bands.
+5. **Doubled edge-plan evaluation in connectedComponents** — the
+   symmetric edge list was built as a two-branch union, evaluating the
+   expensive near-dup pair plan twice before the persist could help
+   (components 116 s at sf10). Fix: symmetrize via explode — one
+   evaluation. Measured: 116 s → ~59 s, and `dedup_resolve` follows.
+6. **Driver-memory ceiling held**: every collect site stayed bounded at
+   sf10 (k-row cell tables, O(parts) packing prefix sums, ≤1M-edge
+   union-find) — no fix needed, but the decade-2 run is the evidence.
+
+## The two remaining decade-2 flags, pinned
+
+- `dedup_components` (≈15× at sf1→sf10): the oracle-checked components
+  query builds its edge list from the EXACT n-gram Jaccard path — the
+  DuckDB recursive-CTE oracle demands exact edges — so it inherits that
+  path's closed-vocabulary candidate growth (pinned above, ~11×) plus
+  the edge materialization; the loop itself resolves on the ≤1M-edge
+  driver union-find in one pass. A production pipeline runs the same
+  `connectedComponents` over MinHash edges (`dedup_minhash` measures
+  under the bar beside it).
+- `sim_semantic_dedup` (≈14.7× at sf1→sf10, 11.3 s absolute at 200k
+  vectors): the scaled k pins the EXPECTED cluster size, but
+  seed-Voronoi cells are unbalanced, and pair work is Σ size² — the
+  few biggest cells dominate. The sf1 column is also still
+  overhead-bound (0.77 s), inflating the ratio. The operator accepts
+  `kmeansCentroids` (balanced cells, same plan shape) for production;
+  the registered query keeps deterministic seeds because the oracle
+  replays the assignment in SQL. Its label-scoped production sibling
+  `sim_neardup_cosine` measures under the bar beside it.
+
+## Reading the remaining ratios
+
+Ratios well UNDER 10× mean the smaller column still carries fixed
+per-query overhead (scheduling, codegen, exchange setup). Ratios NEAR
+10× are genuinely data-bound and linear — the ideal. The oracle-replay
+companions (`dedup_*_superset`: exact side + sketch side + anti-join)
+and the exact n-gram path are the heaviest by construction and are
+documented small-SF ground-truth machinery; their production
+counterparts (`dedup_minhash`, `dedup_simhash`) are measured beside
+them.
+
+## Decade 1: sf0.1 → sf1 (tools/scale_report.py 10)
+
+| query | sf0.1 (s) | sf1 (s) | ratio (bar 12x) | flag |
+|---|---|---|---|---|
+{t1}
+
+## Decade 2: sf1 → sf10 (tools/scale_report.py 10){note2}
+
+| query | sf1 (s) | sf10 (s) | ratio (bar 12x) | flag |
+|---|---|---|---|---|
+{t2}
+"""
+    open("SCALE.md", "w").write(out)
+    print(f"SCALE.md written: decade1 {s1} super-linear, decade2 {s2} super-linear")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:4]))
