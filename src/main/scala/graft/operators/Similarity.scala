@@ -394,15 +394,21 @@ object Similarity {
   def semanticNearDups(
       df: DataFrame, k: Int, topPairs: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      alsoMatch: Seq[String] = Nil): DataFrame = {
-    // bind the assignment through a Generate barrier: `cell` is consumed
+      alsoMatch: Seq[String] = Nil,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // `centroids` overrides the deterministic id-seed matrix — pass
+    // [[kmeansCentroids]]' collected matrix for BALANCED cells (seed
+    // Voronoi cells are unbalanced, and pair cost is Σ cell²; see
+    // SCALE.md). The registered queries keep seeds because the oracle
+    // replays the assignment in SQL; k is ignored when overriding.
+    // Assignment binds through a Generate barrier: `cell` is consumed
     // by the join key AND its implicit isnotnull filter, and Catalyst
     // has no let-binding — a plain withColumn would re-run the k-dot
     // nearest_centroid scan 2-3× per row (visible in PLANS.md before
     // this change). Same move as TextAnalysis.withFeatures
     val assigned = df.withColumn("cell", explode(array(
       graft.plans.NearestCentroid(col(vecCol),
-        seedCentroids(df, k, idCol, vecCol)))))
+        centroids.getOrElse(seedCentroids(df, k, idCol, vecCol))))))
     // alsoMatch columns join the equi-key (e.g. label-scoped near-dup
     // queries): pairs must agree on cell AND every listed column, which
     // only shrinks blocks — the scale shape is unchanged

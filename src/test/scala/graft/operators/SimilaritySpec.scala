@@ -200,6 +200,23 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("semantic near-dups accept a learned centroid matrix (balanced-cells path)") {
+    val sub = emb.filter($"vec_id" < 300)
+    val learned = Similarity.kmeansCentroids(sub, k = 6, iters = 2)
+      .orderBy("cell").select($"centroid".cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val got = Similarity.semanticNearDups(sub, k = 6, topPairs = 15,
+      centroids = Some(learned))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 15)
+    assert(got.forall { case (a, b, c) => a < b && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    // deterministic: same matrix, same pairs
+    val again = Similarity.semanticNearDups(sub, k = 6, topPairs = 15,
+      centroids = Some(learned))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == again)
+  }
+
   test("semantic near-dups match a driver-side SemDeDup replay exactly") {
     val sub = emb.filter($"vec_id" < 300)
     val k = 6
