@@ -82,11 +82,13 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> median(samples)
+      // an errored query's near-zero elapsed times are not measurements:
+      // emit null so a JSON consumer can never mistake them for real ones
+      name -> (if (errors.contains(name)) None else Some(median(samples)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.flatMap(_._2).sum
     // streaming hot path (the reference's actual workload): records/s
     // through avro-decode → enrich → dual checkpointed upsert. Reported
     // as its own metric trio, not folded into the batch-query total.

@@ -99,6 +99,11 @@ private[sink] final class GraftUpsertTable(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
           val mode = Option(options.get("mode")).getOrElse("upsert")
+          // reject unknown modes loudly: a typo like mode=globel must not
+          // silently downgrade to per-bucket upsert semantics
+          if (!Set("upsert", "global", "distinct").contains(mode))
+            throw new IllegalArgumentException(
+              s"graft-upsert: unknown mode '$mode' (expected upsert | global | distinct)")
           val keys = Option(options.get("keys"))
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Seq.empty)

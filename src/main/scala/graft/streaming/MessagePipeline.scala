@@ -55,12 +55,15 @@ object MessagePipeline {
       summaryPath: String,
       checkpointDir: String,
       retry: RetryPolicy = RetryPolicy.default,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      queryName: Option[String] = None
   ): StreamingQuery = {
     val spark = history.sparkSession
-    history.writeStream
+    val writer = history.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
+    queryName.foreach(writer.queryName)
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
@@ -80,7 +83,9 @@ object MessagePipeline {
       cfg: GraftConfig,
       detailPath: String,
       summaryPath: String,
-      checkpointDir: String
+      checkpointDir: String,
+      queryName: Option[String] = None
   ): StreamingQuery =
-    start(Enrich(decode(raw), cfg), detailPath, summaryPath, checkpointDir)
+    start(Enrich(decode(raw), cfg), detailPath, summaryPath, checkpointDir,
+      queryName = queryName)
 }

@@ -59,11 +59,14 @@ object StreamingBench {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val records = new java.util.concurrent.atomic.AtomicLong(0L)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
-    @volatile var runId: java.util.UUID = null
+    // match on the query NAME, fixed before .start(): matching on runId
+    // (assigned only after run() returns) would race the first progress
+    // event and silently undercount, inflating the reported rps
+    val queryName = "graft-stream-bench-" + java.util.UUID.randomUUID()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.runId == runId && e.progress.numInputRows > 0) {
+        if (e.progress.name == queryName && e.progress.numInputRows > 0) {
           records.addAndGet(e.progress.numInputRows)
           batches.incrementAndGet()
           ()
@@ -78,8 +81,8 @@ object StreamingBench {
         .parquet(wireDir)
       val t0 = System.nanoTime()
       val q = MessagePipeline.run(raw, GraftConfig.dev,
-        s"$workDir/detail", s"$workDir/summary", s"$workDir/checkpoint")
-      runId = q.runId
+        s"$workDir/detail", s"$workDir/summary", s"$workDir/checkpoint",
+        queryName = Some(queryName))
       q.processAllAvailable()
       q.stop()
       val secs = (System.nanoTime() - t0) / 1e9

@@ -96,4 +96,18 @@ class GraftUpsertDataSourceSpec extends SparkSpec {
     save(df, dir, "mode" -> "distinct") // fine
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("an unknown mode is rejected, never silently downgraded to upsert") {
+    val dir = tmpDir("v2_badmode")
+    val df = Seq(("k1", 1L)).toDF("id", "v")
+    val e = intercept[Exception] {
+      save(df, dir, "keys" -> "id", "version" -> "v", "mode" -> "globel")
+    }
+    assert(e.getMessage.contains("globel") ||
+      Option(e.getCause).exists(_.getMessage.contains("globel")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)) ||
+      spark.read.parquet(dir).isEmpty, "bad-mode write mutated the target")
+  }
 }
