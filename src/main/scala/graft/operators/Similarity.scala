@@ -474,15 +474,53 @@ object Similarity {
 
   /** Exact near-duplicate pairs by cosine within blocking keys (the
     * embedding analog of Dedup.ngramJaccardBlocked).
+    *
+    * Skew: a plain self-join on the block key runs each block's entire
+    * O(size²) pair space on ONE task (the block key is the shuffle key),
+    * so the single largest block sets the wall-clock — on unbalanced
+    * blocks (seed-Voronoi cells; label blocks) that one straggler task
+    * dominated the sf10 measurement (SCALE.md decade-2 flag). Fix: the
+    * classic TRIANGLE SPLIT for distributed all-pairs — rows of a block
+    * of size m are hashed into s = ⌈m / targetBlockRows⌉ sub-groups, and
+    * the pair space becomes s(s+1)/2 independent (i ≤ j) sub-block
+    * tasks. Each unordered pair is generated exactly once: a cross pair
+    * (gx ≠ gy) only in sub-block (min,max) with the lower-group row on
+    * the left, a same-group pair only in the diagonal block under
+    * id < id. Output ids re-canonicalized via least/greatest, so the
+    * result — and the oracle hash — is bit-identical to the naive join
+    * (dot is IEEE-commutative). Replication cost is (s+1)/2 copies of
+    * each row, paid ONLY by oversized blocks; for blocks under the
+    * target, s = 1 and the plan degenerates to the plain equi-join.
     */
   def cosineNearDupsBlocked(
       df: DataFrame, blockCols: Seq[String], topPairs: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = df.select(Seq(col(idCol).as("id_a"), col(vecCol).as("va"),
-      l2norm(col(vecCol)).as("na")) ++ blockCols.map(col): _*)
-    val r = df.select(Seq(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      l2norm(col(vecCol)).as("nb")) ++ blockCols.map(col): _*)
-    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetBlockRows: Int = 4096): DataFrame = {
+    require(targetBlockRows >= 1, "targetBlockRows >= 1")
+    // measured block sizes → per-row sub-split factor. One extra narrow
+    // scan of `df` (k-row aggregate, broadcast back); at corpus scale the
+    // quadratic pair stage this distributes dwarfs a third linear scan.
+    val sizes = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+    val withS = df.join(broadcast(sizes), blockCols)
+      .withColumn("_s",
+        greatest(lit(1), ceil(col("_bsz") / lit(targetBlockRows))).cast("int"))
+      .withColumn("_g", pmod(xxhash64(col(idCol)), col("_s")).cast("int"))
+    val l = withS.select(Seq(col(idCol).as("id_l"), col(vecCol).as("va"),
+      l2norm(col(vecCol)).as("na"), col("_g").as("_b1"),
+      explode(sequence(col("_g"), col("_s") - lit(1))).as("_b2")) ++
+      blockCols.map(col): _*)
+    val r = withS.select(Seq(col(idCol).as("id_r"), col(vecCol).as("vb"),
+      l2norm(col(vecCol)).as("nb"), col("_g").as("_b2"),
+      explode(sequence(lit(0), col("_g"))).as("_b1")) ++
+      blockCols.map(col): _*)
+    l.join(r, blockCols ++ Seq("_b1", "_b2"))
+      // diagonal sub-blocks hold the same rows on both sides: order by id.
+      // Off-diagonal sub-blocks hold disjoint row sets: every (left,
+      // right) combination is a distinct pair already
+      .filter(col("_b1") =!= col("_b2") || col("id_l") < col("id_r"))
+      .withColumn("id_a", least(col("id_l"), col("id_r")))
+      .withColumn("id_b", greatest(col("id_l"), col("id_r")))
       .withColumn("cos", safeRatio(dot(col("va"), col("vb")), col("na") * col("nb")))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topPairs)

@@ -217,6 +217,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("triangle split is invisible: forced max split ≡ no split, bitwise") {
+    // targetBlockRows=1 forces every block into per-row sub-groups (the
+    // most aggressive split possible); a huge target disables splitting
+    // entirely. The pair set, scores, and the top-k cut must be
+    // BIT-IDENTICAL — the split only redistributes work across tasks
+    val sub = emb.filter($"vec_id" < 400)
+    val unsplit = Similarity.cosineNearDupsBlocked(sub, Seq("label"),
+      topPairs = 25, targetBlockRows = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSeq
+    val split = Similarity.cosineNearDupsBlocked(sub, Seq("label"),
+      topPairs = 25, targetBlockRows = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    val mid = Similarity.cosineNearDupsBlocked(sub, Seq("label"),
+      topPairs = 25, targetBlockRows = 7)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(unsplit.size == 25)
+    assert(split == unsplit)
+    assert(mid == unsplit)
+  }
+
   test("semantic near-dups match a driver-side SemDeDup replay exactly") {
     val sub = emb.filter($"vec_id" < 300)
     val k = 6
