@@ -412,7 +412,11 @@ object Similarity {
     // alsoMatch columns join the equi-key (e.g. label-scoped near-dup
     // queries): pairs must agree on cell AND every listed column, which
     // only shrinks blocks — the scale shape is unchanged
-    cosineNearDupsBlocked(assigned, "cell" +: alsoMatch, topPairs, idCol, vecCol)
+    // kernel = true: the production pair stage (native per-block scan,
+    // k rows out per sub-block) — bit-identical to the join form, which
+    // remains the oracle-companion shape (sim_neardup_blocked)
+    cosineNearDupsBlocked(assigned, "cell" +: alsoMatch, topPairs, idCol,
+      vecCol, kernel = true)
   }
 
   /** First `k` vectors by id as a driver-side centroid matrix —
@@ -495,7 +499,7 @@ object Similarity {
   def cosineNearDupsBlocked(
       df: DataFrame, blockCols: Seq[String], topPairs: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      targetBlockRows: Int = 4096): DataFrame = {
+      targetBlockRows: Int = 4096, kernel: Boolean = false): DataFrame = {
     require(targetBlockRows >= 1, "targetBlockRows >= 1")
     // measured block sizes → per-row sub-split factor. One extra narrow
     // scan of `df` (k-row aggregate, broadcast back); at corpus scale the
@@ -506,6 +510,7 @@ object Similarity {
       .withColumn("_s",
         greatest(lit(1), ceil(col("_bsz") / lit(targetBlockRows))).cast("int"))
       .withColumn("_g", pmod(xxhash64(col(idCol)), col("_s")).cast("int"))
+    if (kernel) return kernelPairs(withS, blockCols, topPairs, idCol, vecCol)
     val l = withS.select(Seq(col(idCol).as("id_l"), col(vecCol).as("va"),
       l2norm(col(vecCol)).as("na"), col("_g").as("_b1"),
       explode(sequence(col("_g"), col("_s") - lit(1))).as("_b2")) ++
@@ -525,5 +530,44 @@ object Similarity {
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topPairs)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** [[plans.CosTopPairs]] pair stage for `kernel = true`: one shuffle
+    * (hash-agg on the sub-block key) collects each sub-block, the native
+    * kernel scans its pair space with vectors widened to primitive
+    * double[] ONCE per block instead of deserialized per pair, and only
+    * k rows per sub-block reach the global top-k cut. Same triangle
+    * split, same shuffle key, same result bit-for-bit (spec-pinned) —
+    * the join form materializes m²/2 joined rows per block first, which
+    * measured ~97% of sim_semantic_dedup's sf10 wall-clock.
+    *
+    * Per-task memory is one sub-block of widened vectors (≤ ~2·
+    * targetBlockRows · dim doubles ≈ 50 MB at 4096×768) — bounded by
+    * the same knob that bounds the join form's straggler.
+    * Requires a LongType id (the kernel's pair ranking is primitive-long
+    * on ids); callers with other id types use the join form.
+    */
+  private def kernelPairs(
+      withS: DataFrame, blockCols: Seq[String], topPairs: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    // row of group g belongs to sub-blocks {(min(x,g),max(x,g)) : x<s} —
+    // exactly its s triangle cells, the diagonal (g,g) once
+    val expl = withS
+      .withColumn("_sb", explode(transform(
+        sequence(lit(0), col("_s") - lit(1)),
+        x => struct(least(x, col("_g")).as("b1"),
+          greatest(x, col("_g")).as("b2")))))
+      .select(Seq(col(idCol).cast("long").as("_id"), col("_g"),
+        col(vecCol).as("_vec"), col("_sb.b1").as("_b1"),
+        col("_sb.b2").as("_b2")) ++ blockCols.map(col): _*)
+    expl.groupBy((blockCols ++ Seq("_b1", "_b2")).map(col): _*)
+      .agg(collect_list(struct(col("_id"), col("_g"), col("_vec")))
+        .as("_rows"))
+      .select(explode(graft.plans.CosTopPairs(
+        col("_rows"), col("_b1") === col("_b2"), topPairs)).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"),
+        col("_p.cos").as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topPairs)
   }
 }

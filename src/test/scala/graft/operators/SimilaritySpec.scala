@@ -237,6 +237,46 @@ class SimilaritySpec extends SparkSpec {
     assert(mid == unsplit)
   }
 
+  test("CosTopPairs kernel ≡ join form, bitwise, across split factors") {
+    val sub = emb.filter($"vec_id" < 400)
+    for (target <- Seq(Int.MaxValue, 7, 1)) {
+      val join = Similarity.cosineNearDupsBlocked(sub, Seq("label"),
+        topPairs = 25, targetBlockRows = target)
+        .as[(Long, Long, Double)].collect().toSeq
+      val kern = Similarity.cosineNearDupsBlocked(sub, Seq("label"),
+        topPairs = 25, targetBlockRows = target, kernel = true)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(kern == join, s"target=$target")
+    }
+  }
+
+  test("CosTopPairs kernel matches join form on degenerate vectors") {
+    // zero vectors (cos null), a null element, a length-mismatched
+    // vector, and too few valid pairs to fill k — the NULLS LAST
+    // padding parity path
+    val rows: Seq[(Long, Int, Array[java.lang.Float])] = Seq(
+      (1L, 0, Array[java.lang.Float](1f, 2f, 3f)),
+      (2L, 0, Array[java.lang.Float](0f, 0f, 0f)),        // zero norm
+      (3L, 0, Array[java.lang.Float](1f, null, 3f)),      // null element
+      (4L, 0, Array[java.lang.Float](2f, 4f)),            // length mismatch
+      (5L, 0, Array[java.lang.Float](3f, 2f, 1f)),
+      (6L, 1, Array[java.lang.Float](1f, 1f, 1f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    for (target <- Seq(Int.MaxValue, 2)) {
+      val join = Similarity.cosineNearDupsBlocked(df, Seq("label"),
+        topPairs = 10, targetBlockRows = target)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+      val kern = Similarity.cosineNearDupsBlocked(df, Seq("label"),
+        topPairs = 10, targetBlockRows = target, kernel = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+      assert(kern == join, s"target=$target")
+      assert(join.exists(_._3.isEmpty), "fixture must exercise null cos")
+    }
+  }
+
   test("semantic near-dups match a driver-side SemDeDup replay exactly") {
     val sub = emb.filter($"vec_id" < 300)
     val k = 6
