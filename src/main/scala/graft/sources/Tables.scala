@@ -15,8 +15,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  /** Date-ish columns have shipped as DATE, TIMESTAMP and TIMESTAMP_NTZ
+    * across driver rounds. Canonicalize to TimestampType: the session
+    * timezone is pinned UTC (GraftSession), so the cast is
+    * wall-clock-preserving for every encoding and agrees with DuckDB's
+    * naive reading of the same parquet.
+    */
+  private def normTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn(c, col(c).cast("timestamp"))
+    }
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normTs(table(s, d, "lineitem"), "l_shipdate")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normTs(table(s, d, "orders"), "o_orderdate")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
@@ -25,17 +39,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with
-    * integral division (a double-precision divide would lose sub-ms bits
-    * at 2024-era epoch-nano magnitudes).
+  /** `events.parquet` has shipped with three `ts` encodings across
+    * driver rounds: INT64 TIMESTAMP(NANOS) (readable only as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP_NTZ
+    * (`isAdjustedToUTC=false` micros), and plain TIMESTAMP. Normalize all
+    * three to the canonical downstream shape — `ts` as TimestampType and
+    * `ts_ns` as epoch-nano longs — so every query sees one schema. The
+    * session timezone is pinned UTC (GraftSession), so the NTZ cast
+    * preserves the wall clock and all three encodings agree with the
+    * DuckDB oracle's naive-timestamp reading. Nanos truncate to micros
+    * with integral division (a double-precision divide would lose
+    * sub-ms bits at 2024-era epoch-nano magnitudes).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
 
   /** The reference-domain message stream, synthesized from `events`
