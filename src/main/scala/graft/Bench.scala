@@ -86,7 +86,13 @@ object Bench {
       // emit null so a JSON consumer can never mistake them for real ones
       name -> (if (errors.contains(name)) None else Some(median(samples)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
+    // 3-dp seconds: full-precision doubles ballooned the line past the
+    // driver's captured-tail window, so the stored artifact could never
+    // be parsed back into JSON (BENCH_r04..r06 all carry parsed:null).
+    // Sub-millisecond digits carry no information at these run lengths.
+    def sec3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(sec3) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     // streaming hot path (the reference's actual workload): records/s
@@ -98,7 +104,8 @@ object Bench {
       System.gc()
       try {
         val r = graft.streaming.StreamingBench.run(spark, sfDir)
-        s""","streaming_rps":${r.rps},"streaming_records":${r.records},"streaming_batches":${r.batches},"streaming_sec":${r.seconds}"""
+        val rps1 = String.format(java.util.Locale.ROOT, "%.1f", Double.box(r.rps))
+        s""","streaming_rps":$rps1,"streaming_records":${r.records},"streaming_batches":${r.batches},"streaming_sec":${sec3(r.seconds)}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming_rps":0.0"""
@@ -112,7 +119,7 @@ object Bench {
       if (skip.isEmpty) ""
       else skip.toSeq.sorted.map(jsonStr)
         .mkString(""","skipped":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streaming$errJson$skipJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$streaming$errJson$skipJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries threw: ${errors.keys.mkString(", ")}")

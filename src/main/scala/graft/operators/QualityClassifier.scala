@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier over hashed token features — the
+  * fastText-style model every large-corpus pipeline distills its
+  * heuristic (or LLM-labeled) quality signal into: logistic regression
+  * on hashed unigram counts, trained by full-batch gradient descent with
+  * momentum on standardized features.
+  *
+  * Everything is expressed so the DISTRIBUTED work per iteration is one
+  * narrow pass plus one bucket-keyed aggregation, and the DRIVER holds
+  * exactly the model (dim-sized arrays) — never rows:
+  *
+  *  - Featurization is a per-row map: token → bucket via
+  *    `pmod(xxhash64(tok), dim)`, folded to a distinct-bucket count
+  *    array per doc (docs here have ≲100 tokens; the fold is O(u·t)
+  *    per row and never shuffles).
+  *  - Standardization ((x−μ)/σ) is folded into the model algebraically:
+  *    margins use effective weights w/σ and an effective bias, so the
+  *    per-doc dot stays SPARSE — the dense (x−μ) form never
+  *    materializes.
+  *  - Each iteration computes per-doc residual r = p − y in a narrow
+  *    map, then aggregates Σ r·cnt per bucket in ONE shuffle whose
+  *    output is dim+1 rows. A synthetic bucket −1 entry per doc makes
+  *    the same aggregation deliver the bias gradient Σ r.
+  *  - DETERMINISM: residuals are rounded to 1e-6 and summed as LONGS
+  *    (exact, order-independent — same fixed-point discipline as
+  *    [[Similarity]]'s exactMean), so training is bit-reproducible at
+  *    any parallelism. Integer count sums in the stats pass are exact
+  *    by construction.
+  *
+  * At 100 TB the per-iteration cost is a scan of the persisted feature
+  * table plus a dim-row shuffle — the same shape MLlib's
+  * LogisticRegression pays per LBFGS iteration, with none of its
+  * driver-side vector assembly on executors.
+  */
+object QualityClassifier {
+
+  /** Trained model + the standardization it was trained under. */
+  final case class Model(dim: Int, weights: Array[Double], bias: Double,
+      mu: Array[Double], sd: Array[Double]) {
+    /** Sparse-space weights: margin = effBias + Σ_b effWeights(b)·cnt_b,
+      * algebraically identical to bias + w·(x−μ)/σ.
+      */
+    def effWeights: Array[Double] = Array.tabulate(dim)(b => weights(b) / sd(b))
+    def effBias: Double = {
+      var acc = bias
+      var b = 0
+      while (b < dim) { acc -= mu(b) * weights(b) / sd(b); b += 1 }
+      acc
+    }
+  }
+
+  final case class TrainConfig(dim: Int = 256, iters: Int = 15,
+      lr: Double = 1.0, momentum: Double = 0.9)
+
+  /** Feature-hash bucket of one token. */
+  def bucketOf(tok: Column, dim: Int): Column =
+    pmod(xxhash64(tok), lit(dim)).cast("int")
+
+  /** Per-row sparse feature entries: array<struct<b:int, cnt:int>> over
+    * DISTINCT buckets (first-occurrence order — deterministic per row).
+    * Pure array functions: a narrow map at any scale.
+    */
+  def featureEntries(text: Column, dim: Int): Column = {
+    val bks = transform(TextAnalysis.tokens(text), t => bucketOf(t, dim))
+    transform(array_distinct(bks), b =>
+      struct(b.as("b"), size(filter(bks, x => x === b)).as("cnt")))
+  }
+
+  /** Sparse margin over an entries array with effective weights/bias.
+    * The weight literal array constant-folds to a single Literal, so per
+    * entry this is one element_at + multiply inside the fold.
+    */
+  def marginCol(entries: Column, effWeights: Array[Double],
+      effBias: Double): Column = {
+    val wlit = array(effWeights.map(lit): _*)
+    aggregate(entries, lit(effBias), (acc, e) =>
+      acc + element_at(wlit, e.getField("b") + 1) *
+        e.getField("cnt").cast("double"))
+  }
+
+  /** Predicted P(y=1) for `text` under `model`. */
+  def probability(text: Column, model: Model): Column =
+    lit(1.0) / (lit(1.0) +
+      exp(-marginCol(featureEntries(text, model.dim),
+        model.effWeights, model.effBias)))
+
+  /** Hard prediction: p ≥ 0.5 ⇔ margin ≥ 0 — transcendental-free, so
+    * the decision is exactly the deterministic fixed-point margin sign.
+    */
+  def prediction(text: Column, model: Model): Column =
+    (marginCol(featureEntries(text, model.dim),
+      model.effWeights, model.effBias) >= 0).cast("int")
+
+  /** Train on `docs` (labelCol ∈ {0,1}). Runs cfg.iters + 2 jobs: one
+    * stats pass, one count, then one dim+1-row aggregation per
+    * iteration over the persisted feature table (released on exit).
+    */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+      cfg: TrainConfig = TrainConfig()): Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = cfg.dim
+    require(dim >= 1 && cfg.iters >= 0, "dim >= 1, iters >= 0")
+    val feat = docs.select(col(labelCol).cast("double").as("y"),
+      featureEntries(col(textCol), dim).as("entries")).persist()
+    try {
+      val nDocs = feat.count()
+      require(nDocs > 0, "QualityClassifier.train: empty training set")
+      // per-bucket Σcnt, Σcnt² — integer sums, exact
+      val stats = feat.select(explode(col("entries")).as("e"))
+        .groupBy(col("e.b").as("b"))
+        .agg(sum(col("e.cnt").cast("long")).as("s1"),
+          sum((col("e.cnt") * col("e.cnt")).cast("long")).as("s2"))
+        .as[(Int, Long, Long)].collect()
+      val mu = new Array[Double](dim)
+      val sd = Array.fill(dim)(1.0)
+      stats.foreach { case (b, s1, s2) =>
+        val m = s1.toDouble / nDocs
+        mu(b) = m
+        val v = s2.toDouble / nDocs - m * m
+        if (v > 0) sd(b) = math.sqrt(v)
+      }
+      val w = new Array[Double](dim)
+      var bias = 0.0
+      val vw = new Array[Double](dim)
+      var vb = 0.0
+      var it = 0
+      while (it < cfg.iters) {
+        val weff = Array.tabulate(dim)(b => w(b) / sd(b))
+        var beff = bias
+        var i = 0
+        while (i < dim) { beff -= mu(i) * w(i) / sd(i); i += 1 }
+        val wlit = array(weff.map(lit): _*)
+        // narrow margin/residual map, then ONE bucket aggregation; the
+        // synthetic b = −1 entry carries the bias gradient Σr through
+        // the same shuffle
+        val grads = feat
+          .withColumn("m", aggregate(col("entries"), lit(beff), (acc, e) =>
+            acc + element_at(wlit, e.getField("b") + 1) *
+              e.getField("cnt").cast("double")))
+          .withColumn("rfx",
+            round(round(lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y"), 6)
+              * 1e6, 0).cast("long"))
+          .select(explode(concat(col("entries"),
+            array(struct(lit(-1).as("b"), lit(1).as("cnt"))))).as("e"),
+            col("rfx"))
+          .groupBy(col("e.b").as("b"))
+          .agg(sum(col("rfx") * col("e.cnt").cast("long")).as("g"))
+          .as[(Int, Long)].collect()
+        val graw = new Array[Double](dim)
+        var gsum = 0.0
+        grads.foreach { case (b, g) =>
+          if (b == -1) gsum = g / 1e6 else graw(b) = g / 1e6
+        }
+        var b2 = 0
+        while (b2 < dim) {
+          val g = (graw(b2) - mu(b2) * gsum) / (sd(b2) * nDocs)
+          vw(b2) = cfg.momentum * vw(b2) + g
+          w(b2) -= cfg.lr * vw(b2)
+          b2 += 1
+        }
+        vb = cfg.momentum * vb + gsum / nDocs
+        bias -= cfg.lr * vb
+        it += 1
+      }
+      Model(dim, w, bias, mu, sd)
+    } finally { feat.unpersist(); () }
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Multimodal, Projection, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search + multimodal query surface over `embeddings` and
@@ -188,6 +188,54 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // JL random-projection ANN (project→shortlist→rerank): candidates
+    // ranked on the 32-dim projected corpus — half the bytes of the
+    // fp32 64-dim column feed the candidate scan — then the top-200 per
+    // query are rescored exactly in full width (rows-only; the recall
+    // floor and exhaustive equivalence are the two companion rows)
+    "sim_project_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Projection.projectedTopK(emb.filter(col("vec_id") < 10), emb,
+        k = 5, dim = Dim, outDim = 32, shortlist = 200)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
+    // ORACLE COMPANION (the sim_ivf_exhaustive move): a shortlist that
+    // covers any gate corpus means the projected ranking may only
+    // reorder candidates the exact rerank fully re-scores — the output
+    // must equal brute force EXACTLY, so project→shortlist→rerank is
+    // oracle-checked end to end
+    "sim_project_exhaustive_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Projection.projectedTopK(emb.filter(col("vec_id") < 10), emb,
+        k = 5, dim = Dim, outDim = 32, shortlist = 1000000)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
+    // RECALL FLOOR for the projected path (the sim_lsh_recall move):
+    // per query, project+rerank top-5 must recover >= 2 of the exact
+    // top-5 — the output is the VIOLATION set, so the oracle asserts
+    // empty. Both sides deterministic (seeded matrix, exact ranking);
+    // measured floor at seed 31: min hits 4 at sf0.01, 2 at sf0.1
+    // (random-Gaussian corpus vectors are the WORST case for this —
+    // near-zero cosine gaps between true neighbors and the pack; real
+    // embedding corpora cluster, which widens the gaps JL must preserve)
+    "sim_project_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val panel = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(panel, emb, k = 5)
+        .select("query_id", "neighbor_id")
+      val approx = Projection.projectedTopK(panel, emb, k = 5, dim = Dim,
+        outDim = 32, shortlist = 200)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .filter(col("hits") < 2)
+        .orderBy("query_id")}),
+
     // symmetric int8 embedding quantization (training-corpus compression):
     // per-vector scale, integer code checksums, and worst reconstruction
     // residual — every op IEEE-deterministic (no transcendentals), so the
@@ -292,6 +340,25 @@ object SimilarityQueries {
     // same property-oracle shape for the learned-centroid ANN path
     "sim_kmeans_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits WHERE 1=0",
+    // same property-oracle shape for the JL-projection path (DuckDB
+    // cannot replay the seeded Gaussian matrix; the floor property is
+    // what SQL can express)
+    "sim_project_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits WHERE 1=0",
+    // corpus-covering shortlist ⇒ identical to the brute-force oracle
+    // (see the query comment)
+    "sim_project_exhaustive_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // same IEEE ops as Quantize: scale = max|v|/127; codes round half
     // away from zero via the SAME floor/ceil formula (both engines'
     // built-in `round` algorithms are not spelled identically; the

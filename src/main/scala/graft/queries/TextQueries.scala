@@ -288,7 +288,37 @@ object TextQueries {
         Tables.documents(s, d), "text", "doc_id")
       lmScoreRelease.set(release)
       res.orderBy("doc_id")
-    })
+    }),
+
+    // TRAINED quality classifier (the fastText-style distillation every
+    // corpus pipeline runs: fit a cheap model to the heuristic/LLM
+    // quality labels, then score everything with it): logistic
+    // regression on hashed unigram counts, 15 deterministic momentum-GD
+    // iterations on the 80% hash split (fixed-point long gradient sums
+    // — bit-reproducible at any parallelism). Output is train+holdout
+    // accuracy as the VIOLATION set (accuracy < 0.85; measured ~0.96 at
+    // both gate SFs), so the oracle asserts the empty set — DuckDB
+    // cannot replay training, and the floor property is what SQL can
+    // express (the sim_lsh_recall move)
+    "text_train_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.select(col("doc_id"), col("text"),
+        (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.7)
+          .cast("int").as("y"),
+        when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, "train")
+          .otherwise("holdout").as("split"))
+      val model = graft.operators.QualityClassifier.train(
+        labeled.filter(col("split") === "train"), "text", "y")
+      labeled
+        .withColumn("pred",
+          graft.operators.QualityClassifier.prediction(col("text"), model))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          sum((col("pred") === col("y")).cast("long")).as("n_correct"))
+        .withColumn("acc",
+          round(col("n_correct").cast("double") / col("n").cast("double"), 4))
+        .filter(col("acc") < 0.85)
+        .orderBy("split")})
   )
 
   private val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -322,6 +352,12 @@ object TextQueries {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    // property oracle: the expected violation set is EMPTY (training is
+    // not SQL-replayable; the accuracy floor is the assertable property)
+    "text_train_classifier" ->
+      """SELECT CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS n,
+        |  CAST(NULL AS BIGINT) AS n_correct, CAST(NULL AS DOUBLE) AS acc
+        |WHERE 1=0""".stripMargin,
     // property oracle: the expected violation set is EMPTY (DuckDB has
     // no zlib to replay the byte counts; the doubling inequality is the
     // SQL-assertable property — same move as sim_lsh_recall)
