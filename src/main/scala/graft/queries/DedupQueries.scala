@@ -64,6 +64,45 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")}),
 
+    // PRODUCTION components: the identical connectedComponents loop fed
+    // by MinHash+LSH edges — what a 100 TB pipeline actually runs (the
+    // exact n-gram edge path in dedup_components exists because its
+    // recursive-CTE oracle demands exact edges; SCALE.md measures the
+    // difference). Rows-only label table; the checked property is
+    // dedup_components_refine below
+    "dedup_components_minhash" -> ((s, d) => {
+      val (pairs, releasePairs) = Dedup.minhashNearDupsManaged(
+        Tables.documents(s, d), "text", "doc_id", threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs)
+      releasePairs()
+      comps.orderBy("id")}),
+
+    // CHECKED property for the production path (the superset move
+    // lifted from pairs to components): MinHash candidates contain
+    // every exact pair (dedup_minhash_superset), so MinHash components
+    // must merge AT LEAST what exact edges merge — an exact near-dup
+    // pair whose endpoints land in different MinHash components is a
+    // violation. The oracle asserts the empty set
+    "dedup_components_refine" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.5).select("id_a", "id_b")
+      val (pairs, releasePairs) = Dedup.minhashNearDupsManaged(
+        docs, "text", "doc_id", threshold = 0.5)
+      val mh = Dedup.connectedComponents(pairs)
+      releasePairs()
+      val ca = mh.select(col("id").as("id_a"), col("component").as("comp_a"))
+      val cb = mh.select(col("id").as("id_b"), col("component").as("comp_b"))
+      exact.join(ca, Seq("id_a"), "left")
+        .join(cb, Seq("id_b"), "left")
+        // a missing label (endpoint absent from the MinHash pair list)
+        // is also a violation — coalesce to distinct sentinels so null
+        // never silently equals null
+        .filter(coalesce(col("comp_a"), lit(-1L)) =!=
+          coalesce(col("comp_b"), lit(-2L)))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")}),
+
     // SimHash near-dups within blocks (rows-only)
     // radius 3 = the Manku et al. (WWW'07) web-scale setting, and the
     // radius whose lossless band blocking uses 16-bit bands — buckets
@@ -192,6 +231,10 @@ object DedupQueries {
     // recall property oracles: the expected answer is the EMPTY set —
     // the approximate candidate sets must contain every exact pair
     "dedup_minhash_superset" ->
+      "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1=0",
+    // component refinement property: exact pairs may never straddle two
+    // MinHash components (training is on the same empty-set discipline)
+    "dedup_components_refine" ->
       "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1=0",
     "dedup_simhash_superset" ->
       "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1=0"

@@ -73,6 +73,22 @@ class PlanSpec extends SparkSpec {
       s"corpus branch must not shuffle to learn its cell:\n${cand.get.left}")
   }
 
+  test("sim_project_topk: corpus projects narrowly — no exchange before the candidate join") {
+    // the JL projection must stay a per-row map on the corpus branch
+    // (mat_vec rides in-expression); the only joins are the broadcast
+    // of the projected query panel, and nothing shuffles corpus rows
+    // before candidate scoring
+    val plan = executed(query("sim_project_topk"))
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, s"expected broadcast of the projected panel:\n$plan")
+    val corpusSide = bnlj.head.left
+    assert(corpusSide.toString.contains("mat_vec"),
+      s"corpus side must carry the narrow mat_vec projection:\n$corpusSide")
+    val shuffles = corpusSide.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"corpus branch must not shuffle before candidate scoring:\n$corpusSide")
+  }
+
   test("rel_window_topk: partial top-k pushed below the shuffle (WindowGroupLimit)") {
     // Catalyst's InferWindowGroupLimit bounds shuffle volume at
     // partitions×k for rank<=k filters — the custom partial-top-k
