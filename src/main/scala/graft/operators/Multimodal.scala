@@ -445,26 +445,42 @@ object Multimodal {
     */
   def syntheticImages(documents: DataFrame): DataFrame = {
     val ds = documents.select(col("doc_id")).as[Long](Encoders.scalaLong)
-    ds.map { id =>
+    ds.mapPartitions { it =>
       imageIoMemCache // encoder side pays the same disk-cache tax
-      val w = 8 + (id % 24).toInt
-      val h = 8 + (id % 17).toInt
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y,
-            ((37 * x + 101 * y + id.toInt) & 0xFF) << 16 |
-              ((7 * x) & 0xFF) << 8 | ((13 * y) & 0xFF))
-          x += 1
+      // ONE registry lookup per (partition, format): the ImageIO service
+      // registry is a shared synchronized structure, and a per-row
+      // `ImageIO.write` (which looks the writer up per call) serializes
+      // every encode thread on it — measured as a flat multi-second
+      // floor on the media tables once the row count passes ~50k.
+      // writer.write(img) produces byte-identical output to the
+      // ImageIO.write shorthand (same null-param IIOImage path).
+      val png = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val jpeg = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      it.map { id =>
+        val w = 8 + (id % 24).toInt
+        val h = 8 + (id % 17).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((37 * x + 101 * y + id.toInt) & 0xFF) << 16 |
+                ((7 * x) & 0xFF) << 8 | ((13 * y) & 0xFF))
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = if (id % 2 == 0) png else jpeg
+        writer.reset()
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
+        (id, bos.toByteArray)
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "jpeg", bos)
-      (id, bos.toByteArray)
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "blob")
   }
 
@@ -481,15 +497,20 @@ object Multimodal {
     */
   def syntheticGifs(documents: DataFrame): DataFrame = {
     val ds = documents.select(col("doc_id")).as[Long](Encoders.scalaLong)
-    ds.map { id =>
+    ds.mapPartitions { it =>
       imageIoMemCache
+      // one registry lookup per partition, reset per row (see
+      // [[syntheticImages]] — the per-row lookup serialized all encode
+      // threads on the shared IIORegistry)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      it.map { id =>
       val w = 8 + (id % 24).toInt
       val h = 8 + (id % 17).toInt
       val nFrames = 2 + (id % 4).toInt
       val bos = new java.io.ByteArrayOutputStream()
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("gif").next()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.reset()
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       var f = 0
@@ -518,8 +539,8 @@ object Multimodal {
       }
       writer.endWriteSequence()
       ios.close()
-      writer.dispose()
       (id, bos.toByteArray)
+      }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "blob")
   }
 
