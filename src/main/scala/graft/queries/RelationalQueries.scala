@@ -276,6 +276,78 @@ object RelationalQueries {
           col("l_discount").cast("decimal(12,2)")).cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q14 shape (promo revenue share): month-filtered lineitem ⋈
+    // part, CASE-gated numerator over the same exact-decimal revenue —
+    // one pass, no self-join. The date predicate pushes to the lineitem
+    // scan; AQE broadcasts the part side while it's small and switches
+    // to a shuffle join when it isn't (no forced hint — part grows with
+    // the catalog, unlike nation/region)
+    "rel_q14_promo_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(BigDecimal(1)).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)"))).as("rev"))
+      li.join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), col("rev"))
+              .otherwise(lit(BigDecimal(0)).cast("decimal(12,2)"))).cast("double") /
+            sum(col("rev")).cast("double")).as("promo_share"))}),
+
+    // TPC-H Q19 shape (disjunctive join predicates): three OR'd
+    // (brand, size-band, quantity-band) conjunct blocks — Catalyst
+    // extracts l_partkey = p_partkey as the equi-key and the
+    // disjunction becomes a post-join filter, never a nested loop
+    "rel_q19_disjunctive" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val blocks =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 40) &&
+          col("l_quantity").between(20, 30))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(blocks)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(BigDecimal(1)).cast("decimal(12,2)") -
+            col("l_discount").cast("decimal(12,2)"))).cast("double")
+          .as("revenue"),
+          count(lit(1)).as("n"))}),
+
+    // TPC-H Q22 shape (idle rich customers): scalar-subquery threshold,
+    // anti-join against orders, per-nation census. The threshold is the
+    // positive-balance mean computed as exact-decimal sum over count
+    // (a double avg would be shuffle-order-dependent and could flip a
+    // boundary customer between engines), broadcast as a 1-row cross;
+    // the anti-join is the only real shuffle. "Idle" = no order since
+    // 1999 — the synthetic data gives every customer ~10 orders over
+    // 1995–2001, so TPC-H's unconditional no-orders predicate would be
+    // vacuously empty; the window keeps the anti-join doing real work
+    "rel_q22_idle_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val posAvg = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      val recentOrders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val idle = c.join(posAvg)
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recentOrders,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+      idle.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            .as("total_bal"))
+        .orderBy("c_nationkey")}),
+
     // post-aggregation filter (HAVING)
     "rel_having" -> ((s, d) =>
       Tables.orders(s, d)
@@ -603,6 +675,39 @@ object RelationalQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "rel_q14_promo_share" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "rel_q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "rel_q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                     / count(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "rel_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_d

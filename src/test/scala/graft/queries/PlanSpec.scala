@@ -180,6 +180,16 @@ class PlanSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("rel_q19_disjunctive: OR-blocks ride the partkey equi-join, never an NLJ") {
+    // Catalyst must extract l_partkey = p_partkey as the join key and
+    // evaluate the three (brand, size, quantity) conjunct blocks as a
+    // post-join filter — a nested loop over lineitem×part is the
+    // classic Q19 plan failure
+    val plan = executed(query("rel_q19_disjunctive"))
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      plan.toString)
+  }
+
   test("text_top_terms: partial map-side aggregation + bounded top-k, no global sort") {
     val df = query("text_top_terms")
     df.collect()
