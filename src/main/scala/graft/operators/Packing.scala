@@ -48,13 +48,17 @@ object Packing {
     require(budget > 0, "token budget must be positive")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    // _pid rides as a COLUMN captured on the cached sort — NOT
+    // TaskContext.getPartitionId in a later pass, whose value is the
+    // enclosing stage's partition index and shifts when a downstream
+    // union/recompute wraps this plan (same fix as Layout.zorderFiles)
     val slim = df
       .select(col(idCol).cast("long").as("_id"), col(tokenCol).cast("long").as("_tok"))
       .repartitionByRange(parts, col("_id"))
       .sortWithinPartitions("_id")
+      .withColumn("_pid", spark_partition_id())
       .persist() // both scan phases must see one materialization
     val totals = slim
-      .select(spark_partition_id().as("_pid"), col("_tok"))
       .groupBy("_pid").agg(sum("_tok").as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     // exclusive prefix over partition totals — O(parts) driver work
@@ -66,18 +70,18 @@ object Packing {
       acc += totals.getOrElse(p, 0L)
       p += 1
     }
-    val bc = spark.sparkContext.broadcast(offsets)
+    // exclusive running total = partition offset + windowed prefix sum
+    // within the partition (parallel — one window per range partition)
+    val offArr = array(offsets.map(lit(_)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy("_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val run = element_at(offArr, col("_pid") + 1) +
+      coalesce(sum("_tok").over(w), lit(0L))
     val out = slim
-      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      .mapPartitions { it =>
-        var run = bc.value(TaskContext.getPartitionId())
-        it.map { case (id, tok) =>
-          val bin = run / budget
-          run += tok
-          (id, tok, bin)
-        }
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
-      .toDF(idCol, "n_tokens", "seq_id")
+      .withColumn("_run", run)
+      .withColumn("seq_id", expr(s"_run div ${budget}L"))
+      .select(col("_id").as(idCol), col("_tok").as("n_tokens"), col("seq_id"))
     (out, () => { slim.unpersist(); () })
   }
 }

@@ -165,7 +165,29 @@ object PipelineQueries {
         .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
         .filter(col("est_count") < col("n_exact"))
         .select("term", "est_count", "n_exact")
-        .orderBy("term")})
+        .orderBy("term")}),
+
+    // Z-ORDER layout rewrite (the Delta/Iceberg OPTIMIZE move): bucket
+    // two correlated read dimensions (quality, length) to 4 bits each,
+    // interleave them into a Morton z-value, rank rows along the curve
+    // with the two-phase distributed scan (never a single-task global
+    // window), and cut the rank range into 8 equal "files". The output
+    // is the per-file min/max SPAN table — the evidence a selective
+    // reader uses to skip files; narrow spans on BOTH dimensions are
+    // the whole point of the curve. Every step is integer arithmetic
+    // (+ the 6-dp-rounded quality both engines share), so file
+    // membership itself is oracle-replayed exactly
+    "pipe_zorder_layout" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("qb", graft.operators.Layout.bucketize(
+          TextAnalysis.qualityScore(col("text")), 0.0, 1.0, bits = 4))
+        .withColumn("lb", graft.operators.Layout.bucketize(
+          col("n_chars"), 0.0, 1024.0, bits = 4))
+      val laidOut = graft.operators.Layout.zorderFiles(docs,
+        graft.operators.Layout.zValue(col("qb"), col("lb"), bits = 4),
+        col("doc_id"), nFiles = 8)
+      graft.operators.Layout.fileSpans(laidOut,
+        Seq("q" -> col("qb"), "len" -> col("lb")))})
   )
 
   private def cosSql(a: String, b: String): String =
@@ -352,6 +374,36 @@ object PipelineQueries {
         |  FROM documents
         |)
         |SELECT doc_id, source, tok, rank
-        |FROM r ORDER BY rank, source LIMIT 100""".stripMargin
+        |FROM r ORDER BY rank, source LIMIT 100""".stripMargin,
+
+    // full replay of the layout decision: same 4-bit buckets (shared
+    // 6-dp quality expression), the 8-term Morton interleave as
+    // explicit shifts/masks, the same (z, doc_id) total order and the
+    // same integer rank→file cut — so the hash checks file MEMBERSHIP,
+    // not just the span summary
+    "pipe_zorder_layout" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    least(greatest(CAST(floor((${TextQueries.qualityExpr}) * 16) AS BIGINT), 0), 15) AS qb,
+         |    least(greatest(CAST(floor(n_chars::DOUBLE / 1024.0 * 16) AS BIGINT), 0), 15) AS lb
+         |  FROM documents
+         |), z AS (
+         |  SELECT doc_id, qb, lb,
+         |    ((qb >> 0) & 1) * 2 + ((lb >> 0) & 1) * 1 +
+         |    ((qb >> 1) & 1) * 8 + ((lb >> 1) & 1) * 4 +
+         |    ((qb >> 2) & 1) * 32 + ((lb >> 2) & 1) * 16 +
+         |    ((qb >> 3) & 1) * 128 + ((lb >> 3) & 1) * 64 AS zv
+         |  FROM b
+         |), r AS (
+         |  SELECT qb, lb,
+         |    row_number() OVER (ORDER BY zv, doc_id) - 1 AS rn,
+         |    count(*) OVER () AS n
+         |  FROM z
+         |)
+         |SELECT CAST((rn * 8) // n AS INT) AS file_id,
+         |  min(qb) AS min_q, max(qb) AS max_q,
+         |  min(lb) AS min_len, max(lb) AS max_len,
+         |  count(*) AS n_rows
+         |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
   )
 }

@@ -211,12 +211,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pipe_pack_sequences: no single-task global window in the plan") {
-    // WindowExec presence is static — the initial plan suffices, no
-    // action needed (query construction itself runs the two-phase scan)
+    // the two-phase scan's per-range-partition prefix window is fine
+    // (parallel by construction); what must never appear is a window
+    // with an EMPTY partition spec — Spark executes that on one task
     val plan = executed(query("pipe_pack_sequences"))
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(windows.isEmpty, "packing must use the distributed scan, not Window")
+    val globals = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty,
+      "packing must use the distributed scan, not a global Window")
   }
 
   test("text_bm25_search: stats and term-df sides broadcast; corpus tokens filtered before the agg shuffle") {
