@@ -93,8 +93,10 @@ object DedupQueries {
       releasePairs()
       val ca = mh.select(col("id").as("id_a"), col("component").as("comp_a"))
       val cb = mh.select(col("id").as("id_b"), col("component").as("comp_b"))
-      exact.join(ca, Seq("id_a"), "left")
-        .join(cb, Seq("id_b"), "left")
+      // label tables scale with the paired-doc count — same
+      // never-broadcast discipline as the superset rows
+      exact.join(ca.hint("merge"), Seq("id_a"), "left")
+        .join(cb.hint("merge"), Seq("id_b"), "left")
         // a missing label (endpoint absent from the MinHash pair list)
         // is also a violation — coalesce to distinct sentinels so null
         // never silently equals null
@@ -126,7 +128,11 @@ object DedupQueries {
         Seq("lang", "source"), threshold = 0.5).select("id_a", "id_b")
       val approx = Dedup.minhashNearDups(docs, "text", "doc_id",
         threshold = 0.5).select("id_a", "id_b")
-      exact.join(approx, Seq("id_a", "id_b"), "left_anti")
+      // merge hint: BOTH sides are pair lists that grow with the
+      // corpus — AQE sometimes picks a broadcast here and a corpus-
+      // scale pair table must never be driver-built (observed once at
+      // sf10: broadcast OOM). Sort-merge bounds memory and spills
+      exact.join(approx.hint("merge"), Seq("id_a", "id_b"), "left_anti")
         .orderBy("id_a", "id_b")}),
 
     // same property for SimHash at the operator-default radius 12 (the
@@ -139,7 +145,9 @@ object DedupQueries {
         Seq("lang", "source"), threshold = 0.5).select("id_a", "id_b")
       val approx = Dedup.simhashNearDups(docs, "text", "doc_id",
         Seq("lang", "source"), maxDist = 12).select("id_a", "id_b")
-      exact.join(approx, Seq("id_a", "id_b"), "left_anti")
+      // same merge hint as dedup_minhash_superset: never broadcast a
+      // corpus-scale pair list
+      exact.join(approx.hint("merge"), Seq("id_a", "id_b"), "left_anti")
         .orderBy("id_a", "id_b")})
   )
 
