@@ -29,14 +29,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MessageQueries.queries ++ RelationalQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      PipelineQueries.queries
+    MessageQueries.queries ++ RelationalQueries.queries ++ TpchQueries.queries ++
+      EventQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    MessageQueries.oracleSql ++ RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
-      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      PipelineQueries.oracleSql
+    MessageQueries.oracleSql ++ RelationalQueries.oracleSql ++ TpchQueries.oracleSql ++
+      EventQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ PipelineQueries.oracleSql
 }
