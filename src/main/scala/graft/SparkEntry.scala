@@ -31,12 +31,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MessageQueries.queries ++ RelationalQueries.queries ++ TpchQueries.queries ++
       EventQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ PipelineQueries.queries
+      SimilarityQueries.queries ++ PipelineQueries.queries ++
+      TrainingDataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     MessageQueries.oracleSql ++ RelationalQueries.oracleSql ++ TpchQueries.oracleSql ++
       EventQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ PipelineQueries.oracleSql
+      SimilarityQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      TrainingDataQueries.oracleSql
 }

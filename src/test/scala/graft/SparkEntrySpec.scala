@@ -22,7 +22,9 @@ class SparkEntrySpec extends SparkSpec {
       graft.queries.TextQueries.queries.keySet,
       graft.queries.DedupQueries.queries.keySet,
       graft.queries.SimilarityQueries.queries.keySet,
-      graft.queries.PipelineQueries.queries.keySet)
+      graft.queries.PipelineQueries.queries.keySet,
+      graft.queries.TpchQueries.queries.keySet,
+      graft.queries.TrainingDataQueries.queries.keySet)
     val total = groups.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "duplicate query name across groups collapsed in the merged map")
