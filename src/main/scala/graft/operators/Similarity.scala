@@ -323,6 +323,138 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Learn product-quantization codebooks (Jégou et al., TPAMI 2011):
+    * the `dim`-dimensional space splits into `m` contiguous subspaces of
+    * `dim/m` dims; each subspace gets its own `ksub`-entry codebook,
+    * refined by `iters` Lloyd's rounds — ALL subspaces in each round are
+    * learned in ONE corpus pass (encode is the narrow native
+    * [[graft.plans.PqEncodeExpr]]; the update is a single aggregation of
+    * at most m·ksub·dsub per-position partial means, `exactMean`-exact
+    * so the learned matrix is bit-stable at any parallelism). Driver
+    * state is the m×ksub×dsub codebook ((64-dim, m=8, ksub=16) → 8 KiB)
+    * — the same bounded-collect discipline as [[kmeansCentroids]].
+    *
+    * Init: the `ksub` vectors with the smallest xxhash64(id), sliced
+    * into their m subvectors — deterministic and seed-free, matching the
+    * k-means init move. Empty codes keep their previous entry.
+    */
+  def pqCodebooks(
+      df: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0, "m >= 1, ksub >= 1, iters >= 0")
+    require(dim % m == 0, s"pq: dim=$dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seeds: Array[Array[Double]] = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(ksub)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    require(seeds.nonEmpty, "pqCodebooks: input corpus is empty")
+    require(seeds.forall(_.length == dim),
+      s"pqCodebooks: corpus vectors must have dim=$dim")
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      // short corpora (< ksub rows) recycle seeds rather than fail
+      Array.tabulate(ksub)(c => seeds(c % seeds.length).slice(j * dsub, (j + 1) * dsub))
+    }
+    var it = 0
+    while (it < iters) {
+      // one narrow encode pass (Generate barrier binds the m×ksub scan
+      // once per row), then per-(subspace, code, position) exact means —
+      // map-side combine keeps the shuffle at m·ksub·dsub rows
+      val next = df
+        .withColumn("codes", explode(array(PqEncodeCol(col(vecCol), cb))))
+        .filter(col("codes").isNotNull)
+        .select(col("codes"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .withColumn("j", (col("pos") / lit(dsub)).cast("int"))
+        .withColumn("spos", pmod(col("pos"), lit(dsub)))
+        .withColumn("code", element_at(col("codes"), col("j") + 1))
+        .groupBy("j", "code", "spos")
+        .agg(exactMean(col("v")).as("mv"))
+        .as[(Int, Int, Int, Double)].collect()
+      val byEntry = next.groupBy(r => (r._1, r._2))
+      cb = Array.tabulate(m) { j =>
+        Array.tabulate(ksub) { c =>
+          byEntry.get((j, c)) match {
+            case Some(rows) => rows.sortBy(_._3).map(_._4).toArray
+            case None => cb(j)(c) // empty code keeps its entry
+          }
+        }
+      }
+      it += 1
+    }
+    cb
+  }
+
+  // thin aliases so the PQ plumbing reads at the operator level
+  private def PqEncodeCol(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    graft.plans.PqEncode(v, cb)
+
+  /** IVF top-k with PQ-ADC candidate scoring and exact fp32 rerank —
+    * the memory-bound big-corpus layout: the inverted file prunes to
+    * O(n·nprobe/cells) candidates; each candidate is scored from its m
+    * one-byte PQ codes (32× smaller than fp32 at dim 64 / m 8) via the
+    * query's precomputed ADC lookup table — m table reads + adds per
+    * pair instead of a dim-length dot; only the top `k·rerankFactor`
+    * shortlist per query touches full-precision vectors. At 100 TB the
+    * PQ codes are what streams off disk: a 10⁹-vector corpus is ~8 GB
+    * of codes vs 256 GB of fp32.
+    *
+    * Approximate score: adc_dot / (‖q‖·‖x̂‖), where x̂ is the codebook
+    * reconstruction — its norm is the same m-lookup fold over a constant
+    * per-entry ‖entry‖² table. Ranking ties break on neighbor id;
+    * exhaustive probing with a corpus-covering shortlist degenerates to
+    * exact brute force (the oracle-equivalence row).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, cells: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      nprobe: Int = 3, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor >= 1")
+    import scala.jdk.CollectionConverters._
+    val ksub = codebooks.head.length
+    val (cellSchema, cellRows, matrix) = collectCellMatrix(cells)
+    // corpus side: narrow cell assignment + narrow PQ encode — the
+    // corpus never crosses an exchange and never carries a LUT
+    val c0 = assignTop1(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        l2norm(col(vecCol)).as("cn")),
+      "cv", cellRows, matrix)
+    val c = c0.withColumn("codes", explode(array(PqEncodeCol(col("cv"), codebooks))))
+      .filter(col("codes").isNotNull)
+    // query side: LocalRelation cell fan-out + per-query ADC LUT (built
+    // once per query row, materialized into the broadcast relation)
+    val local = corpus.sparkSession.createDataFrame(cellRows.toSeq.asJava, cellSchema)
+    val q = assignToCells(withCentroidNorms(local))(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn")),
+      "query_id", "qv", "qn", nprobe)
+      .withColumn("lut", graft.plans.PqLut(col("qv"), codebooks))
+    // constant ‖entry‖² table: reconstruction norm is the same m-lookup
+    // fold as the ADC dot, against a literal array
+    val normLut = typedlit(codebooks.flatMap(_.map(_.map(x => x * x).sum)).toSeq)
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", safeRatio(
+        graft.plans.PqAdc(col("lut"), col("codes")),
+        col("qn") * sqrt(graft.plans.PqAdc(normLut, col("codes")))))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc_nulls_last, col("neighbor_id"))
+    val shortlist = cand.withColumn("ar", row_number().over(wA))
+      .filter(col("ar") <= k * rerankFactor)
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("cos", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Nearest-centroid cell id for each row of `df`, against a DRIVER-side
     * centroid array (k × dim doubles — tiny by construction; broadcast
     * as a literal-free native batch via [[graft.plans.NearestCentroid]]).

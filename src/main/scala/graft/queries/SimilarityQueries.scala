@@ -188,6 +188,57 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // IVF + PQ-ADC candidate scoring + fp32 rerank (rows-only; the two
+    // companion rows below carry the oracle): candidates are scored from
+    // m=8 one-byte codes via the query's precomputed ADC lookup table —
+    // 32× less candidate I/O than fp32, the memory-bound big-corpus ANN
+    // layout (codebooks learned in 2 Lloyd's rounds, deterministic init)
+    "sim_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebooks(emb, dim = Dim, m = 8, ksub = 16, iters = 2)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        Similarity.centroids(emb, "label"), cb, k = 5, nprobe = 6,
+        rerankFactor = 16)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
+    // ORACLE COMPANION for the PQ path (the sim_ivf_exhaustive move):
+    // probe ALL 10 label cells with a corpus-covering shortlist, so the
+    // ADC stage may only reorder candidates the fp32 rerank fully
+    // re-scores — the output must equal brute force EXACTLY, making
+    // learn→encode→ADC→rerank oracle-checked end to end
+    "sim_pq_exhaustive_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebooks(emb, dim = Dim, m = 8, ksub = 16, iters = 2)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        Similarity.centroids(emb, "label"), cb, k = 5, nprobe = 10,
+        rerankFactor = 4000)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
+    // RECALL FLOOR for the PQ path (the sim_lsh_recall move): per
+    // query, IVF-PQ top-5 must recover >= 2 of the exact top-5 — the
+    // output is the VIOLATION set, so the oracle asserts empty. Both
+    // sides deterministic (xxhash codebook init, exact-decimal Lloyd's
+    // means, exact ranking)
+    "sim_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val panel = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(panel, emb, k = 5)
+        .select("query_id", "neighbor_id")
+      val cb = Similarity.pqCodebooks(emb, dim = Dim, m = 8, ksub = 16, iters = 2)
+      val approx = Similarity.ivfPqTopK(panel, emb,
+        Similarity.centroids(emb, "label"), cb, k = 5, nprobe = 6,
+        rerankFactor = 16)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .filter(col("hits") < 2)
+        .orderBy("query_id")}),
+
     // JL random-projection ANN (project→shortlist→rerank): candidates
     // ranked on the 32-dim projected corpus — half the bytes of the
     // fp32 64-dim column feed the candidate scan — then the top-200 per
@@ -345,6 +396,25 @@ object SimilarityQueries {
     // what SQL can express)
     "sim_project_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits WHERE 1=0",
+    // same property-oracle shape for the product-quantization path
+    // (DuckDB cannot replay the Lloyd's-learned codebooks; the floor
+    // property is what SQL can express)
+    "sim_pq_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits WHERE 1=0",
+    // corpus-covering shortlist ⇒ identical to the brute-force oracle
+    // (see the query comment)
+    "sim_pq_exhaustive_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // corpus-covering shortlist ⇒ identical to the brute-force oracle
     // (see the query comment)
     "sim_project_exhaustive_topk" ->

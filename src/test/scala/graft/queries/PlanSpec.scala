@@ -73,6 +73,21 @@ class PlanSpec extends SparkSpec {
       s"corpus branch must not shuffle to learn its cell:\n${cand.get.left}")
   }
 
+  test("sim_pq_topk: corpus encodes narrowly — no exchange before the candidate join") {
+    // cell assignment AND the PQ encode must both stay narrow maps on
+    // the corpus branch: the codes (m bytes/row) are what stream into
+    // the candidate join; the LUT lives only on the broadcast query side
+    val plan = executed(query("sim_pq_topk"))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val cand = bhj.find(_.left.toString.contains("pq_encode"))
+    assert(cand.nonEmpty, s"no candidate join streaming the narrow-encoded corpus:\n$plan")
+    val shuffles = cand.get.left.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"corpus branch must not shuffle to assign cells or encode codes:\n${cand.get.left}")
+    assert(!cand.get.left.toString.contains("pq_lut"),
+      "the ADC lookup table must never be built on the corpus side")
+  }
+
   test("sim_project_topk: corpus projects narrowly — no exchange before the candidate join") {
     // the JL projection must stay a per-row map on the corpus branch
     // (mat_vec rides in-expression); the only joins are the broadcast
