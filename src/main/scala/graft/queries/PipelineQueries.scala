@@ -23,6 +23,28 @@ object PipelineQueries {
       Search.bm25TopK(Tables.documents(s, d), "text", "doc_id",
         Seq("vector", "merge", "window"), 20)),
 
+    // Avro container-file round trip through the `graft-avro` V2 batch
+    // source (sources/AvroFileSource.scala — the READ half of the
+    // connector surface; writes go through the distributed AvroFiles
+    // writer, deflate-coded, sync-marker-splittable): events →
+    // .avro part files → V2 scan → month × type aggregate. The oracle
+    // computes the SAME aggregate straight off the parquet, so any
+    // value corrupted, dropped, or duplicated in
+    // encode→container→split-read→decode flips the hash
+    "pipe_avro_roundtrip" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_avro_rt_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.AvroFiles.write(
+        Tables.events(s, d).select("event_id", "user_id", "event_type", "value", "ts"),
+        dir, deflate = true)
+      graft.sources.AvroFiles.read(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyyMM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum("user_id").as("uid_sum"),
+          round(sum(col("value").cast("decimal(28,10)")).cast("double"), 6)
+            .as("value_sum"))
+        .orderBy("event_type", "month")}),
+
     // context-window chunking: 32-token windows, stride 24 (8-token
     // overlap); every chunk row is emitted verbatim so the oracle pins
     // each window boundary and its exact text
@@ -196,6 +218,16 @@ object PipelineQueries {
        |    * sqrt(list_sum(list_transform(list_zip($b, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // the Spark side aggregates what survived the avro round trip; the
+    // oracle aggregates the source parquet directly — equal iff the
+    // container write/split-read preserved every row and value
+    "pipe_avro_roundtrip" ->
+      """SELECT event_type, strftime(ts, '%Y%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_cms_lower_bound" ->
       ("SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS est_count, " +
