@@ -75,6 +75,12 @@ object GraftExtensions {
       arity(children, "int8_quantize", 1)
       Int8QuantizeExpr(children.head)
     },
+    // pq_adc(lut, codes) — the ADC m-lookup scoring fold (PQ); encode/
+    // lut capture a codebook matrix and stay Column-API-only
+    "pq_adc" -> { children =>
+      arity(children, "pq_adc", 2)
+      PqAdcExpr(children.head, children(1))
+    },
     // topk_pairs(score, id, k) — native bounded-heap top-k aggregate
     "topk_pairs" -> { children =>
       arity(children, "topk_pairs", 3)
