@@ -72,6 +72,45 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // exact substring-duplication census at L=40 chars (the
+    // character-level Lee-et-al. signal): every 40-char string occurring
+    // >= 2 times corpus-wide, overlaps and intra-doc repeats included.
+    // Rolling-hash pre-filter, value-verified grouping; the oracle
+    // replays it by brute-force substr explosion — the hash machinery
+    // may only ever agree with literal substring equality
+    "text_dup_substrings" -> ((s, d) =>
+      graft.operators.SubstringDedup.gramCensus(Tables.documents(s, d), 40)
+        .orderBy("gram")),
+
+    // longest duplicated substring in the corpus: binary search on the
+    // census existence bit (rows-only; text_dup_substrings carries the
+    // oracle for the census machinery and the _bound row pins
+    // maximality)
+    "text_longest_dup" -> ((s, d) =>
+      graft.operators.SubstringDedup.longestDup(Tables.documents(s, d),
+        minLen = 8, maxLen = 600)
+        .orderBy("gram")),
+
+    // MAXIMALITY violation row for text_longest_dup: re-running the
+    // (oracle-validated) census one char LONGER than the claimed L*
+    // must find nothing — any row here is a duplicated substring the
+    // binary search missed. The oracle asserts the empty set
+    "text_longest_dup_bound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ld = graft.operators.SubstringDedup.longestDup(docs,
+        minLen = 8, maxLen = 600)
+      val lstar = ld.agg(max("len")).collect().head
+      if (lstar.isNullAt(0)) {
+        // no duplicate at even minLen: nothing claimed, nothing to check
+        val s2 = s
+        import s2.implicits._
+        Seq.empty[(Int, String)].toDF("len", "gram")
+      } else {
+        graft.operators.SubstringDedup.gramCensus(docs, lstar.getInt(0) + 1)
+          .select(lit(lstar.getInt(0) + 1).as("len"), col("gram"))
+          .orderBy("gram")
+      }}),
+
     // the composed LLM-data pipeline: exact-dedup → quality gate →
     // language gate → deterministic subsample → per-lang token budget
     "pipe_clean_corpus" -> ((s, d) => {
@@ -434,6 +473,22 @@ object TextQueries {
         |  list_reduce([0] || list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),
         |              (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // brute-force replay of the rolling-hash census: explode every
+    // 40-char window (code-point indexed, matching rolling_hashes and
+    // Spark substring) and group by the literal string
+    "text_dup_substrings" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, GREATEST(len(text) - 38, 1))) AS i)
+        |)
+        |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM g GROUP BY gram HAVING count(*) > 1 ORDER BY gram""".stripMargin,
+    // maximality property: the expected answer is the EMPTY set (see
+    // the query comment; SQL cannot replay the binary search itself)
+    "text_longest_dup_bound" ->
+      "SELECT CAST(NULL AS INT) AS len, CAST(NULL AS VARCHAR) AS gram WHERE 1=0",
     "pipe_clean_corpus" ->
       s"""WITH deduped AS (
          |  SELECT * FROM documents

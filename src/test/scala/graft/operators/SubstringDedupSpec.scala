@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.{RollingHashes, RollingHashesExpr}
+
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force census over code points — the spec's ground truth. */
+  private def bruteCensus(docs: Seq[(Long, String)], len: Int): Map[String, (Long, Long)] = {
+    val occ = for {
+      (id, t) <- docs
+      cps = t.codePoints().toArray
+      i <- 0 to cps.length - len if cps.length >= len
+    } yield (new String(cps, i, len), id)
+    occ.groupBy(_._1)
+      .view.mapValues(v => (v.map(_._2).distinct.size.toLong, v.size.toLong))
+      .filter(_._2._2 > 1).toMap
+  }
+
+  test("rolling hashes: window i equals a direct polynomial of code points") {
+    val text = "abcabcXabc"
+    val L = 3
+    val got = Seq(text).toDF("t")
+      .select(RollingHashes($"t", L)).as[Seq[Long]].head()
+    val cps = text.codePoints().toArray
+    val expect = (0 to cps.length - L).map { i =>
+      (i until i + L).foldLeft(0L)((h, j) => h * RollingHashesExpr.Base + cps(j))
+    }
+    assert(got == expect)
+    // equal windows share a hash; the repeated "abc" occurs at 0, 3, 7
+    assert(got(0) == got(3) && got(3) == got(7))
+    assert(Seq("ab").toDF("t").select(RollingHashes($"t", 3)).as[Seq[Long]].head().isEmpty)
+  }
+
+  test("rolling hashes index by CODE POINTS — windows align with substring()") {
+    // astral emoji are 2 UTF-16 units but 1 code point: window 1 of
+    // "a😀b😀c" at L=3 must be "😀b😀", exactly what substring() extracts
+    val text = "a😀b😀c"
+    val df = Seq(text).toDF("t")
+    val hashes = df.select(RollingHashes($"t", 3)).as[Seq[Long]].head()
+    assert(hashes.length == 3) // 5 code points → 3 windows
+    val win1 = df.select(substring($"t", 2, 3)).as[String].head()
+    assert(win1 == "😀b😀")
+  }
+
+  test("gramCensus matches brute force incl. overlaps, intra-doc repeats, multi-doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox is quick brown and bold"),
+      (3L, "aaaaaa"), // overlapping self-repeats: 'aaaa' occurs 3x
+      (4L, "zzz unique document zzz")) // intra-doc repeat of 'zzz'
+    val df = docs.toDF("doc_id", "text")
+    for (l <- Seq(3, 4, 11)) {
+      val got = SubstringDedup.gramCensus(df, l)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == bruteCensus(docs, l), s"census mismatch at L=$l")
+    }
+  }
+
+  test("longestDup finds the brute-force maximum; empty corpus-without-dups handled") {
+    val docs = Seq(
+      (1L, "xxTHE SHARED PASSAGE LIVES HEREyy"),
+      (2L, "aaTHE SHARED PASSAGE LIVES HEREbb"),
+      (3L, "completely different text"))
+    val df = docs.toDF("doc_id", "text")
+    val brute = (1 to 40).reverse.find(l => bruteCensus(docs, l).nonEmpty).get
+    val got = SubstringDedup.longestDup(df, minLen = 2, maxLen = 40)
+      .as[(Int, String, Long, Long)].collect()
+    assert(got.nonEmpty && got.head._1 == brute)
+    assert(got.map(_._2).toSet == bruteCensus(docs, brute).keySet)
+    // maximality: nothing duplicated one char longer
+    assert(!SubstringDedup.hasDupOfLen(df, brute + 1))
+    // a corpus with no duplicate at minLen returns the empty frame
+    val solo = Seq((1L, "abcdefg")).toDF("doc_id", "text")
+    assert(SubstringDedup.longestDup(solo, minLen = 2, maxLen = 10).isEmpty)
+  }
+
+  test("hash collisions cannot forge census rows (value verification)") {
+    // adversarial check by construction: grouping is on the extracted
+    // VALUE; two singleton grams sharing a hash bucket must not merge.
+    // With wraparound arithmetic collisions are unobservable at test
+    // scale, so assert the stronger invariant: every census row's gram
+    // really occurs n_occ times in the corpus
+    val docs = (1L to 30L).map(i => (i, s"prefix_$i common_core_text_$i suffix"))
+    val df = docs.toDF("doc_id", "text")
+    val census = SubstringDedup.gramCensus(df, 6).as[(String, Long, Long)].collect()
+    val all = docs.map(_._2)
+    census.foreach { case (gram, _, nOcc) =>
+      val count = all.map { t =>
+        (0 to t.length - 6).count(i => t.substring(i, i + 6) == gram)
+      }.sum
+      assert(count == nOcc && nOcc > 1, s"'$gram' claimed $nOcc, found $count")
+    }
+  }
+}
