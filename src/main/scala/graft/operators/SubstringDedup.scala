@@ -68,6 +68,40 @@ object SubstringDedup {
       idCol: String = "doc_id", textCol: String = "text"): Boolean =
     gramCensus(df, len, idCol, textCol).limit(1).count() > 0
 
+  /** Winnowing fingerprints (Schleimer et al. 2003): the selected
+    * (position, hash) set per document — ~2/(w+1) of all g-gram hashes,
+    * with the guarantee that any shared substring of length ≥ g + w − 1
+    * yields a shared fingerprint. A narrow one-pass native map
+    * ([[graft.plans.WinnowExpr]]); only the selected fingerprints ever
+    * leave the scan.
+    */
+  def winnowedFingerprints(df: DataFrame, gram: Int = 8, window: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(graft.plans.WinnowExpr(col(textCol), gram, window)).as("fp"))
+      .select(col("doc"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+
+  /** Document pairs sharing at least `minShared` winnowed fingerprints
+    * — the MOSS-style overlap report. The pair search is an equi-join
+    * on the fingerprint hash (bucketed like the LSH/MinHash families:
+    * candidates only ever meet inside a hash bucket, never all-pairs);
+    * fingerprints are pre-deduplicated per doc so a long internal
+    * repeat cannot inflate a pair's count.
+    */
+  def winnowedPairs(df: DataFrame, gram: Int = 8, window: Int = 4,
+      minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = winnowedFingerprints(df, gram, window, idCol, textCol)
+      .select("doc", "h").distinct()
+    val a = fps.select(col("doc").as("doc_a"), col("h"))
+    val b = fps.select(col("doc").as("doc_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** The longest duplicated substring length L* in [minLen, maxLen] and
     * its census: binary search on the monotone existence predicate (a
     * duplicate of length L contains duplicates of every shorter

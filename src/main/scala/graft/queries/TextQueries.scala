@@ -91,6 +91,21 @@ object TextQueries {
         minLen = 8, maxLen = 600)
         .orderBy("gram")),
 
+    // winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
+    // selection): doc pairs sharing >= 8 selected g=16/w=8 fingerprints
+    // (g=8/w=4 matched every pair of docs sharing stock short phrases —
+    // 103k pairs at sf0.01; rarer 16-char grams + a deeper overlap bar
+    // keep the report to genuinely duplicated passages).
+    // Selection is the narrow native winnow() pass; the pair search is
+    // an equi-join on the fingerprint hash. Mod-arithmetic hashing is
+    // deliberately SQL-replayable, so the oracle re-runs the ENTIRE
+    // pipeline — gram hashes, window minima with rightmost ties,
+    // dedupe, pair counts — from first principles
+    "text_winnow_pairs" -> ((s, d) =>
+      graft.operators.SubstringDedup.winnowedPairs(Tables.documents(s, d),
+        gram = 16, window = 8, minShared = 8)
+        .orderBy("doc_a", "doc_b")),
+
     // MAXIMALITY violation row for text_longest_dup: re-running the
     // (oracle-validated) census one char LONGER than the claimed L*
     // must find nothing — any row here is a duplicated substring the
@@ -489,6 +504,45 @@ object TextQueries {
     // the query comment; SQL cannot replay the binary search itself)
     "text_longest_dup_bound" ->
       "SELECT CAST(NULL AS INT) AS len, CAST(NULL AS VARCHAR) AS gram WHERE 1=0",
+    // first-principles replay of winnowing: per-window g-gram fold
+    // hashes (the fingerprint arithmetic), sliding-window minima with
+    // rightmost tie-break, per-doc dedupe, hash-bucket pair counts
+    "text_winnow_pairs" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(text) - 14), i ->
+        |      list_reduce([0] || list_transform(range(CAST(i AS INT), CAST(i + 16 AS INT)),
+        |                    j -> unicode(substr(text, CAST(j AS INT), 1))::BIGINT),
+        |                  (a, b) -> (a * 31 + b) % 1000000007)) AS h
+        |  FROM documents WHERE len(text) >= 16
+        |), grams AS (
+        |  SELECT doc_id, CAST(ii.i AS INT) AS pos, h[CAST(ii.i AS INT)] AS hv,
+        |         len(h) AS m
+        |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) ii
+        |), winsel AS (
+        |  SELECT doc_id, j, pos, hv,
+        |    row_number() OVER (PARTITION BY doc_id, j
+        |                       ORDER BY hv ASC, pos DESC) AS rk
+        |  FROM (
+        |    SELECT g.doc_id, CAST(w.j AS INT) AS j, g.pos, g.hv
+        |    FROM grams g, LATERAL (
+        |      SELECT unnest(range(GREATEST(g.pos - 7, 1),
+        |                          LEAST(g.pos, g.m - 7) + 1)) AS j) w
+        |    WHERE g.m >= 8)
+        |), shortsel AS (
+        |  SELECT doc_id, pos, hv,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY hv ASC, pos DESC) AS rk
+        |  FROM grams WHERE m < 8
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, hv FROM winsel WHERE rk = 1
+        |  UNION
+        |  SELECT DISTINCT doc_id, hv FROM shortsel WHERE rk = 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM fp a JOIN fp b ON a.hv = b.hv AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY doc_a, doc_b""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH deduped AS (
          |  SELECT * FROM documents

@@ -79,6 +79,53 @@ class SubstringDedupSpec extends SparkSpec {
     assert(SubstringDedup.longestDup(solo, minLen = 2, maxLen = 10).isEmpty)
   }
 
+  /** Brute-force winnowing replay: mod-arithmetic gram hashes, window
+    * minimum with rightmost tie, distinct selections.
+    */
+  private def bruteWinnow(text: String, g: Int, w: Int): Seq[(Int, Long)] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < g) return Seq.empty
+    val hs = (0 to cps.length - g).map { i =>
+      (i until i + g).foldLeft(0L)((a, j) => (a * 31 + cps(j)) % 1000000007L)
+    }
+    val sels =
+      if (hs.length < w) Seq(hs.zipWithIndex.minBy { case (h, i) => (h, -i) }._2)
+      else (0 to hs.length - w).map { j =>
+        (j until j + w).minBy(i => (hs(i), -i))
+      }
+    sels.distinct.map(i => (i, hs(i)))
+  }
+
+  test("winnow matches the brute-force replay (incl. ties and short texts)") {
+    val texts = Seq(
+      "the winnowing algorithm selects fingerprints deterministically",
+      "aaaaaaaaaaaa", // all gram hashes equal → rightmost-tie exercised
+      "ab", // shorter than gram → empty
+      "abcdefgh", // exactly one gram → one selection
+      "abcdefghij") // fewer grams than window → overall min
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = SubstringDedup.winnowedFingerprints(df, gram = 8, window = 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = bruteWinnow(t, 8, 4).sortBy(_._1)
+      assert(got.getOrElse(i.toLong, Seq.empty) == expect, s"doc $i ('$t')")
+    }
+  }
+
+  test("winnowing guarantee: shared substring of length >= g+w-1 shares a fingerprint") {
+    val shared = "THIS EXACT RUN OF CHARS" // length 23 >= 8+4-1
+    val docs = Seq(
+      (1L, s"left padding ${shared} right padding"),
+      (2L, s"completely other framing ${shared} and tail"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = SubstringDedup.winnowedPairs(df, gram = 8, window = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "documents sharing a >= g+w-1 substring must share a fingerprint")
+  }
+
   test("hash collisions cannot forge census rows (value verification)") {
     // adversarial check by construction: grouping is on the extracted
     // VALUE; two singleton grams sharing a hash bucket must not merge.
