@@ -41,6 +41,26 @@ object Sampling {
     pmod(pmod(id, lit(M)) * lit(P) + lit(salt % M), lit(M))
   }
 
+  /** Per-group row cap (the RefinedWeb/CCNet "at most N documents per
+    * domain" move): keep the first `cap` rows of each group in
+    * deterministic hash order, so the retained set is an unbiased,
+    * partitioning-independent sample of the group and over-represented
+    * domains can't dominate a training mix. Expressed as a rank filter
+    * so Catalyst plans it as `WindowGroupLimit`: every map task keeps
+    * only its local first-`cap` rows per group BEFORE the exchange —
+    * the shuffle carries O(groups·cap) rows per task, not the table.
+    * `order` must be a total order (pass a tie-break column last) or
+    * the kept set is nondeterministic under retries.
+    */
+  def groupCap(df: DataFrame, group: Column, cap: Int, order: Column*): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(group).orderBy(order: _*)))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Per-stratum rates: `fractions` maps stratum value → (num, denom).
     * Strata missing from the map are dropped.
     */

@@ -272,6 +272,59 @@ object Similarity {
     scoreCandidates(c, q, "cell", k, dedupe = false)
   }
 
+  /** Build-once / query-many IVF index persisted to storage: the cell
+    * table plus a postings table PARTITIONED BY cell — the inverted
+    * file realized as a lakehouse directory layout, so every later
+    * query panel reads only its probed cells' files via partition
+    * pruning (pinned in IvfIndexSpec). The assignment pass is the same
+    * narrow [[assignTop1]] map as [[ivfTopK]], paid ONCE at build
+    * instead of per query panel. The one deliberate exchange here —
+    * `repartition(cell)` before the write — buys a one-file-per-cell
+    * layout (a straight dynamic-partition write would emit
+    * tasks×cells fragments at fleet scale); it is build-time cost
+    * amortized over every query served from the index. `cell` must be
+    * an atomic type (it becomes a directory key).
+    */
+  def buildIvfIndex(corpus: DataFrame, cells: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import scala.jdk.CollectionConverters._
+    val (cellSchema, cellRows, matrix) = collectCellMatrix(cells)
+    val posted = assignTop1(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        l2norm(col(vecCol)).as("cn")),
+      "cv", cellRows, matrix)
+    posted.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    // persist the already-collected rows, not the `cells` plan — the
+    // centroid aggregation job must not run a second time
+    corpus.sparkSession.createDataFrame(cellRows.toSeq.asJava, cellSchema)
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Serve top-k from a persisted [[buildIvfIndex]] index. The probed
+    * cell set (≤ |panel|·nprobe ids) is collected and pushed as a
+    * static IN filter, so the postings scan plans with partition
+    * filters and never lists — let alone reads — unprobed cells. No
+    * corpus vector crosses an exchange at query time.
+    */
+  def ivfIndexTopK(queries: DataFrame, path: String, k: Int,
+      nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = queries.sparkSession
+    val (cellSchema, cellRows, _) =
+      collectCellMatrix(spark.read.parquet(s"$path/cells"))
+    val local = spark.createDataFrame(cellRows.toSeq.asJava, cellSchema)
+    val q = assignToCells(withCentroidNorms(local))(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn")),
+      "query_id", "qv", "qn", nprobe)
+    val probed = q.select("cell").distinct().collect().map(_.get(0))
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isInCollection(probed.toSeq))
+    scoreCandidates(posts, q, "cell", k, dedupe = false)
+  }
+
   /** IVF top-k with int8-quantized candidate scoring and exact fp32
     * rerank — the big-corpus ANN layout: the inverted file prunes to
     * O(n·nprobe/cells) candidates, those are scored on 4×-smaller int8

@@ -209,7 +209,19 @@ object PipelineQueries {
         graft.operators.Layout.zValue(col("qb"), col("lb"), bits = 4),
         col("doc_id"), nFiles = 8)
       graft.operators.Layout.fileSpans(laidOut,
-        Seq("q" -> col("qb"), "len" -> col("lb")))})
+        Seq("q" -> col("qb"), "len" -> col("lb")))}),
+
+    // per-source document cap (RefinedWeb's "at most N per domain"):
+    // rank in deterministic shuffle-key order so the kept set is an
+    // unbiased, re-run-stable sample; Catalyst plans the rank filter as
+    // WindowGroupLimit (partial per-task top-cap BEFORE the exchange —
+    // pinned in PlanSpec), so the shuffle carries O(sources·cap) rows
+    "pipe_source_cap" -> ((s, d) =>
+      Sampling.groupCap(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            Sampling.shuffleKey(col("doc_id")).as("sk")),
+          col("source"), cap = 10, col("sk"), col("doc_id"))
+        .orderBy("source", "sk", "doc_id"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -228,6 +240,20 @@ object PipelineQueries {
         |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
         |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pipe_source_cap" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id % 1000000007) * 654435747 + 40503) % 1000000007 AS sk
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, sk,
+        |    row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn
+        |  FROM k
+        |)
+        |SELECT doc_id, source, sk FROM r
+        |WHERE rn <= 10
+        |ORDER BY source, sk, doc_id""".stripMargin,
 
     "text_cms_lower_bound" ->
       ("SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS est_count, " +

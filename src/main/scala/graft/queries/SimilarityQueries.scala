@@ -122,6 +122,21 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // the PERSISTED inverted file end to end (build-once / query-many):
+    // build writes cell-partitioned postings into a tmpdir keyed by the
+    // sf dir, serve probes ALL 10 label cells so the result must equal
+    // brute force EXACTLY — build+serve are oracle-checked end to end;
+    // the partition-pruned nprobe<cells read is pinned in IvfIndexSpec
+    "sim_ivf_index_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.buildIvfIndex(emb, Similarity.centroids(emb, "label"), dir)
+      Similarity.ivfIndexTopK(emb.filter(col("vec_id") < 10), dir,
+        k = 5, nprobe = 10)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
     // embedding near-dups, PRODUCTION SHAPE (the headline near-dup
     // query): same-label top-20 pairs searched only within semantic
     // clusters — assignment is the narrow native NearestCentroid map and
@@ -468,6 +483,22 @@ object SimilarityQueries {
     // identical to the brute-force oracle: exhaustive probing IS brute
     // force (see the query comment)
     "sim_ivf_exhaustive_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical brute-force replay: exhaustive probing of the PERSISTED
+    // index must reproduce exact top-k (checks build assignment, the
+    // partitioned round trip, and serve scoring together)
+    "sim_ivf_index_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw

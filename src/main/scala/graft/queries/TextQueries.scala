@@ -372,7 +372,19 @@ object TextQueries {
         .withColumn("acc",
           round(col("n_correct").cast("double") / col("n").cast("double"), 4))
         .filter(col("acc") < 0.85)
-        .orderBy("split")})
+        .orderBy("split")}),
+
+    // corpus-level n-gram diversity per source (the templated-text
+    // detector a mixing loop reads; complements per-doc text_repetition)
+    "text_ngram_diversity" -> ((s, d) =>
+      graft.operators.MixtureStats.ngramDiversity(
+        Tables.documents(s, d), "text", "source")),
+
+    // per-source KL(p_source ‖ p_corpus) over unigrams — the
+    // distance-from-the-mixture signal behind DoReMi-style reweighting
+    "text_kl_mixture" -> ((s, d) =>
+      graft.operators.MixtureStats.klFromMixture(
+        Tables.documents(s, d), "text", "source"))
   )
 
   private val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -663,6 +675,49 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(text,
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |     + len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_pii
-        |FROM aug ORDER BY doc_id""".stripMargin
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_tokens
+        |  FROM (SELECT source, unnest(t) AS g FROM toks)
+        |  GROUP BY source
+        |), bi AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+        |  FROM (SELECT source,
+        |          unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS g
+        |        FROM toks WHERE len(t) >= 2)
+        |  GROUP BY source
+        |)
+        |SELECT uni.source, n_tokens, distinct_tokens,
+        |  round(distinct_tokens::DOUBLE / n_tokens, 6) AS uni_diversity,
+        |  n_bigrams, distinct_bigrams,
+        |  round(distinct_bigrams::DOUBLE / n_bigrams, 6) AS bi_diversity
+        |FROM uni JOIN bi ON uni.source = bi.source
+        |ORDER BY uni.source""".stripMargin,
+
+    "text_kl_mixture" ->
+      """WITH counts AS (
+        |  SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS g
+        |        FROM documents)
+        |  GROUP BY source, g
+        |), gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS gt FROM counts GROUP BY source),
+        |   cc AS (SELECT g, CAST(sum(c) AS BIGINT) AS cc FROM counts GROUP BY g),
+        |   ct AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM counts)
+        |SELECT counts.source, CAST(max(gt.gt) AS BIGINT) AS n_tokens,
+        |  round(sum((c::DOUBLE / gt.gt) * ln((c::DOUBLE / gt.gt) / (cc.cc::DOUBLE / ct.ct))), 6)
+        |    AS kl_nats
+        |FROM counts
+        |JOIN gt ON counts.source = gt.source
+        |JOIN cc ON counts.g = cc.g
+        |CROSS JOIN ct
+        |GROUP BY counts.source
+        |ORDER BY counts.source""".stripMargin
   )
 }

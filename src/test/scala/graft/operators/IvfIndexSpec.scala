@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Persisted IVF index: build-once layout, partition-pruned serving,
+  * and exact agreement with the in-memory inverted file.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.buildIvfIndex(emb, Similarity.centroids(emb, "label"), d)
+    d
+  }
+
+  // descend through AQE wrappers (AdaptiveSparkPlanExec + materialized
+  // query stages are leaves to TreeNode.collect)
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+    }.flatten
+
+  private def postingsScans(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect()
+    allScans(df.queryExecution.executedPlan).filter(
+      _.metadata.get("Location").exists(_.contains("postings")))
+  }
+
+  test("persisted index serves the same top-k as the in-memory inverted file") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromIndex = Similarity.ivfIndexTopK(queries, dir, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    val inMemory = Similarity.ivfTopK(queries, emb,
+        Similarity.centroids(emb, "label"), k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    assert(fromIndex.sameElements(inMemory))
+  }
+
+  test("serving reads only probed cells: partition filters prune the postings scan") {
+    // a single query probing 2 of the 10 label cells must plan the
+    // postings read with a partition filter on cell — at 100 TB this
+    // pruning IS the difference between an index probe and a table scan
+    val one = emb.filter(col("vec_id") === 3)
+    val df = Similarity.ivfIndexTopK(one, dir, k = 5, nprobe = 2)
+    val scans = postingsScans(df)
+    assert(scans.nonEmpty, "expected a postings file scan")
+    val scan = scans.head
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("cell")),
+      scan.metadata.toString)
+    // the pruned read touches at most nprobe of the 10 cell directories
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"expected <= 2 probed cells, read ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("index layout: one directory per cell, postings cover the corpus exactly") {
+    val cells = spark.read.parquet(s"$dir/cells")
+    val posts = spark.read.parquet(s"$dir/postings")
+    assert(cells.count() == 10) // one per label
+    assert(posts.count() == emb.count()) // every vector posted once
+    assert(posts.select("neighbor_id").distinct().count() == emb.count())
+    // every posting's cell exists in the cell table
+    assert(posts.join(cells.select("cell"), Seq("cell"), "left_anti").count() == 0)
+  }
+}

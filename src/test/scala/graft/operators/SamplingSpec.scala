@@ -30,4 +30,24 @@ class SamplingSpec extends SparkSpec {
       docs, col("lang"), col("doc_id"), Map("en" -> (1, 2)))
     assert(kept.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
   }
+
+  test("groupCap keeps at most cap rows per group, deterministically") {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      Sampling.shuffleKey(col("doc_id")).as("sk"))
+    val capped = Sampling.groupCap(keyed, col("source"), 5, col("sk"), col("doc_id"))
+    val perGroup = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perGroup.values.forall(_ <= 5))
+    // groups smaller than cap are untouched
+    val sizes = keyed.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (s, n) => assert(perGroup(s) == math.min(n, 5L)) }
+    // re-run under a different partitioning keeps the SAME rows
+    val again = Sampling.groupCap(keyed.repartition(13), col("source"), 5,
+      col("sk"), col("doc_id")).select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+    // kept rows are exactly the first-cap in (sk, doc_id) order per group
+    val expected = keyed.as[(Long, String, Long)].collect()
+      .groupBy(_._2).values.flatMap(_.sortBy(r => (r._3, r._1)).take(5).map(_._1)).toSet
+    assert(again == expected)
+  }
 }

@@ -115,6 +115,17 @@ class PlanSpec extends SparkSpec {
       s"expected partial window group limit:\n$plan")
   }
 
+  test("pipe_source_cap: per-group cap runs as partial WindowGroupLimit") {
+    // groupCap's rank filter must push a per-task partial top-cap below
+    // the exchange — at 100 TB the shuffle then carries O(sources·cap)
+    // rows per task instead of every document row
+    val df = query("pipe_source_cap")
+    df.collect()
+    val plan = executed(df).toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial window group limit under pipe_source_cap:\n$plan")
+  }
+
   test("rel_topk_aggregator: native partial top-k aggregation, no window machinery") {
     val df = query("rel_topk_aggregator")
     df.collect()
