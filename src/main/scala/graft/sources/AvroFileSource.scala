@@ -67,6 +67,15 @@ final class AvroFileDataSource extends TableProvider with DataSourceRegister {
     finally reader.close()
   }
 
+  /** A caller may pass a READER schema (`spark.read.schema(...)`) that
+    * differs from the files' writer schemas — the Avro evolution
+    * contract: added nullable columns resolve to null on old files,
+    * dropped columns are skipped at the byte level, and promotable
+    * types (int→long, float→double) widen per file. This is how a
+    * years-old 100 TB table reads uniformly after its schema grew.
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new AvroFileTable(schema, new CaseInsensitiveStringMap(properties))
@@ -365,18 +374,54 @@ object AvroSchemaBridge {
   }
 
   /** Projected reader schema: the writer record narrowed to `required`'s
-    * fields (writer field schemas, required order — Avro resolves reader
-    * fields by NAME, so order is free and `record.get(name)` is exact).
+    * fields (Avro resolves reader fields by NAME, so order is free and
+    * `record.get(name)` is exact). Schema evolution happens HERE, per
+    * file, so a directory whose files were written under different
+    * schema generations still reads uniformly:
+    *  - field present with the same Spark mapping → reuse the writer
+    *    field schema byte-for-byte (no resolution cost);
+    *  - field present with a DIFFERENT mapping → reader schema built
+    *    from the required Spark type; Avro's resolving decoder applies
+    *    the spec's promotions (int→long, float→double, …) or fails
+    *    loudly at schema-resolution time for non-promotable pairs;
+    *  - field MISSING from the writer → nullable columns resolve to
+    *    null via a union(null, T) default (the added-column case on old
+    *    files); non-nullable missing columns fail loudly.
     */
   def project(writer: AvroSchema, required: StructType): AvroSchema = {
     val fields = required.fields.map { f =>
       val wf = writer.getField(f.name)
-      require(wf != null, s"graft-avro: column '${f.name}' not in writer schema $writer")
-      new AvroSchema.Field(f.name, wf.schema(), null, null)
+      if (wf == null) {
+        require(f.nullable,
+          s"graft-avro: non-nullable column '${f.name}' not in writer schema $writer")
+        val branch = toAvroType(f.dataType, s"evolved_${f.name}")
+        val union = AvroSchema.createUnion(util.Arrays.asList(
+          AvroSchema.create(Type.NULL), branch))
+        new AvroSchema.Field(f.name, union, null,
+          org.apache.avro.JsonProperties.NULL_VALUE)
+      } else if (toSparkType(unwrapNullable(wf.schema()))._1 == f.dataType) {
+        new AvroSchema.Field(f.name, wf.schema(), null, null)
+      } else {
+        // promotion path: reader type from the Spark schema, writer
+        // nullability preserved (a nullable writer union must stay a
+        // union or resolution fails on null rows)
+        val base = toAvroType(f.dataType, s"promoted_${f.name}")
+        val s =
+          if (wf.schema().getType == Type.UNION || f.nullable)
+            AvroSchema.createUnion(util.Arrays.asList(
+              AvroSchema.create(Type.NULL), base))
+          else base
+        new AvroSchema.Field(f.name, s, null, null)
+      }
     }
     AvroSchema.createRecord(writer.getName, null, writer.getNamespace, false,
       fields.toList.asJava)
   }
+
+  private def unwrapNullable(s: AvroSchema): AvroSchema =
+    if (s.getType == Type.UNION)
+      s.getTypes.asScala.find(_.getType != Type.NULL).getOrElse(s)
+    else s
 
   // ---- value converters ----------------------------------------------
 

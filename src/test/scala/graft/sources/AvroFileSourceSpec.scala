@@ -181,4 +181,59 @@ class AvroFileSourceSpec extends SparkSpec {
     assert(files.length == 8)
     assert(AvroFiles.read(spark, dir).count() == 1000)
   }
+
+  test("schema evolution: added nullable columns resolve to null on old files") {
+    val dir = avroDir("evolve_add")
+    AvroFiles.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    val evolved = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType), // added after these files were written
+      StructField("tags", ArrayType(StringType))))
+    val back = spark.read.format("graft-avro").schema(evolved).load(dir)
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(back.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // a non-nullable added column cannot be defaulted — loud failure
+    val bad = StructType(Seq(StructField("id", LongType),
+      StructField("must_exist", LongType, nullable = false)))
+    val e = intercept[Exception] {
+      spark.read.format("graft-avro").schema(bad).load(dir).collect()
+    }
+    assert(e.getMessage.contains("must_exist") ||
+      Option(e.getCause).exists(_.getMessage.contains("must_exist")))
+  }
+
+  test("schema evolution: int->long / float->double promotion per the avro spec") {
+    val dir = avroDir("evolve_promote")
+    AvroFiles.write(
+      Seq((1, 1.5f), (2, 2.5f)).toDF("n", "x"), dir) // written narrow
+    val wide = StructType(Seq(
+      StructField("n", LongType), StructField("x", DoubleType)))
+    val back = spark.read.format("graft-avro").schema(wide).load(dir)
+      .orderBy("n").collect()
+    assert(back.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+  }
+
+  test("schema evolution: files from different schema generations read uniformly") {
+    // the 100 TB case: a table directory whose old files predate a column
+    val oldDir = avroDir("evolve_gen_old")
+    val dir = avroDir("evolve_gen")
+    AvroFiles.write(Seq((1L, "old")).toDF("id", "name"), oldDir)
+    AvroFiles.write(Seq((2L, "new", 0.9)).toDF("id", "name", "score"), dir)
+    val old = new java.io.File(oldDir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    java.nio.file.Files.copy(old.toPath,
+      new java.io.File(dir, "part-aa-old-gen.avro").toPath)
+    val merged = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = spark.read.format("graft-avro").schema(merged).load(dir)
+      .orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 1L && back(0).isNullAt(2)) // old generation
+    assert(back(1).getLong(0) == 2L && back(1).getDouble(2) == 0.9)
+  }
 }
