@@ -416,6 +416,37 @@ object RelationalQueries {
             col("exact_parts") * 0.15).as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // MERGEABLE sketch-as-column (DataSketches HLL, built into Spark 4):
+    // per-month sketches of distinct customers are persisted-size binary
+    // state that later UNIONS without the raw data — the incremental
+    // rollup move: at fleet scale, updating a year-to-date distinct
+    // count touches 12 kilobyte-sized sketches, never the order
+    // history. Checked two ways: the merged estimate lands within the
+    // documented HLL error of the exact count (lgK=12 → rse ≈ 0.8%; 5%
+    // bound), and merging monthly sketches agrees with one direct
+    // global sketch to 1% (union consistency). DuckDB recomputes the
+    // exact count and asserts both flags TRUE
+    "rel_hll_sketch_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyyMM"))
+      val monthly = o.groupBy("month")
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+      val merged = monthly.agg(
+        count(lit(1)).as("n_months"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_merged"))
+      val global = o.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12)))
+          .as("est_direct"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      merged.crossJoin(global).select(
+        col("n_months"), col("exact_customers"),
+        (abs(col("est_merged") - col("exact_customers")) <=
+          col("exact_customers") * 0.05).as("merged_within_bound"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          greatest(col("est_direct") * 0.01, lit(1.0))).as("merge_consistent"))
+    }),
+
     // ORACLE COMPANION for rel_approx_quantiles: percentile_approx with
     // accuracy 1000 guarantees rank error <= n/1000. For each requested
     // percentile the approx value's TRUE rank interval
@@ -740,6 +771,13 @@ object RelationalQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  true AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // month count + exact distinct recomputed; both sketch flags are
+    // asserted constants TRUE
+    "rel_hll_sketch_merge" ->
+      """SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y%m')) AS BIGINT) AS n_months,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+        |  true AS merged_within_bound, true AS merge_consistent
+        |FROM orders""".stripMargin,
     // group sizes recomputed exactly; the four rank-containment flags are
     // asserted constants TRUE
     "rel_approx_quantiles_bound" ->
