@@ -51,23 +51,27 @@ object MixtureStats {
 
   /** Per-group KL divergence KL(p_group ‖ p_corpus) over unigram
     * distributions, in nats — the distance-from-the-mixture signal
-    * data-reweighting reads. Term counts aggregate per (group, term)
-    * with map-side combine; the corpus marginal is a second aggregate
-    * of those counts (tokens are never re-exploded); the per-term KL
-    * contributions join on the term key and reduce per group. Every
-    * shuffle carries (term, count) pairs — bounded by vocabulary, not
-    * corpus size. The double sum is order-dependent only below the
-    * rounding decimals (|terms| · ulp ≪ 1e-6).
+    * data-reweighting reads. The plan is deliberately LINEAR: term
+    * counts aggregate per (group, term) once (map-side combine — the
+    * only corpus pass), and all three marginals (group total, corpus
+    * term total, grand total) come from window sums chained over that
+    * counts table, so no self-join ever re-derives the tokenize
+    * subtree (a marginals-as-joins form scanned the corpus up to four
+    * times when exchange reuse missed). Every post-explode shuffle —
+    * including the single-partition grand-total window — carries
+    * (term, count) pairs, bounded by vocabulary, not corpus size. The
+    * double sum is order-dependent only below the rounding decimals
+    * (|terms| · ulp ≪ 1e-6).
     */
   def klFromMixture(df: DataFrame, text: String, group: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = toks(df, text)
       .select(col(group), explode(col("__t")).as("g"))
       .groupBy(group, "g").agg(count(lit(1)).as("c"))
-    val groupTotals = counts.groupBy(group).agg(sum("c").as("gt"))
-    val corpus = counts.groupBy("g").agg(sum("c").as("cc"))
-    val withTot = counts.join(groupTotals, Seq(group)).join(corpus, Seq("g"))
-      .crossJoin(broadcast(counts.select(sum("c").as("ct"))))
-    withTot
+    counts
+      .withColumn("gt", sum("c").over(Window.partitionBy(group)))
+      .withColumn("cc", sum("c").over(Window.partitionBy("g")))
+      .withColumn("ct", sum("c").over(Window.partitionBy()))
       .withColumn("term_kl",
         (col("c") / col("gt")) *
           log((col("c") / col("gt")) / (col("cc") / col("ct"))))

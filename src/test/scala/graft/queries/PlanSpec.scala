@@ -115,6 +115,18 @@ class PlanSpec extends SparkSpec {
       s"expected partial window group limit:\n$plan")
   }
 
+  test("text_kl_mixture: one corpus pass — marginals are windows, not self-joins") {
+    // the KL marginals must come from window sums over the vocabulary-
+    // bounded counts table; a marginals-as-joins form re-derived the
+    // tokenize subtree (4 corpus scans when exchange reuse missed)
+    val df = query("text_kl_mixture")
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.size == 1,
+      s"expected exactly one documents scan, got ${rels.size}:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("pipe_source_cap: per-group cap runs as partial WindowGroupLimit") {
     // groupCap's rank filter must push a per-task partial top-cap below
     // the exchange — at 100 TB the shuffle then carries O(sources·cap)
