@@ -25,23 +25,33 @@ object MixtureStats {
   /** Per-group n-gram diversity: distinct/total unigrams and bigrams
     * plus the distinct ratios (a corpus-level repetition signal —
     * distinct-n-gram ratios are the standard templated-text detector,
-    * complementing the per-document `text_repetition` view). One
-    * explode per n-gram order; both aggregate map-side before the
-    * single shuffle on the group key.
+    * complementing the per-document `text_repetition` view). ONE
+    * corpus pass (pinned in PlanSpec): both n-gram orders explode from
+    * the same row as (order, gram) pairs, aggregate per
+    * (group, order, gram) with map-side combine, and the final
+    * order→column pivot runs over two rows per group. An explode per
+    * order would scan and tokenize the corpus twice.
     */
   def ngramDiversity(df: DataFrame, text: String, group: String): DataFrame = {
-    val t = toks(df, text)
-    val uni = t.select(col(group), explode(col("__t")).as("g"))
-      .groupBy(group)
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("g")).as("distinct_tokens"))
-    val bi = t.filter(size(col("__t")) >= 2)
-      .select(col(group), explode(expr(
-        "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i + 1]))")).as("g"))
-      .groupBy(group)
-      .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("g")).as("distinct_bigrams"))
-    uni.join(bi, Seq(group))
+    val grams = toks(df, text)
+      .select(col(group), explode(concat(
+        transform(col("__t"), x => struct(lit(1).as("n"), x.as("g"))),
+        // sequence(0, -1) would DESCEND, not empty — guard short docs
+        expr("""CASE WHEN size(__t) >= 2
+               |  THEN transform(sequence(0, size(__t) - 2),
+               |         i -> struct(2 AS n, concat(__t[i], ' ', __t[i + 1]) AS g))
+               |  ELSE array() END""".stripMargin))).as("kg"))
+      .select(col(group), col("kg.n").as("n"), col("kg.g").as("g"))
+    val byOrder = grams.groupBy(group, "n")
+      .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("dist"))
+    byOrder.groupBy(group)
+      .agg(max(when(col("n") === 1, col("total"))).as("n_tokens"),
+        max(when(col("n") === 1, col("dist"))).as("distinct_tokens"),
+        max(when(col("n") === 2, col("total"))).as("n_bigrams"),
+        max(when(col("n") === 2, col("dist"))).as("distinct_bigrams"))
+      // inner-join parity with the two-branch form: a group whose docs
+      // are all single-token has no bigram row and is dropped
+      .filter(col("n_bigrams").isNotNull)
       .select(col(group), col("n_tokens"), col("distinct_tokens"),
         round(col("distinct_tokens") / col("n_tokens"), 6).as("uni_diversity"),
         col("n_bigrams"), col("distinct_bigrams"),

@@ -115,16 +115,20 @@ class PlanSpec extends SparkSpec {
       s"expected partial window group limit:\n$plan")
   }
 
-  test("text_kl_mixture: one corpus pass — marginals are windows, not self-joins") {
-    // the KL marginals must come from window sums over the vocabulary-
-    // bounded counts table; a marginals-as-joins form re-derived the
-    // tokenize subtree (4 corpus scans when exchange reuse missed)
-    val df = query("text_kl_mixture")
-    val rels = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+  test("mixture diagnostics: one corpus pass — no self-join re-derives the tokenize subtree") {
+    // KL marginals must come from window sums over the vocabulary-
+    // bounded counts table (a marginals-as-joins form scanned the
+    // corpus 4x when exchange reuse missed); diversity must explode
+    // both n-gram orders from the same row (an explode per order
+    // tokenized the corpus twice)
+    for (name <- Seq("text_kl_mixture", "text_ngram_diversity")) {
+      val df = query(name)
+      val rels = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(rels.size == 1,
+        s"$name: expected exactly one documents scan, got ${rels.size}:\n${df.queryExecution.optimizedPlan}")
     }
-    assert(rels.size == 1,
-      s"expected exactly one documents scan, got ${rels.size}:\n${df.queryExecution.optimizedPlan}")
   }
 
   test("pipe_source_cap: per-group cap runs as partial WindowGroupLimit") {
