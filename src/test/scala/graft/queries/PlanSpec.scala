@@ -123,11 +123,11 @@ class PlanSpec extends SparkSpec {
     // tokenized the corpus twice)
     for (name <- Seq("text_kl_mixture", "text_ngram_diversity")) {
       val df = query(name)
-      val rels = df.queryExecution.optimizedPlan.collect {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
-      }
-      assert(rels.size == 1,
-        s"$name: expected exactly one documents scan, got ${rels.size}:\n${df.queryExecution.optimizedPlan}")
+      // leaves, not LogicalRelation: another suite may have cached the
+      // documents table, swapping the scan for an InMemoryRelation
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.size == 1,
+        s"$name: expected exactly one source leaf, got ${leaves.size}:\n${df.queryExecution.optimizedPlan}")
     }
   }
 
