@@ -33,6 +33,19 @@ object DedupQueries {
         Seq("lang", "source"), threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // exact all-pairs tf-cosine near-dups (Bayardo APSS prefix filter):
+    // integer dot products over 3-gram tf vectors, so the DuckDB replay
+    // is bit-exact; the registered plan is the prefix-filtered
+    // production shape, the oracle brute-forces the same math
+    "dedup_cosine_pairs" -> ((s, d) => {
+      val (pairs, release) = graft.operators.CosinePairs
+        .tfCosinePairsManaged(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.6)
+      val out = pairs.orderBy("id_a", "id_b")
+      out.cache().count() // materialize before releasing the vector cache
+      release()
+      out}),
+
     // MinHash+LSH near-dups (hash-based candidates; rows-only — ground
     // truth asserted in DedupSpec against dedup_ngram_jaccard)
     "dedup_minhash" -> ((s, d) =>
@@ -217,6 +230,35 @@ object DedupQueries {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // brute-force replay of the exact APSS semantics: every decision
+    // value (dot, n2) is BIGINT on both sides; the one double is the
+    // final identical IEEE sqrt/mult/div
+    "dedup_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                         for i in range(1, len(t) - 1)]) AS term
+        |  FROM toks WHERE len(t) >= 3
+        |), dt AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM sh GROUP BY doc_id, term
+        |), n2 AS (
+        |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |  FROM dt GROUP BY doc_id
+        |), dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+        |FROM dots
+        |JOIN n2 na ON na.doc_id = dots.id_a
+        |JOIN n2 nb ON nb.doc_id = dots.id_b
+        |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CosinePairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand corpus: exact cosines, short docs excluded, dups at 1.0") {
+    // doc 1 and 2 identical → cosine 1.0; doc 3 shares two of doc 1's
+    // three shingles; doc 4 disjoint; doc 5 too short for 3-grams
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c d x"),
+      (4L, "p q r s t"),
+      (5L, "a b")
+    ).toDF("doc_id", "text")
+    val got = CosinePairs.tfCosinePairs(df, "text", "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect()
+    // shingles of 1: {abc, bcd, cde}; of 3: {abc, bcd, cdx} → dot 2,
+    // norms √3 → cos = 2/3
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1.0),
+      (1L, 3L, BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 3L, BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // below-threshold pair really is below: doc 4 never pairs
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefix filter loses no pairs vs the unpruned inverted index") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val t = 0.35 // low threshold → long suffixes → the filter is stressed
+    val got = CosinePairs.tfCosinePairs(docs, "text", "doc_id", t)
+      .select("id_a", "id_b", "cosine")
+    // naive reference: full inverted-index join, no prefix pruning
+    val dt = docs.select(col("doc_id").as("id"),
+        explode(CosinePairs.shingleList(col("text"), 3)).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n2 = dt.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val naive = dt.as("a").join(dt.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .join(n2.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(n2.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")
+      .withColumn("c", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("c") >= t)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
+    assert(got.count() > 0, "threshold chosen to yield pairs at sf0.001")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("shingleList: multiplicity kept, sub-n text yields empty array") {
+    val r = Seq("a b a b a", "x y").toDF("text")
+      .select(CosinePairs.shingleList(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("a b a", "b a b", "a b a")) // repeat NOT deduped
+    assert(r(1).isEmpty)
+  }
+}
