@@ -61,6 +61,50 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** α=0.5 temperature-scaled mixture rates (the multilingual-pretraining
+    * "sample source s with probability ∝ n_s^α" move, α fixed at 1/2):
+    * per-stratum keep rate √(min_w / n_w), which realizes kept_s ∝ √n_s
+    * scaled so the SMALLEST stratum keeps everything — the maximal
+    * corpus at the α=0.5 mixture. α=1/2 is not just a default: √ is a
+    * correctly-rounded IEEE op, so the rate — and therefore the exact
+    * kept row set — is bit-reproducible in any engine from the integer
+    * stratum weights, with no cross-engine `pow` or order-dependent
+    * double summation anywhere (the only aggregates are integer sums
+    * and an integer min).
+    *
+    * Returns (stratum, n_w, rate); both inputs of the rate are exact
+    * BIGINTs. O(strata) rows — broadcast it into the keep filter.
+    */
+  def temperatureRates(df: DataFrame, stratum: Column, weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // constant partition key: the window runs over the O(strata)-row
+    // aggregate, not the corpus — same pattern as the mix-share windows
+    val w = Window.partitionBy(lit(1))
+    df.groupBy(stratum.as("stratum")).agg(sum(weight).as("n_w"))
+      .withColumn("rate",
+        sqrt(min(col("n_w")).over(w).cast("double") / col("n_w").cast("double")))
+  }
+
+  /** Apply [[temperatureRates]] as deterministic systematic sampling:
+    * keep a row iff `cycleKey % cycle < ⌊rate·cycle⌋` (rates quantized
+    * to 1/cycle steps; the binding stratum's rate is exactly 1.0 so it
+    * keeps every residue). `cycleKey` must be uniform WITHIN each
+    * stratum — see the [[stratifiedSystematic]] caveat. The corpus is
+    * scanned twice (stats, then filter) but only (stratum, weight)
+    * partials shuffle; the rate table is broadcast. Keeps the `rate`
+    * column for accounting.
+    */
+  def temperatureMix(df: DataFrame, stratum: Column, weight: Column,
+      cycleKey: Column, cycle: Int = 20): DataFrame = {
+    require(cycle >= 2, "cycle >= 2 (rate quantization grain)")
+    val rates = temperatureRates(df, stratum, weight)
+      .select(col("stratum"), col("rate"))
+    df.join(broadcast(rates), stratum === col("stratum"))
+      .filter(pmod(cycleKey, lit(cycle.toLong)) <
+        floor(col("rate") * cycle))
+      .drop("stratum")
+  }
+
   /** Per-stratum rates: `fractions` maps stratum value → (num, denom).
     * Strata missing from the map are dropped.
     */

@@ -225,6 +225,29 @@ object TextQueries {
             .as("mix_share"))
         .orderBy("source")}),
 
+    // α=0.5 temperature-scaled mixing: unlike pipe_mix_sources (rates
+    // handed in by the caller), the keep rates are DERIVED from corpus
+    // statistics — √(min_tokens/source_tokens), the "sample ∝ n^α"
+    // upweighting of small sources — in a stats pass whose O(sources)
+    // result broadcasts into the keep filter. Every cross-engine value
+    // is an integer sum/min or one IEEE sqrt/div of integers, so the
+    // kept row SET (not just the aggregates) replays exactly
+    "pipe_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("tok", tokenCount(col("text")))
+      val mixed = graft.operators.Sampling.temperatureMix(
+        docs, col("source"), col("tok"), expr("doc_id div 20"), cycle = 20)
+      val per = mixed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+          min(col("rate")).as("rate"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      per.withColumn("total_tokens", sum(col("tokens")).over(w))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(col("rate"), 6).as("keep_rate"),
+          round(col("tokens").cast("double") / col("total_tokens"), 6)
+            .as("mix_share"))
+        .orderBy("source")}),
+
     // PII scrubbing: email/phone redaction over a deterministically
     // PII-augmented corpus (the raw corpus is synthetic word soup, so
     // the PII is injected in-query from doc_id — both engines build and
@@ -662,6 +685,27 @@ object TextQueries {
         |  round(CAST(CAST(sum(tok) AS BIGINT) AS DOUBLE)
         |        / CAST(total_tokens AS DOUBLE), 6) AS mix_share
         |FROM mixed, tot GROUP BY source, total_tokens ORDER BY source""".stripMargin,
+    "pipe_mix_temperature" ->
+      """WITH stats AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_w
+        |  FROM documents GROUP BY source
+        |), mn AS (SELECT min(n_w) AS mw FROM stats),
+        |rates AS (
+        |  SELECT source, sqrt(CAST(mw AS DOUBLE) / CAST(n_w AS DOUBLE)) AS rate
+        |  FROM stats, mn
+        |), kept AS (
+        |  SELECT d.source, len(string_split_regex(trim(d.text), '\s+')) AS tok,
+        |    r.rate
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE (d.doc_id // 20) % 20 < floor(r.rate * 20)
+        |), tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM kept)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tokens,
+        |  round(min(rate), 6) AS keep_rate,
+        |  round(CAST(CAST(sum(tok) AS BIGINT) AS DOUBLE) / CAST(t AS DOUBLE), 6)
+        |    AS mix_share
+        |FROM kept, tot GROUP BY source, t ORDER BY source""".stripMargin,
     "text_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id,

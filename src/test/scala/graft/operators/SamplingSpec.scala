@@ -50,4 +50,32 @@ class SamplingSpec extends SparkSpec {
       .groupBy(_._2).values.flatMap(_.sortBy(r => (r._3, r._1)).take(5).map(_._1)).toSet
     assert(again == expected)
   }
+
+  test("temperatureRates: √(min/n) per stratum, binding stratum at 1.0") {
+    // weights 100 vs 400 → rates 1.0 and √(100/400) = 0.5 exactly
+    val df = (0 until 100).map(i => ("small", i.toLong, 1L)) ++
+      (0 until 100).map(i => ("big", i.toLong, 4L))
+    val rates = Sampling.temperatureRates(
+      df.toDF("src", "id", "w"), col("src"), col("w"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, r) => k -> ((n, r)) }.toMap
+    assert(rates("small") == ((100L, 1.0)))
+    assert(rates("big") == ((400L, 0.5)))
+  }
+
+  test("temperatureMix keeps all of the binding stratum, √-rate of the rest") {
+    val df = ((0 until 100).map(i => ("small", i.toLong, 1L)) ++
+      (0 until 100).map(i => ("big", i.toLong, 4L))).toDF("src", "id", "w")
+    val kept = Sampling.temperatureMix(df, col("src"), col("w"),
+      col("id"), cycle = 20)
+    val per = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(per("small") == 100) // rate 1.0 → every residue kept
+    assert(per("big") == 50)    // rate 0.5 → residues 0..9 of 0..19
+    // deterministic under repartitioning (pure function of the data)
+    val again = Sampling.temperatureMix(df.repartition(7), col("src"),
+      col("w"), col("id"), cycle = 20)
+      .select("src", "id").as[(String, Long)].collect().toSet
+    assert(again == kept.select("src", "id")
+      .as[(String, Long)].collect().toSet)
+  }
 }
