@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 import graft.SparkSpec
 import graft.SparkEntry
@@ -214,6 +215,26 @@ class PlanSpec extends SparkSpec {
     val plan = executed(query("ev_range_follow"))
     assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       plan.toString)
+  }
+
+  test("dedup_cosine_pairs: every join is an equi-join; vector cache reused") {
+    // pin on the OPERATOR (the registered query returns a pre-counted
+    // result cache, which would collapse the plan to one cache read)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val (pairs, release) = graft.operators.CosinePairs
+      .tfCosinePairsManaged(docs, "text", "doc_id", threshold = 0.6)
+    val plan = executed(pairs)
+    // prefix candidates and verification both ride term/id equi-joins —
+    // the all-pairs semantics must never plan as a cartesian/NLJ
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      plan.toString)
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
+      plan.toString)
+    // one persisted per-document vector table feeds the prefix self-join
+    // (l, r) and both verify sides — the shingle/df work runs ONCE
+    assert(plan.collect { case s: InMemoryTableScanExec => s }.size >= 3,
+      plan.toString)
+    release()
   }
 
   test("ev_funnel: range predicate rides the user_id equi-join, never an NLJ") {
