@@ -65,6 +65,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Contrastive triplet mining (the embedding-model training-data prep
+    * step): for each anchor in `panel`, the hardest POSITIVE (most
+    * similar candidate with the SAME label, excluding self) and the
+    * hardest NEGATIVE (most similar candidate with a DIFFERENT label),
+    * plus the margin between them. Anchors lacking either side are
+    * dropped.
+    *
+    * Scale shape: the panel broadcasts, the corpus is scored in one
+    * narrow pass, and the per-anchor argmaxes are `max(struct)`
+    * aggregates — partial (map-side) combining means the shuffle
+    * carries two structs per (anchor × input partition), never scored
+    * candidate rows (contrast with the rank-window ANN paths, which
+    * shuffle every candidate). Ties break deterministically: max of
+    * (cos, -candidate_id) prefers the smaller id at equal cosine, and
+    * no arithmetic here is order-dependent, so results are exact and
+    * replay-stable.
+    */
+  def hardTriplets(panel: DataFrame, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = panel.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"),
+      col(vecCol).as("qv"), l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(labelCol).as("cand_label"),
+      col(vecCol).as("cv"), l2norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("anchor_id") =!= col("cand_id"))
+      .withColumn("cos",
+        safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+    val pick = struct(col("cos").as("c"), (-col("cand_id")).as("ni"))
+    scored.groupBy("anchor_id")
+      .agg(
+        max(when(col("cand_label") === col("anchor_label"), pick)).as("pos"),
+        max(when(col("cand_label") =!= col("anchor_label"), pick)).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor_id"),
+        (-col("pos")("ni")).as("pos_id"),
+        round(col("pos")("c"), 9).as("pos_cos"),
+        (-col("neg")("ni")).as("neg_id"),
+        round(col("neg")("c"), 9).as("neg_cos"),
+        round(col("pos")("c") - col("neg")("c"), 9).as("margin"))
+  }
+
   /** Random-hyperplane signature: bit i = sign(v · h_i). Deterministic
     * seeded planes; `planes` controls bucket granularity (2^planes
     * buckets).

@@ -35,6 +35,16 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // contrastive triplet mining: hardest same-label positive + hardest
+    // cross-label negative per anchor, with the training margin. Exact
+    // and tie-broken deterministically, so the DuckDB replay matches on
+    // hash; the argmaxes are partial max(struct) aggregates — no
+    // candidate rows cross the shuffle
+    "sim_hard_triplets" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardTriplets(emb.filter(col("vec_id") < 10), emb)
+        .orderBy("anchor_id")}),
+
     // LSH-bucketed approximate top-5, same panel (rows-only; recall vs
     // brute force asserted in SimilaritySpec)
     "sim_lsh_topk" -> ((s, d) => {
@@ -468,6 +478,33 @@ object SimilarityQueries {
         |  round(list_max([abs(v[i] - codes[i] * s)
         |                  FOR i IN range(1, len(v) + 1)]), 9) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    // exact replay: per anchor, rank positives and negatives separately
+    // with the SAME (cos DESC, id ASC) total order the Spark argmax
+    // encodes as max(struct(cos, -id)); margins subtract the unrounded
+    // cosines on both sides
+    "sim_hard_triplets" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS anchor_id, q.label AS al,
+         |    c.vec_id AS cid, c.label AS cl,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), pos AS (
+         |  SELECT anchor_id, cid, cos_raw,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY cos_raw DESC, cid) AS rn
+         |  FROM scored WHERE cl = al
+         |), neg AS (
+         |  SELECT anchor_id, cid, cos_raw,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY cos_raw DESC, cid) AS rn
+         |  FROM scored WHERE cl != al)
+         |SELECT p.anchor_id, p.cid AS pos_id, round(p.cos_raw, 9) AS pos_cos,
+         |  n.cid AS neg_id, round(n.cos_raw, 9) AS neg_cos,
+         |  round(p.cos_raw - n.cos_raw, 9) AS margin
+         |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+         |WHERE p.rn = 1 AND n.rn = 1
+         |ORDER BY p.anchor_id""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -33,6 +33,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard triplets: argmax per label side, margin, anchors without a side dropped") {
+    // anchor 0 (label A): positives {1}, negatives {2, 3}; vectors set
+    // up so cos(0,1)=1 (hardest positive) and cos(0,2)>cos(0,3)
+    val df = Seq(
+      (0L, Array(1f, 0f), "A"),
+      (1L, Array(2f, 0f), "A"),   // parallel to anchor → pos_cos 1
+      (2L, Array(1f, 1f), "B"),   // cos = √2/2
+      (3L, Array(0f, 1f), "B"),   // cos = 0
+      (4L, Array(5f, 5f), "C")    // label C: no same-label partner
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardTriplets(df.filter($"vec_id".isin(0L, 4L)), df)
+      .orderBy("anchor_id")
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+    // anchor 4 has no positive → dropped; anchor 0 fully determined
+    assert(got.length == 1)
+    val (a, posId, posCos, negId, negCos, margin) = got(0)
+    assert(a == 0L && posId == 1L && posCos == 1.0 && negId == 2L)
+    assert(math.abs(negCos - math.sqrt(2) / 2) < 1e-9)
+    assert(math.abs(margin - (1.0 - math.sqrt(2) / 2)) < 1e-9)
+    // exact-tie determinism: two identical negatives → smaller id wins
+    val tie = Seq(
+      (0L, Array(1f, 0f), "A"), (1L, Array(1f, 0f), "A"),
+      (7L, Array(1f, 1f), "B"), (5L, Array(1f, 1f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.hardTriplets(tie.filter($"vec_id" === 0L), tie)
+      .select("neg_id").as[Long].head()
+    assert(t == 5L)
+  }
+
   test("LSH top-k recall vs brute force >= 0.7 on testdata") {
     val q = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceTopK(q, emb, k = 5)
