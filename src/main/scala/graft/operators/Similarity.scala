@@ -344,6 +344,33 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/cells")
   }
 
+  /** Append a corpus shard to a persisted [[buildIvfIndex]] index
+    * without rebuilding — the FAISS `add` semantics: the shard is
+    * assigned to the EXISTING (frozen) centroids in the same narrow
+    * [[assignTop1]] pass as the build, and appended into the
+    * partitioned postings layout. The dynamic-partition append touches
+    * only the cell directories the shard lands in; the cell table is
+    * unchanged, so concurrent readers keep a consistent codebook and
+    * [[ivfIndexTopK]] immediately serves the union through the same
+    * partition-pruned path. Centroid drift from many appends degrades
+    * recall gracefully (cells get less tight), never correctness —
+    * re-run [[buildIvfIndex]] to re-learn when the shard mass warrants
+    * it.
+    */
+  def appendToIvfIndex(shard: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (_, cellRows, matrix) =
+      collectCellMatrix(shard.sparkSession.read.parquet(s"$path/cells"))
+    val posted = assignTop1(
+      shard.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        l2norm(col(vecCol)).as("cn")),
+      "cv", cellRows, matrix)
+    // same one-file-per-cell discipline as the build: without the
+    // repartition every append multiplies per-cell fragment counts
+    posted.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+  }
+
   /** Serve top-k from a persisted [[buildIvfIndex]] index. The probed
     * cell set (≤ |panel|·nprobe ids) is collected and pushed as a
     * static IN filter, so the postings scan plans with partition

@@ -147,6 +147,24 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // incremental index maintenance, oracle-checked end to end: build
+    // the persisted index from HALF the corpus, append the other half
+    // to the frozen codebook (the FAISS `add` move — only the touched
+    // cell directories change), then exhaustively probe: the served
+    // union must equal brute force over the whole corpus exactly. The
+    // overwrite-then-append sequence makes reruns idempotent
+    "sim_ivf_index_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_app_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        Similarity.centroids(emb, "label"), dir)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), dir)
+      Similarity.ivfIndexTopK(emb.filter(col("vec_id") < 10), dir,
+        k = 5, nprobe = 10)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("query_id", "rank")}),
+
     // embedding near-dups, PRODUCTION SHAPE (the headline near-dup
     // query): same-label top-20 pairs searched only within semantic
     // clusters — assignment is the narrow native NearestCentroid map and
@@ -532,6 +550,21 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // identical brute-force replay: the build-half + append-half index
+    // under exhaustive probing must serve exactly what one-shot brute
+    // force computes over the union
+    "sim_ivf_index_append" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_raw
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // identical brute-force replay: exhaustive probing of the PERSISTED
     // index must reproduce exact top-k (checks build assignment, the
     // partitioned round trip, and serve scoring together)

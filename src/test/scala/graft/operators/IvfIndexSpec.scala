@@ -63,6 +63,33 @@ class IvfIndexSpec extends SparkSpec {
       s"expected <= 2 probed cells, read ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("append: shard joins the index in place; union served, codebook frozen") {
+    // build from the first half only, append the second half, and the
+    // served results must equal an index built from everything at once
+    // (same frozen centroids → identical assignment → identical serve)
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    Similarity.buildIvfIndex(half, Similarity.centroids(emb, "label"), d2)
+    val cellsBefore = spark.read.parquet(s"$d2/cells").collect().map(_.toString).sorted
+    Similarity.appendToIvfIndex(rest, d2)
+    // cell table untouched by the append
+    val cellsAfter = spark.read.parquet(s"$d2/cells").collect().map(_.toString).sorted
+    assert(cellsBefore.sameElements(cellsAfter))
+    // postings now cover the full corpus exactly once
+    val posts = spark.read.parquet(s"$d2/postings")
+    assert(posts.count() == emb.count())
+    assert(posts.select("neighbor_id").distinct().count() == emb.count())
+    // and the appended index serves exactly what the all-at-once index
+    // serves (dir is built from the same centroid table over full emb)
+    val queries = emb.filter(col("vec_id") < 10)
+    val appended = Similarity.ivfIndexTopK(queries, d2, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    val oneShot = Similarity.ivfIndexTopK(queries, dir, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    assert(appended.sameElements(oneShot))
+  }
+
   test("index layout: one directory per cell, postings cover the corpus exactly") {
     val cells = spark.read.parquet(s"$dir/cells")
     val posts = spark.read.parquet(s"$dir/postings")
