@@ -83,6 +83,19 @@ object PipelineQueries {
         "text", "doc_id")
         .orderBy("doc_id")}),
 
+    // batch analog of the streaming corpus ingest (the ev_dedup_replay
+    // move): the same prepared→resolve stages CorpusIngest runs per
+    // micro-batch, applied to the whole table as one batch — quality
+    // gate at 30 tokens, then one survivor per digest with the smallest
+    // doc_id (deterministic min-struct, no window). The streaming
+    // properties themselves (sink-as-state anti-join, crash-replay
+    // no-op, checkpoint restart) are spec-pinned in CorpusIngestSpec
+    "pipe_stream_ingest" -> ((s, d) => {
+      val resolved = graft.streaming.CorpusIngest.resolveBatch(
+        graft.streaming.CorpusIngest.prepared(
+          Tables.documents(s, d), minTokens = 30))
+      resolved.select("doc_id", "source", "n_tokens").orderBy("doc_id")}),
+
     // hybrid retrieval: BM25 top-50 ∪ exact-cosine top-50 (vec 0 as the
     // query, vec→doc via id mod |documents|), fused by reciprocal-rank.
     // With two lists the per-doc sum is two IEEE-commutative terms, so
@@ -321,6 +334,19 @@ object PipelineQueries {
         |  row_number() OVER (PARTITION BY shuffle_key % 32
         |                     ORDER BY shuffle_key, doc_id) AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
+
+    // digest-keyed min-struct resolve ≡ min doc_id per text (sha-256 is
+    // injective on the corpus); the gate replays the same token count
+    "pipe_stream_ingest" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+        |), k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text)
+        |SELECT q.doc_id, q.source, q.n_tokens
+        |FROM q JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "pipe_ingest_incremental" ->
       """WITH batch AS (

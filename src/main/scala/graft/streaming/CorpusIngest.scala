@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Continuous training-corpus ingestion: a document file stream runs
+  * through a quality gate and exact dedup, and appends only genuinely
+  * new documents to the corpus table.
+  *
+  *   readStream(parquet) → token-count quality gate → sha-256 digest
+  *   → foreachBatch { within-batch resolve → anti-join vs landed
+  *     corpus → append }
+  *
+  * The dedup STATE is the sink itself — each micro-batch anti-joins its
+  * digests against what has already landed, not against an in-memory
+  * map. That buys the two properties a long-running ingest needs:
+  * state survives restarts for free (it IS the table), and a micro-batch
+  * REPLAYED after a crash between sink-append and checkpoint-commit is
+  * a no-op (its rows are landed, so the anti-join drops them) —
+  * effectively-once output from an at-least-once replay, the same
+  * contract the keyed upserts in [[MessagePipeline]] provide, realized
+  * for an append-only table.
+  *
+  * Design note: this is the state-in-SINK variant; the sibling
+  * state-in-INDEX design (a separate persisted digest table extended
+  * after each landing, [[graft.operators.Dedup.incrementalIngestDigests]]
+  * driven from foreachBatch, StreamingIngestSpec) trades an extra table
+  * for a probe side that stays digest-only even when the corpus schema
+  * is wide. Both converge under replay; this one has no second table to
+  * keep transactionally ordered with the sink.
+  *
+  * Scale shape: the anti-join carries 32-byte digests, never document
+  * bodies (the probe side projects `digest` only), and the within-batch
+  * resolve is a `min(struct)` partial aggregate keyed by digest —
+  * deterministic (smallest doc_id wins), map-side combined. At corpus
+  * scale the landed-digest probe is the same Bloom-prefilter candidate
+  * as [[graft.operators.Dedup.ingestIncremental]]; the file source's
+  * `maxFilesPerTrigger` caps per-batch work so one huge drop cannot
+  * OOM an executor fleet.
+  */
+object CorpusIngest {
+
+  /** documents-table schema (file streams must declare it up front). */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Quality gate + digest, the per-row (narrow) stage. */
+  def prepared(docs: DataFrame, minTokens: Int): DataFrame =
+    docs.withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("digest", sha2(col("text"), 256))
+
+  /** Within-batch dedup: one survivor per digest, deterministically the
+    * smallest doc_id (min over structs — no window, partial-agg
+    * friendly, and replay-stable under any partitioning).
+    */
+  def resolveBatch(batch: DataFrame): DataFrame =
+    batch.groupBy("digest")
+      .agg(min(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"), col("n_tokens"))).as("r"))
+      .select(col("digest"), col("r.*"))
+
+  /** New-to-the-corpus filter: anti-join on digest against the landed
+    * table (digest column only crosses the join). Missing corpus dir =
+    * first batch ever = everything is new.
+    */
+  def freshOnly(batch: DataFrame, corpusDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val landed =
+      try Some(spark.read.parquet(corpusDir).select("digest"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    landed match {
+      case Some(seen) => batch.join(seen, Seq("digest"), "left_anti")
+      case None => batch
+    }
+  }
+
+  /** Start the checkpointed ingest over `sourceDir`. */
+  def start(
+      spark: SparkSession,
+      sourceDir: String,
+      corpusDir: String,
+      checkpointDir: String,
+      minTokens: Int = 5,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    prepared(stream, minTokens).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        freshOnly(resolveBatch(batch), corpusDir)
+          .write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+  }
+}

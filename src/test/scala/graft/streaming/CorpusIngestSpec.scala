@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, src: String = "srcA") =
+    (id, text, "en", src, text.length.toLong)
+
+  private def writeArrival(dir: String, docs: Seq[(Long, String, String, String, Long)]): Unit =
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def drain(src: String, corpus: String, ckpt: String,
+      maxFiles: Option[Int] = Some(1)): Unit = {
+    val q = CorpusIngest.start(spark, src, corpus, ckpt,
+      minTokens = 3, maxFilesPerTrigger = maxFiles)
+    q.awaitTermination()
+  }
+
+  test("quality gate, cross-batch dedup, deterministic within-batch resolve") {
+    val src = tmpDir("ci_src"); val corpus = tmpDir("ci_corp")
+    val ckpt = tmpDir("ci_ckpt")
+    // arrival 1: a dup pair within the batch (2 < 9 → 2 survives), one
+    // short doc that must fail the 3-token gate
+    writeArrival(src, Seq(
+      doc(2, "alpha beta gamma delta"),
+      doc(9, "alpha beta gamma delta"),
+      doc(3, "too short")))
+    // arrival 2: a cross-batch dup of the survivor (larger id — must be
+    // dropped by the anti-join) and a genuinely new doc
+    writeArrival(src, Seq(
+      doc(7, "alpha beta gamma delta"),
+      doc(4, "epsilon zeta eta theta")))
+    drain(src, corpus, ckpt)
+    val landed = spark.read.parquet(corpus)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(landed.toSeq == Seq((2L, 4L), (4L, 4L)))
+  }
+
+  test("crash replay is a no-op: rerunning processed files appends nothing") {
+    val src = tmpDir("ci_src2"); val corpus = tmpDir("ci_corp2")
+    writeArrival(src, Seq(doc(1, "one two three four"),
+      doc(2, "five six seven eight")))
+    drain(src, corpus, tmpDir("ci_ckpt2a"))
+    val first = spark.read.parquet(corpus).count()
+    // a FRESH checkpoint replays every source file from scratch — the
+    // worst-case at-least-once replay; the sink-as-state anti-join must
+    // keep the corpus unchanged
+    drain(src, corpus, tmpDir("ci_ckpt2b"))
+    assert(spark.read.parquet(corpus).count() == first)
+  }
+
+  test("restart with kept checkpoint processes only new arrivals") {
+    val src = tmpDir("ci_src3"); val corpus = tmpDir("ci_corp3")
+    val ckpt = tmpDir("ci_ckpt3")
+    writeArrival(src, Seq(doc(1, "aa bb cc dd")))
+    drain(src, corpus, ckpt)
+    writeArrival(src, Seq(doc(5, "ee ff gg hh")))
+    drain(src, corpus, ckpt)
+    val ids = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 5L))
+  }
+}
