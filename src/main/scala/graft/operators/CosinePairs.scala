@@ -55,11 +55,26 @@ object CosinePairs {
     * rounded to 6 for cross-engine output stability. The returned
     * release handle unpersists the per-document vector cache (read by
     * the df join, the prefix explode and the verify join).
+    *
+    * `dfCap`: with it set, terms appearing in more than `dfCap`
+    * documents are removed from the VECTORS (stop-shingle removal —
+    * cosine over the rare-term subspace, a well-defined semantics both
+    * engines can replay, not a lossy candidate heuristic). This is the
+    * saturated-vocabulary guard: the prefix filter bounds candidate
+    * volume by Σ df² over prefix terms, which stays subquadratic when
+    * the term space grows with the corpus (Heaps' law, true of real
+    * text) but degenerates when a FIXED vocabulary saturates and every
+    * df scales with N — there, capping df bounds per-term join fan-out
+    * at dfCap² regardless of corpus size. None = exact full-vocabulary
+    * semantics (the oracle-companion form; quadratic on saturated
+    * vocabularies by nature — any exact all-pairs similarity is).
     */
   def tfCosinePairsManaged(
       df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, shingleN: Int = 3): (DataFrame, () => Unit) = {
+      threshold: Double, shingleN: Int = 3,
+      dfCap: Option[Int] = None): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, "0 < threshold <= 1")
+    require(dfCap.forall(_ >= 2), "dfCap >= 2 (df=1 terms never pair)")
     // (id, term, tf) — integer term frequencies per document
     val dt = df
       .select(col(idCol).as("id"),
@@ -68,10 +83,13 @@ object CosinePairs {
       .agg(count(lit(1)).as("tf"))
     // global term order key: document frequency. The join is by term —
     // the inverted-index build — and only (term, df) pairs shuffle.
-    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreqAll = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = dfCap.fold(dfreqAll)(c => dfreqAll.filter(col("df") <= c))
     // per-document sorted vector state: terms ascending (df, term) so a
     // position index IS the global order; struct sort gives a total
-    // order because terms are unique within a document
+    // order because terms are unique within a document. With dfCap the
+    // inner join here IS the stop-shingle removal: capped-out terms
+    // vanish from the vectors before norms/prefixes are computed.
     val docs = dt.join(dfreq, "term")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("term"), col("tf"))))
@@ -130,6 +148,7 @@ object CosinePairs {
     * production corpus passes should release).
     */
   def tfCosinePairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame =
-    tfCosinePairsManaged(df, textCol, idCol, threshold, shingleN)._1
+      threshold: Double, shingleN: Int = 3,
+      dfCap: Option[Int] = None): DataFrame =
+    tfCosinePairsManaged(df, textCol, idCol, threshold, shingleN, dfCap)._1
 }

@@ -46,6 +46,24 @@ object DedupQueries {
       release()
       out}),
 
+    // the SCALE form of the APSS join: df-capped stop-shingle removal
+    // (cosine over the rare-term subspace). A fixed absolute cap bounds
+    // per-term join fan-out at cap² whatever the corpus size — the
+    // guard for vocab-saturated data where every df scales with N and
+    // any exact full-vocabulary all-pairs join is quadratic by nature.
+    // The oracle replays the identical capped semantics; at the gate
+    // SFs the cap bites (df 16..25 terms dropped at sf0.1) without
+    // losing any qualifying pair, so this row checks the cap path
+    // itself, not just the uncapped plan again
+    "dedup_cosine_capped" -> ((s, d) => {
+      val (pairs, release) = graft.operators.CosinePairs
+        .tfCosinePairsManaged(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.6, dfCap = Some(15))
+      val out = pairs.orderBy("id_a", "id_b")
+      out.cache().count() // materialize before releasing the vector cache
+      release()
+      out}),
+
     // MinHash+LSH near-dups (hash-based candidates; rows-only — ground
     // truth asserted in DedupSpec against dedup_ngram_jaccard)
     "dedup_minhash" -> ((s, d) =>
@@ -245,6 +263,36 @@ object DedupQueries {
         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
         |  FROM sh GROUP BY doc_id, term
         |), n2 AS (
+        |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |  FROM dt GROUP BY doc_id
+        |), dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+        |FROM dots
+        |JOIN n2 na ON na.doc_id = dots.id_a
+        |JOIN n2 nb ON nb.doc_id = dots.id_b
+        |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    // identical capped semantics: the df filter runs BEFORE norms, so
+    // removed terms vanish from vectors on both sides
+    "dedup_cosine_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                         for i in range(1, len(t) - 1)]) AS term
+        |  FROM toks WHERE len(t) >= 3
+        |), dt0 AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM sh GROUP BY doc_id, term
+        |), dfreq AS (SELECT term, count(*) AS df FROM dt0 GROUP BY term),
+        |dt AS (SELECT dt0.* FROM dt0 JOIN dfreq USING (term) WHERE df <= 15),
+        |n2 AS (
         |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
         |  FROM dt GROUP BY doc_id
         |), dots AS (

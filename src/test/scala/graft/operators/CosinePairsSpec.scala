@@ -54,6 +54,23 @@ class CosinePairsSpec extends SparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("dfCap removes stop-shingles from the vectors, not just candidates") {
+    // "a b c" appears in all three docs (df=3); every other shingle is
+    // unique. Uncapped, each pair scores dot 1 over norms √2·√2 = 0.5;
+    // with dfCap=2 the shared shingle leaves the vectors entirely and
+    // no pair survives — capping changes the similarity SEMANTICS
+    // (rare-term subspace), which is what makes it oracle-replayable
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f")
+    ).toDF("doc_id", "text")
+    val uncapped = CosinePairs.tfCosinePairs(df, "text", "doc_id", 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.length == 3 && uncapped.forall(_._3 == 0.5))
+    val capped = CosinePairs.tfCosinePairs(df, "text", "doc_id", 0.4,
+      dfCap = Some(2))
+    assert(capped.isEmpty)
+  }
+
   test("shingleList: multiplicity kept, sub-n text yields empty array") {
     val r = Seq("a b a b a", "x y").toDF("text")
       .select(CosinePairs.shingleList(col("text"), 3).as("sh"))
