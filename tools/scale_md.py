@@ -29,8 +29,9 @@ def main(p01, p1, p10):
     b = json.load(open(p1))
     c = json.load(open(p10))
     qa, qb, qc = a["queries"], b["queries"], c["queries"]
+    skipped1 = b.get("skipped", [])
     skipped10 = c.get("skipped", [])
-    t1, s1, _ = table(qa, qb, 12)
+    t1, s1, note1 = table(qa, qb, 12, skipped1)
     t2, s2, note2 = table(qb, qc, 12, skipped10)
     common12 = [q for q in qa if q in qb]
     common23 = [q for q in qb if q in qc]
@@ -52,13 +53,24 @@ MEDIAN OF 3 back-to-back samples, catalog cache cleared + GC forced per
 query, session warm-up untimed — on an otherwise idle machine
 (local[32], 128 GiB), all three runs at the SAME commit. Raw JSON lines
 are checked in as `bench_scale_sf01.json` / `bench_scale_sf1.json` /
-`bench_scale_sf10.json`. One query is skipped at sf10 and ONLY there:
-`sim_neardup_blocked`, the all-pairs small-SF oracle companion that is
-quadratic BY DESIGN (its production counterpart `sim_neardup_cosine` is
-measured at every SF); the skip is recorded in the sf10 JSON line
-itself, never silent. The generator bugs that would have skewed these
-ratios (ship-date decorrelation, Exponential log(0)) were fixed and
-spec-pinned before generation (ADVICE r5).
+`bench_scale_sf10.json`. Skipped queries are recorded in each JSON
+line itself, never silent, and every skip is a documented small-SF
+oracle companion whose production counterpart IS measured at every SF:
+`sim_neardup_blocked` (all-pairs by design; production form
+`sim_neardup_cosine`), the `text_longest_dup`/`_bound` census
+binary-searches (~10 linear passes each — minutes at sf10; the single
+census `text_dup_substrings` is measured everywhere), and
+`dedup_cosine_pairs`, the exact full-vocabulary APSS join, skipped at
+sf1 AND sf10: the generator's FIXED 31-word vocabulary saturates the
+3-gram space, so every document frequency scales with N and any exact
+all-pairs text similarity is quadratic there (real corpora grow vocab
+by Heaps' law, which is exactly what the APSS prefix filter rides).
+Its scale form `dedup_cosine_capped` — identical machinery behind an
+absolute df cap that bounds per-term fan-out at cap² — is measured at
+every SF and oracle-checked at both gate SFs where the cap bites. The
+generator bugs that would have skewed these ratios (ship-date
+decorrelation, Exponential log(0)) were fixed and spec-pinned before
+generation (ADVICE r5).
 
 ABSOLUTE times are not comparable across rounds: this round's host
 allocation runs the identical commit ~1.3–1.6× slower than the round-6
@@ -194,7 +206,7 @@ documented small-SF ground-truth machinery; their production
 counterparts (`dedup_minhash`, `dedup_simhash`) are measured beside
 them.
 
-## Decade 1: sf0.1 → sf1 (tools/scale_report.py 10)
+## Decade 1: sf0.1 → sf1 (tools/scale_report.py 10){note1}
 
 | query | sf0.1 (s) | sf1 (s) | ratio (bar 12x) | flag |
 |---|---|---|---|---|
