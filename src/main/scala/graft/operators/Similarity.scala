@@ -179,6 +179,50 @@ object Similarity {
     scoreCandidates(c, q, "bucket", k, dedupe = true)
   }
 
+  /** Binary-quantized (1-bit) ANN: pack each vector's SIGNS into
+    * `array<long>` words ([[graft.plans.SignPackExpr]] — 32× smaller
+    * than fp32), generate candidates by exact Hamming distance between
+    * codes (XOR+POPCNT per word, [[graft.plans.HammingDistExpr]]), then
+    * rerank only the best `k·rerankFactor` candidates per query with
+    * the exact cosine. The sign-bit code is Charikar's SimHash for
+    * vectors (STOC'02) used ASYMMETRICALLY: instead of hashing into
+    * bucket tables (lossy candidate sets, `lshTopK`), every corpus row
+    * gets an exact integer distance — so unlike the LSH/IVF paths the
+    * whole candidate stage is integer-only and an oracle can replay it
+    * bit-for-bit; the only doubles are the final rerank cosines.
+    *
+    * Scale shape: the query panel broadcasts (codes + vectors); the
+    * corpus is scanned once, each row paying words(dim/64) XOR+POPCNTs
+    * per query instead of the brute-force dim-FMA dot. Both rank
+    * windows are `row_number <= n` forms, so Spark's WindowGroupLimit
+    * keeps a per-partition bounded heap BELOW the shuffle — only
+    * ~k·rerankFactor candidate rows per (query, partition) ever cross,
+    * and the fp32 dot runs on candidates only, never the corpus.
+    * Output: (query_id, rank, neighbor_id, ham, cos).
+    */
+  def binaryTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.BinaryCodes.{hamming, signPack}
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"), signPack(col(vecCol)).as("qcode"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"), signPack(col(vecCol)).as("ccode"))
+    val paired = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", hamming(col("qcode"), col("ccode")))
+    val hw = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val cand = paired.withColumn("hrank", row_number().over(hw))
+      .filter(col("hrank") <= k * rerankFactor)
+    val scored = cand.withColumn("cos",
+      safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "ham", "cos")
+  }
+
   /** Elementwise mean vectors per cell (IVF centroids). Computed via
     * posexplode + per-(cell, position) aggregation — scales to any
     * corpus because no vector list is ever collected per group.

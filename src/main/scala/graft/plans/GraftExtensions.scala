@@ -75,6 +75,16 @@ object GraftExtensions {
       arity(children, "int8_quantize", 1)
       Int8QuantizeExpr(children.head)
     },
+    // sign_pack(vec) → array<bigint> packed sign bits (1-bit quantization)
+    "sign_pack" -> { children =>
+      arity(children, "sign_pack", 1)
+      SignPackExpr(children.head)
+    },
+    // hamming_dist(codeA, codeB) → bigint popcount(xor)
+    "hamming_dist" -> { children =>
+      arity(children, "hamming_dist", 2)
+      HammingDistExpr(children.head, children(1))
+    },
     // pq_adc(lut, codes) — the ADC m-lookup scoring fold (PQ); encode/
     // lut capture a codebook matrix and stay Column-API-only
     "pq_adc" -> { children =>
