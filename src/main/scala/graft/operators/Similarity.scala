@@ -223,6 +223,105 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "ham", "cos")
   }
 
+  /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein SIGIR'98)
+    * diversified top-m: greedily pick the candidate maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` — relevance minus the
+    * worst redundancy against what is already selected. The
+    * training-data use: a plain top-k of near-duplicate passages wastes
+    * m−1 slots; MMR trades a little relevance for coverage.
+    *
+    * Two stages with different execution models, deliberately:
+    *  1. candidate POOL — distributed exactly like [[bruteForceTopK]]
+    *     (broadcast panel, WindowGroupLimit-bounded top-`poolSize` per
+    *     query); this is the only stage that sees the corpus.
+    *  2. greedy selection — inherently sequential (each pick changes
+    *     the next argmax), but over ≤`poolSize` rows per query, so it
+    *     runs as `flatMapGroups` on bounded groups: O(m·poolSize) dots
+    *     per query, zero corpus data, no driver involvement. No
+    *     composition of declarative ops expresses an iterated
+    *     data-dependent argmax; this is the documented
+    *     `mapGroups`-as-last-resort case with a hard group bound.
+    *
+    * Determinism / oracle parity: every cosine is the same
+    * left-to-right double fold the scan stage used ([[dot]] semantics,
+    * `num / (normA * normB)` association), the empty-set penalty is
+    * 0.0, and ties break on the smaller neighbor id — so a SQL replay
+    * (recursive CTE + LATERAL argmax) reproduces the selection
+    * bit-for-bit. λ defaults to 0.5: both weights are exact binary
+    * doubles, keeping `λ·rel − (1−λ)·pen` engine-exact.
+    * Output: (query_id, sel_rank, neighbor_id, rel, score).
+    */
+  def mmrRerank(
+      queries: DataFrame, corpus: DataFrame, m: Int, poolSize: Int,
+      lambda: Double = 0.5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+      .filter(col("rel").isNotNull)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val pool = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolSize)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("cv"))
+      .as[(Long, Long, Double, Array[Float])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cand = it.toArray.sortBy(_._2) // id order; ≤ poolSize rows
+        val n = cand.length
+        // norms once per candidate, same sqrt(dot(v,v)) fold as l2norm
+        def dotD(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; var i = 0
+          val len = math.min(a.length, b.length)
+          while (i < len) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        val nrm = cand.map(x => math.sqrt(dotD(x._4, x._4)))
+        val taken = new Array[Boolean](n)
+        val picks = Seq.newBuilder[(Long, Int, Long, Double, Double)]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var step = 1
+        val mm = math.min(m, n)
+        while (step <= mm) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              // true max over the selected set (can be negative), 0.0
+              // only for the empty set — matches the oracle's
+              // coalesce(list_max(...), 0.0), never a clamp
+              var pen = 0.0
+              if (sel.nonEmpty) {
+                pen = Double.NegativeInfinity
+                var j = 0
+                while (j < sel.length) {
+                  val s = sel(j)
+                  val pc = dotD(cand(i)._4, cand(s)._4) / (nrm(i) * nrm(s))
+                  if (pc > pen) pen = pc
+                  j += 1
+                }
+              }
+              val score = lambda * cand(i)._3 - (1.0 - lambda) * pen
+              // ties → smaller neighbor_id; cand is id-sorted so strict >
+              if (best < 0 || score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          taken(best) = true
+          sel += best
+          picks += ((qid, step, cand(best)._2, cand(best)._3, bestScore))
+          step += 1
+        }
+        picks.result()
+      }
+      .toDF("query_id", "sel_rank", "neighbor_id", "rel", "score")
+  }
+
   /** Elementwise mean vectors per cell (IVF centroids). Computed via
     * posexplode + per-(cell, position) aggregation — scales to any
     * corpus because no vector list is ever collected per group.

@@ -62,6 +62,20 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("query_id", "rank")}),
 
+    // MMR-diversified top-10 from a 30-candidate pool (λ=0.5): greedy
+    // relevance-minus-redundancy selection, fully oracle-checked — the
+    // DuckDB replay runs the same greedy loop as a recursive CTE with a
+    // LATERAL argmax per step. λ=0.5 keeps both weights exact binary
+    // doubles; every cosine uses the shared left-to-right fold, so the
+    // argmax decisions agree bit-for-bit across engines
+    "sim_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb,
+        m = 10, poolSize = 30, lambda = 0.5)
+        .withColumn("rel", round(col("rel"), 9))
+        .withColumn("score", round(col("score"), 9))
+        .orderBy("query_id", "sel_rank")}),
+
     // LSH-bucketed approximate top-5, same panel (rows-only; recall vs
     // brute force asserted in SimilaritySpec)
     "sim_lsh_topk" -> ((s, d) => {
@@ -568,6 +582,53 @@ object SimilarityQueries {
          |  FROM reranked)
          |SELECT query_id, rank, neighbor_id, ham, round(cos_raw, 9) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // greedy MMR replay: candidate pool (top-30 by cosine), then a
+    // recursive CTE whose LATERAL picks each step's argmax of
+    // 0.5·rel − 0.5·max(pairwise cos vs selected) with ties to the
+    // smaller id — the exact loop Similarity.mmrRerank runs per group.
+    // The selected set is carried as a list of (vector, norm) structs
+    // so the penalty lambda needs no join in the recursive term
+    "sim_mmr_rerank" ->
+      s"""WITH RECURSIVE cand AS (
+         |  SELECT query_id, neighbor_id, cv, cos_raw,
+         |    sqrt(list_sum(list_transform(list_zip(cv, cv),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE))) AS nrm
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      c.embedding AS cv,
+         |      ${cosSql("q.embedding", "c.embedding")} AS cos_raw,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |                 c.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+         |  WHERE rn <= 30
+         |), rec AS (
+         |  SELECT query_id, 0 AS step, CAST(NULL AS BIGINT) AS pick,
+         |    CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DOUBLE) AS score,
+         |    CAST([] AS BIGINT[]) AS chosen,
+         |    CAST([] AS STRUCT(v FLOAT[], nrm DOUBLE)[]) AS sel
+         |  FROM (SELECT DISTINCT query_id FROM cand)
+         |  UNION ALL
+         |  SELECT r.query_id, r.step + 1, p.neighbor_id, p.cos_raw, p.score,
+         |    list_append(r.chosen, p.neighbor_id),
+         |    list_append(r.sel, {'v': p.cv, 'nrm': p.nrm})
+         |  FROM rec r, LATERAL (
+         |    SELECT c.neighbor_id, c.cv, c.nrm, c.cos_raw,
+         |      0.5 * c.cos_raw - 0.5 * coalesce(list_max(list_transform(r.sel,
+         |        s -> list_sum(list_transform(list_zip(c.cv, s.v),
+         |               x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (c.nrm * s.nrm))),
+         |        0.0) AS score
+         |    FROM cand c
+         |    WHERE c.query_id = r.query_id
+         |      AND NOT list_contains(r.chosen, c.neighbor_id)
+         |    ORDER BY score DESC, c.neighbor_id
+         |    LIMIT 1) p
+         |  WHERE r.step < 10
+         |)
+         |SELECT query_id, step AS sel_rank, pick AS neighbor_id,
+         |  round(rel, 9) AS rel, round(score, 9) AS score
+         |FROM rec WHERE step >= 1 ORDER BY query_id, sel_rank""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
