@@ -290,6 +290,60 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("lm_score"))
   }
 
+  /** Interpolated BIGRAM language-model scoring — the CCNet-style
+    * perplexity filter one model order up from [[lmScore]]: per
+    * interior bigram (v,w) of each doc,
+    * `p = ½·c(v,w)/c(v·) + ½·(c(w)+1)/(N+V)` (Jelinek–Mercer
+    * interpolation of the MLE bigram with the add-one unigram; λ=½ so
+    * both weights are exact binary doubles), and per doc the mean
+    * negative log10 over its bigrams. Docs with fewer than two tokens
+    * have no bigrams and are dropped.
+    *
+    * Engine parity uses the [[lmScore]] recipe: every count is an
+    * exact integer, `p` is a handful of correctly-rounded IEEE ops on
+    * those integers, the per-bigram log10 is ROUNDED TO 9 DIGITS and
+    * summed as DECIMAL(28,9) — exact and order-independent — and only
+    * the final mean lands back in double.
+    *
+    * Scale shape: bigrams are born in the scan stage (a `transform`
+    * over the token array + explode — no per-doc window/sort, so no
+    * shuffle before the model groupBys); both model aggregations are
+    * map-side-combined counts on (prev, tok) / (prev); the totals row
+    * broadcasts. Like [[lmScore]] the bigram subtree evaluates twice
+    * (model build + score join) — at corpus scale persist it the
+    * [[lmScoreManaged]] way.
+    */
+  def lmBigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val arr = tokens(lower(trim(col(textCol))))
+    val bigrams = df.select(col(idCol), arr.as("ts"))
+      .filter(size(col("ts")) >= 2) // sequence(1, 0) would DESCEND
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("prev"),
+          element_at(col("ts"), i + 1).as("tok")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+    val uni = df.select(explode(arr).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum("c1").as("n_total"), count(lit(1)).as("v_size"))
+    val bigModel = bigrams.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val ctx = bigModel.groupBy("prev").agg(sum("c2").as("cdot"))
+    bigrams
+      .join(bigModel, Seq("prev", "tok"))
+      .join(ctx, Seq("prev"))
+      .join(uni, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        lit(0.5) * (col("c2").cast("double") / col("cdot").cast("double")) +
+        lit(0.5) * ((col("c1") + 1).cast("double") /
+          (col("n_total") + col("v_size")).cast("double")))
+      .withColumn("lp", round(log10(col("p")), 9).cast("decimal(28,9)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .withColumn("lm_bigram_score",
+        round(-col("slp").cast("double") / col("n_bigrams").cast("double"), 6))
+      .select(col(idCol), col("n_bigrams"), col("lm_bigram_score"))
+  }
+
   /** Polynomial rolling-hash fingerprint over Unicode CODE POINTS
     * (Karp-Rabin style): order-sensitive, so re-orderings fingerprint
     * differently; stable across engines (pure integer arithmetic).

@@ -367,6 +367,15 @@ object TextQueries {
       res.orderBy("doc_id")
     }),
 
+    // interpolated bigram LM (Jelinek–Mercer λ=½ over MLE bigram +
+    // add-one unigram): mean −log10 p per doc over its interior
+    // bigrams — one model order above text_lm_score, same
+    // rounded-log/decimal-sum engine-parity recipe
+    "text_lm_bigram" -> ((s, d) =>
+      graft.operators.TextAnalysis.lmBigramScore(
+        Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // TRAINED quality classifier (the fastText-style distillation every
     // corpus pipeline runs: fit a cheap model to the heuristic/LLM
     // quality labels, then score everything with it): logistic
@@ -472,6 +481,41 @@ object TextQueries {
         |  FROM toks t JOIN model m USING (tok) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(-(sum(lp)::DOUBLE) / count(*), 6) AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same structure as the Spark side: bigrams from a per-doc list
+    // comprehension, integer count models, interpolated p in double,
+    // per-bigram log10 rounded to 9 and summed as DECIMAL(28,9)
+    "text_lm_bigram" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(
+        |    [{'prev': ts[i-1], 'tok': ts[i]}
+        |     for i in generate_series(2, len(ts))], recursive := true)
+        |  FROM docs WHERE len(ts) >= 2
+        |), toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), uni AS (
+        |  SELECT tok, count(*) AS c1 FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT sum(c1) AS n_total, count(*) AS v_size FROM uni
+        |), bm AS (
+        |  SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok
+        |), ctx AS (
+        |  SELECT prev, sum(c2) AS cdot FROM bm GROUP BY prev
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(log10(
+        |      0.5 * (m.c2::DOUBLE / c.cdot::DOUBLE) +
+        |      0.5 * ((u.c1 + 1)::DOUBLE / (t.n_total + t.v_size)::DOUBLE)), 9)
+        |      AS DECIMAL(28,9)) AS lp
+        |  FROM bg b JOIN bm m USING (prev, tok) JOIN ctx c USING (prev)
+        |    JOIN uni u USING (tok) CROSS JOIN tot t)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-(sum(lp)::DOUBLE) / count(*), 6) AS lm_bigram_score
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,

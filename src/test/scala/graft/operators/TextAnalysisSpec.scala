@@ -175,4 +175,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore,
       "release() must unpersist the token cache")
   }
+
+  test("lmBigramScore matches an independent in-memory bigram model") {
+    val corpus = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "c"), (3L, "b c a"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.lmBigramScore(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+
+    // independent reference model (plain Scala collections)
+    val toksBy = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val all = toksBy.values.flatten.toSeq
+    val uni = all.groupBy(identity).map { case (k, v) => k -> v.size }
+    val (nTot, vSize) = (all.size, uni.size)
+    val bigsBy = toksBy.map { case (id, ts) =>
+      id -> ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq }
+    val bm = bigsBy.values.flatten.toSeq.groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val ctx = bm.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    def lp(v1: String, w: String): BigDecimal = {
+      val p = 0.5 * (bm((v1, w)).toDouble / ctx(v1).toDouble) +
+        0.5 * ((uni(w) + 1).toDouble / (nTot + vSize).toDouble)
+      BigDecimal(math.log10(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = bigsBy.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (v1, w) => lp(v1, w) }.sum
+      val score = BigDecimal(-s.toDouble / bs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, bs.size.toLong, score)
+    }
+    assert(got == want)
+    // the single-token doc has no bigrams and is absent
+    assert(!got.exists(_._1 == 2L))
+  }
+
+  test("lmBigramScore ranks a common-bigram doc as more predictable") {
+    val docs = (0L to 19L).map(i => (i, "the quick brown fox")) ++
+      Seq((100L, "the quick brown fox"), (101L, "fox the brown quick"))
+    val scored = TextAnalysis.lmBigramScore(docs.toDF("doc_id", "text"),
+      "text", "doc_id")
+    val m = scored.filter(col("doc_id") >= 100L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(m(100L) < m(101L),
+      s"common word order should score as more predictable: $m")
+  }
 }
