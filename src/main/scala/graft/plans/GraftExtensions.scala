@@ -75,6 +75,12 @@ object GraftExtensions {
       arity(children, "int8_quantize", 1)
       Int8QuantizeExpr(children.head)
     },
+    // xml_text(xml, tag) → tolerant text extraction (CDATA, entities,
+    // numeric char refs, comments/PIs) per the reference pull parser
+    "xml_text" -> { children =>
+      arity(children, "xml_text", 2)
+      XmlTextExpr(children.head, children(1))
+    },
     // sign_pack(vec) → array<bigint> packed sign bits (1-bit quantization)
     "sign_pack" -> { children =>
       arity(children, "sign_pack", 1)

@@ -108,6 +108,32 @@ object MessageQueries {
           hasIllegalXmlChars(injected).as("illegal"))
         .orderBy("message_id")}),
 
+    // M1+: the reference pull parser's TEXT-event resolution
+    // (MXParser.java:207-247, XmppPacketReader.java:319-355) as a
+    // differential oracle: CDATA verbatim, predefined entities, numeric
+    // char refs (incl. beyond-BMP), comment/PI skipping, descendant
+    // text concatenation, quote-aware attributes. Edge constructs are
+    // injected in-query from the message id (the msg_xml_policy move),
+    // the general xml_text scanner extracts, and the oracle computes
+    // each case's EXPECTED string independently with plain string
+    // functions — spec vs implementation, not replay vs replay
+    "msg_xml_extract" -> ((s, d) => {
+      val idNum = substring(col("msgId"), 2, 18).cast("long")
+      val probe = pmod(idNum, lit(6))
+      val body =
+        when(probe === 0, concat(lit("<![CDATA[<raw & "), col("msgId"), lit("]]>")))
+          .when(probe === 1, lit("A &amp; B &lt;x&gt; &apos;q&quot;"))
+          .when(probe === 2, concat(lit("&#65;&#x42;&#x1F600;"), col("msgId")))
+          .when(probe === 3, concat(lit("x<!-- c -->y<?pi d?>"), col("msgId")))
+          .when(probe === 4, concat(lit("<i>in<b>ner</b></i>"), col("msgId")))
+          .otherwise(col("msgId"))
+      val xml = concat(lit("""<message note="a>b" to=""""), col("jid"),
+        lit(""""><body>"""), body, lit("</body></message>"))
+      Tables.messages(s, d)
+        .select(col("msgId").as("message_id"),
+          graft.plans.XmlText(xml, lit("body")).as("body_text"))
+        .orderBy("message_id")}),
+
     // X2 round-trip: decrypt(encrypt(stanza)) == stanza, as a query the
     // oracle CAN check (it must equal the plaintext projection)
     "msg_roundtrip" -> ((s, d) => {
@@ -175,6 +201,19 @@ object MessageQueries {
         |      WHEN 0 THEN chr(7) WHEN 1 THEN chr(11) WHEN 2 THEN chr(65535)
         |      WHEN 3 THEN chr(9) WHEN 4 THEN chr(128512) ELSE '' END,
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}\x{FFFF}]') AS illegal
+        |FROM events ORDER BY message_id""".stripMargin,
+    // each probe case's EXPECTED extraction, written out directly from
+    // the XML spec (not by re-running a parser): what CDATA wraps, what
+    // the entities denote, what survives comment/PI removal
+    "msg_xml_extract" ->
+      """SELECT 'm'||event_id AS message_id,
+        |  CASE event_id % 6
+        |    WHEN 0 THEN '<raw & ' || 'm'||event_id
+        |    WHEN 1 THEN 'A & B <x> ''q"'
+        |    WHEN 2 THEN 'AB' || chr(128512) || 'm'||event_id
+        |    WHEN 3 THEN 'xy' || 'm'||event_id
+        |    WHEN 4 THEN 'inner' || 'm'||event_id
+        |    ELSE 'm'||event_id END AS body_text
         |FROM events ORDER BY message_id""".stripMargin,
     // from_xml must recover exactly what was embedded (no XML-special
     // chars exist in the synthetic payloads)
