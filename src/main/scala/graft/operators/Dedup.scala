@@ -95,6 +95,30 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Corpus release diff: classify every document id as `added`
+    * (only in `newDf`), `removed` (only in `oldDf`) or `changed` (in
+    * both with different content digests); unchanged docs don't appear.
+    * The dataset-versioning primitive behind release notes, downstream
+    * cache invalidation, and incremental re-processing ("re-embed only
+    * what changed").
+    *
+    * Scale design (100 TB): both sides reduce to (id, 32-byte digest)
+    * in their scan projections — the full-outer join shuffles digests,
+    * never bodies, and the comparison is one digest equality per id.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), sha2(col(textCol), 256).as("old_sha"))
+    val n = newDf.select(col(idCol).as("id"), sha2(col(textCol), 256).as("new_sha"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_sha").isNull, lit("added"))
+          .when(col("new_sha").isNull, lit("removed"))
+          .when(col("old_sha") =!= col("new_sha"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("id").as(idCol), col("status"))
+  }
+
   /** Incremental corpus ingestion: from `batch`, keep only documents
     * whose content digest is NOT already in `history`, deduplicating
     * within the batch too (min id wins per digest). Returns

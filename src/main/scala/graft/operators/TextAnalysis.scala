@@ -309,19 +309,40 @@ object TextAnalysis {
     * over the token array + explode — no per-doc window/sort, so no
     * shuffle before the model groupBys); both model aggregations are
     * map-side-combined counts on (prev, tok) / (prev); the totals row
-    * broadcasts. Like [[lmScore]] the bigram subtree evaluates twice
-    * (model build + score join) — at corpus scale persist it the
-    * [[lmScoreManaged]] way.
+    * broadcasts. This unmanaged form evaluates the bigram subtree twice
+    * (model build + score join); the registered query and corpus-scale
+    * pipelines use [[lmBigramScoreManaged]], which persists it for one
+    * pass.
     */
-  def lmBigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def lmBigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    lmBigramOver(bigramTable(df, textCol, idCol), df, textCol, idCol)
+
+  /** [[lmBigramScore]] with the exploded bigram table persisted so the
+    * heaviest pass (tokenize + per-doc bigram explode over the whole
+    * corpus) runs ONCE instead of twice (bigram-model build + score
+    * join) — the [[lmScoreManaged]] contract: consume the result, then
+    * call the release handle.
+    */
+  def lmBigramScoreManaged(
+      df: DataFrame, textCol: String, idCol: String): (DataFrame, () => Unit) = {
+    val bg = bigramTable(df, textCol, idCol).persist()
+    (lmBigramOver(bg, df, textCol, idCol), () => { bg.unpersist(); () })
+  }
+
+  private def bigramTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val arr = tokens(lower(trim(col(textCol))))
-    val bigrams = df.select(col(idCol), arr.as("ts"))
+    df.select(col(idCol), arr.as("ts"))
       .filter(size(col("ts")) >= 2) // sequence(1, 0) would DESCEND
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("ts")) - 1),
         i => struct(element_at(col("ts"), i).as("prev"),
           element_at(col("ts"), i + 1).as("tok")))).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+  }
+
+  private def lmBigramOver(
+      bigrams: DataFrame, df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val arr = tokens(lower(trim(col(textCol))))
     val uni = df.select(explode(arr).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val totals = uni.agg(sum("c1").as("n_total"), count(lit(1)).as("v_size"))

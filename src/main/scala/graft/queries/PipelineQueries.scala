@@ -72,6 +72,21 @@ object PipelineQueries {
     // docs under shifted ids (both engines build identical frames, as
     // in text_scrub). Replays of history dedup away in the anti-join;
     // replays of in-batch docs dedup away in the min-id group
+    // corpus release diff: two snapshots are carved deterministically
+    // from the documents table (old drops ids ≡4 mod 5; new drops ids
+    // ≡3 mod 7 and appends " v2" to ids ≡0 mod 11), and snapshotDiff
+    // must classify every id as added/removed/changed purely from the
+    // digest full-outer join — the oracle re-derives each status from
+    // the carving arithmetic alone, no hashing
+    "pipe_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+      val nw = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+        .withColumn("text", when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.snapshotDiff(old, nw, "text", "doc_id")
+        .orderBy("doc_id")}),
+
     "pipe_ingest_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
@@ -348,6 +363,18 @@ object PipelineQueries {
         |SELECT q.doc_id, q.source, q.n_tokens
         |FROM q JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // each status re-derived from the carving arithmetic: added = in
+    // new only, removed = in old only, changed = in both and modified
+    "pipe_snapshot_diff" ->
+      """SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 4 AND doc_id % 7 != 3 THEN 'added'
+        |    WHEN doc_id % 7 = 3 AND doc_id % 5 != 4 THEN 'removed'
+        |    ELSE 'changed' END AS status
+        |FROM documents
+        |WHERE (doc_id % 5 = 4 AND doc_id % 7 != 3)
+        |   OR (doc_id % 7 = 3 AND doc_id % 5 != 4)
+        |   OR (doc_id % 11 = 0 AND doc_id % 5 != 4 AND doc_id % 7 != 3)
+        |ORDER BY doc_id""".stripMargin,
     "pipe_ingest_incremental" ->
       """WITH batch AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0

@@ -19,6 +19,10 @@ object TextQueries {
   private val lmScoreRelease =
     new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 
+  /** Same contract for text_lm_bigram's bigram-table cache. */
+  private val lmBigramRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // all quality signals from ONE string pass per row ([[withFeatures]]
@@ -370,11 +374,15 @@ object TextQueries {
     // interpolated bigram LM (Jelinek–Mercer λ=½ over MLE bigram +
     // add-one unigram): mean −log10 p per doc over its interior
     // bigrams — one model order above text_lm_score, same
-    // rounded-log/decimal-sum engine-parity recipe
-    "text_lm_bigram" -> ((s, d) =>
-      graft.operators.TextAnalysis.lmBigramScore(
+    // rounded-log/decimal-sum engine-parity recipe; managed so the
+    // bigram explode runs once (the text_lm_score move)
+    "text_lm_bigram" -> ((s, d) => {
+      lmBigramRelease.getAndSet(() => ()).apply() // free the previous cache
+      val (res, release) = graft.operators.TextAnalysis.lmBigramScoreManaged(
         Tables.documents(s, d), "text", "doc_id")
-        .orderBy("doc_id")),
+      lmBigramRelease.set(release)
+      res.orderBy("doc_id")
+    }),
 
     // TRAINED quality classifier (the fastText-style distillation every
     // corpus pipeline runs: fit a cheap model to the heuristic/LLM

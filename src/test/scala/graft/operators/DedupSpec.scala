@@ -316,4 +316,14 @@ class DedupSpec extends SparkSpec {
         s"maxDist=$maxDist: banded ${banded.size} vs exhaustive ${allPairs.size}")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed and hides unchanged") {
+    val old = Seq((1L, "same"), (2L, "gone"), (3L, "before"), (4L, "kept"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (3L, "after"), (4L, "kept"), (5L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, nw, "text", "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(2L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
 }

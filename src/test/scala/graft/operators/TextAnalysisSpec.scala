@@ -208,6 +208,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("lmBigramScoreManaged equals lmBigramScore and releases its cache") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val plain = TextAnalysis.lmBigramScore(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val (scored, release) = TextAnalysis.lmBigramScoreManaged(docs, "text", "doc_id")
+    val managed = scored.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(managed == plain)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore,
+      "release() must unpersist the bigram cache")
+  }
+
   test("lmBigramScore ranks a common-bigram doc as more predictable") {
     val docs = (0L to 19L).map(i => (i, "the quick brown fox")) ++
       Seq((100L, "the quick brown fox"), (101L, "fox the brown quick"))
