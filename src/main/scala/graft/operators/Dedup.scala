@@ -105,16 +105,24 @@ object Dedup {
     * Scale design (100 TB): both sides reduce to (id, 32-byte digest)
     * in their scan projections — the full-outer join shuffles digests,
     * never bodies, and the comparison is one digest equality per id.
+    *
+    * Row PRESENCE is tracked by explicit flags, not by digest nullity:
+    * `sha2(NULL)` is NULL, so a null-text doc would otherwise be
+    * indistinguishable from an absent row and misclassify as `added`
+    * forever. With flags, null-text docs diff like any other: NULL ↔
+    * NULL is unchanged (null-safe equality), NULL ↔ text is `changed`.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    textCol: String, idCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), sha2(col(textCol), 256).as("old_sha"))
-    val n = newDf.select(col(idCol).as("id"), sha2(col(textCol), 256).as("new_sha"))
+    val o = oldDf.select(col(idCol).as("id"),
+      sha2(col(textCol), 256).as("old_sha"), lit(true).as("in_old"))
+    val n = newDf.select(col(idCol).as("id"),
+      sha2(col(textCol), 256).as("new_sha"), lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("old_sha").isNull, lit("added"))
-          .when(col("new_sha").isNull, lit("removed"))
-          .when(col("old_sha") =!= col("new_sha"), lit("changed")))
+        when(!coalesce(col("in_old"), lit(false)), lit("added"))
+          .when(!coalesce(col("in_new"), lit(false)), lit("removed"))
+          .when(!(col("old_sha") <=> col("new_sha")), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col("id").as(idCol), col("status"))
   }

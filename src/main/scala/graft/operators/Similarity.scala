@@ -210,6 +210,12 @@ object Similarity {
       l2norm(col(vecCol)).as("cn"), signPack(col(vecCol)).as("ccode"))
     val paired = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("ham", hamming(col("qcode"), col("ccode")))
+      // rows with null codes (null vector/element, mismatched dims)
+      // are EXCLUDED before ranking: Spark's ascending default is
+      // NULLS FIRST, which would seat them as every query's best
+      // candidates and silently evict real ones — and the oracle
+      // (NULLS LAST) would disagree
+      .filter(col("ham").isNotNull)
     val hw = Window.partitionBy("query_id")
       .orderBy(col("ham").asc, col("neighbor_id"))
     val cand = paired.withColumn("hrank", row_number().over(hw))
@@ -257,10 +263,15 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2norm(col(vecCol)).as("cn"))
+    // normalize to the group encoder's shape up front: integral ids
+    // widen to long, double vectors narrow to float — so any corpus the
+    // sibling operators accept works here too (string ids remain
+    // unsupported: the greedy stage needs a typed group key)
+    val fvec = col(vecCol).cast("array<float>") // norms from the SAME
+    val q = queries.select(col(idCol).cast("long").as("query_id"), // narrowed
+      fvec.as("qv"), l2norm(fvec).as("qn")) // values the greedy stage dots
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      fvec.as("cv"), l2norm(fvec).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("rel", safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
       .filter(col("rel").isNotNull)

@@ -64,6 +64,13 @@ object XmlTextExpr {
   private def isNameChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '-' || c == '_' || c == ':' || c == '.'
 
+  /** XML names may not start with a digit/dot/dash; a `<` followed by
+    * anything that can't open a name is the reference parser's
+    * "unexpected character in markup" throw (MXParser.java:202-204).
+    */
+  private def isNameStart(c: Char): Boolean =
+    Character.isLetter(c) || c == '_' || c == ':'
+
   /** Quote-aware scan for the `>` ending a tag opened at `lt`. -1 when
     * unterminated.
     */
@@ -86,7 +93,10 @@ object XmlTextExpr {
     */
   private def entity(xml: String, amp: Int): (String, Int) = {
     val semi = xml.indexOf(';', amp)
-    if (semi < 0 || semi - amp > 12) return null
+    // 32 bounds the scan after a stray '&' while admitting spec-valid
+    // leading-zero character references (&#00065; is legal CharRef);
+    // an over-long digit string still nulls via NumberFormatException
+    if (semi < 0 || semi - amp > 32) return null
     val name = xml.substring(amp + 1, semi)
     val rep: String = name match {
       case "amp" => "&"
@@ -140,6 +150,10 @@ object XmlTextExpr {
           }
           i = e + 1
         } else {
+          // a '<' that opens nothing nameable is character data gone
+          // wrong — the reference parser throws; we dead-letter NULL
+          // rather than consuming a fake tag and truncating silently
+          if (i + 1 >= n || !isNameStart(xml.charAt(i + 1))) return null
           val e = tagEnd(xml, i)
           if (e < 0) return null
           var j = i + 1

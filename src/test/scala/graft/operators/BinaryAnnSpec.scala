@@ -89,6 +89,22 @@ class BinaryAnnSpec extends SparkSpec {
     assert(minHits >= 2, s"binary ANN recall floor broke: min hits $minHits")
   }
 
+  test("null-code corpus rows are excluded from candidates, not ranked first") {
+    // Spark's ascending default is NULLS FIRST: without the explicit
+    // exclusion a null-embedding row would outrank every real candidate
+    val poisoned = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((900000L, Option.empty[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val got = Similarity.binaryTopK(
+      poisoned.filter(col("vec_id") < 5), poisoned, k = 5, rerankFactor = 4)
+    assert(got.filter(col("neighbor_id") === 900000L).isEmpty)
+    val clean = Similarity.binaryTopK(
+      emb.filter(col("vec_id") < 5), emb, k = 5, rerankFactor = 4)
+      .select("query_id", "rank", "neighbor_id")
+    val g2 = got.select("query_id", "rank", "neighbor_id")
+    assert(g2.exceptAll(clean).isEmpty && clean.exceptAll(g2).isEmpty)
+  }
+
   test("sign_pack / hamming_dist are SQL-callable via the extensions") {
     emb.limit(5).createOrReplaceTempView("bin_emb")
     val r = spark.sql(

@@ -326,4 +326,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq(2L -> "removed", 3L -> "changed", 5L -> "added"))
   }
+
+  test("snapshotDiff tracks presence with flags, not digest nullity") {
+    // null-text docs must diff like any other: NULL↔NULL unchanged,
+    // NULL↔text changed, and a null-text doc only in one side is
+    // added/removed — not forever-'added' via sha2(NULL) IS NULL
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val nw = Seq((1L, Option.empty[String]), (2L, Some("now set")),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, nw, "text", "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }

@@ -62,6 +62,18 @@ class MmrSpec extends SparkSpec {
     assert(got.select("neighbor_id").distinct().count() == 7)
   }
 
+  test("integer ids and double vectors normalize into the group encoder") {
+    val base = emb.limit(40).select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val got = Similarity.mmrRerank(base.filter(col("vec_id") < 3), base,
+      m = 5, poolSize = 20)
+    assert(got.count() == 15)
+    val want = Similarity.mmrRerank(
+      emb.limit(40).filter(col("vec_id") < 3), emb.limit(40),
+      m = 5, poolSize = 20)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("selection is deterministic across runs") {
     val panel = emb.filter(col("vec_id") < 5)
     val a = Similarity.mmrRerank(panel, emb, m = 10, poolSize = 30)

@@ -50,6 +50,17 @@ class XmlTextSpec extends SparkSpec {
     assert(x("<body>&#1114112;</body>") == null) // beyond Unicode range
     assert(x("<body><![CDATA[open</body>") == null)
     assert(x("<body><!-- open</body>") == null)
+    // a stray '<' in character data is markup gone wrong, not a tag:
+    // NULL, never the silently truncated "3  5"
+    assert(x("<body>3 < 4 > 5</body>") == null)
+    assert(x("<body>a <3 b</body>") == null)     // digit can't start a name
+  }
+
+  test("spec-valid leading-zero character references decode") {
+    assert(x("<body>&#00000000065;</body>") == "A")
+    assert(x("<body>&#x000042;</body>") == "B")
+    // but an absurd digit string still dead-letters (parse overflow)
+    assert(x("<body>&#99999999999999999999;</body>") == null)
   }
 
   test("expression surface: null propagation and SQL registration") {
