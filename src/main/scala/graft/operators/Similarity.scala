@@ -246,7 +246,12 @@ object Similarity {
     *     per query, zero corpus data, no driver involvement. No
     *     composition of declarative ops expresses an iterated
     *     data-dependent argmax; this is the documented
-    *     `mapGroups`-as-last-resort case with a hard group bound.
+    *     `mapGroups`-as-last-resort case with a hard group bound. The
+    *     grouping adds one exchange beyond the pool window's, but it
+    *     carries only the ≤|Q|·poolSize pooled rows — query-side
+    *     traffic, independent of corpus size (riding the window's
+    *     partitioning instead would be correctness-by-physical-
+    *     coincidence, not worth the declared-shuffle it saves).
     *
     * Determinism / oracle parity: every cosine is the same
     * left-to-right double fold the scan stage used ([[dot]] semantics,
