@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry point (driver contract): one JSON line with per-query
   * seconds on SPARK_GRAFT_SF_DIR.
@@ -12,16 +12,22 @@ import org.apache.spark.sql.SparkSession
   * cleared and a GC forced before each query's block. The median drops
   * the one-off costs (first-run codegen, a stray full GC) that a single
   * sample can't distinguish from plan cost.
+  *
+  * Besides stdout, the line is written whole to a stable path
+  * (SPARK_GRAFT_BENCH_OUT, default `bench_last.json` in the working
+  * dir): the driver's captured-stdout tail truncates long lines, which
+  * left BENCH_r04..r06 with `parsed:null` artifacts — the file is the
+  * machine-readable copy that can never be clipped by a log window.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  private def jsonStr(s: String): String =
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -29,9 +35,67 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  // 3-dp seconds: full-precision doubles ballooned the line past the
+  // driver's captured-tail window, so the stored artifact could never
+  // be parsed back into JSON (BENCH_r04..r06 all carry parsed:null).
+  // Sub-millisecond digits carry no information at these run lengths.
+  private[graft] def sec3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+  /** Time each query as the median of `runs` back-to-back samples.
+    * A query that throws must FAIL the run, not bench as a fast green
+    * number: its timing is None (rendered as JSON null — near-zero
+    * elapsed times of a failed `count()` are not measurements) and the
+    * first exception line is recorded per query for the `errors` map.
+    */
+  private[graft] def measure(
+      spark: SparkSession, sfDir: String, runs: Int,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Option[Double])], Seq[(String, String)]) = {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = queries.map { case (name, fn) =>
+      // quiesce: drop caches left by prior queries, collect garbage so
+      // this query's heap pressure is its own, not its predecessor's
+      spark.catalog.clearCache()
+      System.gc()
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, e.toString.linesIterator.next().take(300))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (if (errors.contains(name)) None else Some(median(samples)))
+    }
+    (results, errors.toSeq)
+  }
+
+  /** Assemble the driver-contract JSON line from measured parts (pure —
+    * spec-testable without a timed run).
+    */
+  private[graft] def renderLine(
+      results: Seq[(String, Option[Double])],
+      errors: Seq[(String, String)],
+      skip: Set[String], streaming: String, sfDir: String): String = {
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v.fold("null")(sec3) }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+        .mkString(""","errors":{""", ",", "}")
+    val skipJson =
+      if (skip.isEmpty) ""
+      else skip.toSeq.sorted.map(jsonStr)
+        .mkString(""","skipped":[""", ",", "]")
+    s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$streaming$errJson$skipJson,"sf":${jsonStr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     val spark = GraftSession.get(GraftSession.envCpus)
     // session warm-up outside the timed region: JVM/codegen/parquet-footer
     // costs belong to the session, not to whichever query runs first
@@ -63,38 +127,9 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    // a query that throws must FAIL the run, not bench as a fast green
-    // number: record the first exception per query, emit them in the JSON
-    // line, and exit non-zero so the driver sees the breakage
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
-      .map { case (name, fn) =>
-      // quiesce: drop caches left by prior queries, collect garbage so
-      // this query's heap pressure is its own, not its predecessor's
-      spark.catalog.clearCache()
-      System.gc()
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name, e.toString.linesIterator.next().take(300))
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // an errored query's near-zero elapsed times are not measurements:
-      // emit null so a JSON consumer can never mistake them for real ones
-      name -> (if (errors.contains(name)) None else Some(median(samples)))
-    }
-    // 3-dp seconds: full-precision doubles ballooned the line past the
-    // driver's captured-tail window, so the stored artifact could never
-    // be parsed back into JSON (BENCH_r04..r06 all carry parsed:null).
-    // Sub-millisecond digits carry no information at these run lengths.
-    def sec3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(sec3) }
-      .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val (results, errors) = measure(spark, sfDir, runs, selected)
     // streaming hot path (the reference's actual workload): records/s
     // through avro-decode → enrich → dual checkpointed upsert. Reported
     // as its own metric trio, not folded into the batch-query total.
@@ -111,18 +146,15 @@ object Bench {
         ""","streaming_rps":0.0"""
       }
     } else ""
-    val errJson =
-      if (errors.isEmpty) ""
-      else errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
-        .mkString(""","errors":{""", ",", "}")
-    val skipJson =
-      if (skip.isEmpty) ""
-      else skip.toSeq.sorted.map(jsonStr)
-        .mkString(""","skipped":[""", ",", "]")
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$streaming$errJson$skipJson,"sf":"$sfDir"}""")
+    val line = renderLine(results, errors, skip, streaming, sfDir)
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) {
-      System.err.println(s"[bench] ${errors.size} queries threw: ${errors.keys.mkString(", ")}")
+      System.err.println(s"[bench] ${errors.size} queries threw: ${errors.map(_._1).mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -222,6 +222,13 @@ object Similarity {
       .filter(col("hrank") <= k * rerankFactor)
     val scored = cand.withColumn("cos",
       safeRatio(dot(col("qv"), col("cv")), col("qn") * col("cn")))
+      // a zero-norm corpus vector sign-packs to a VALID all-zero code,
+      // survives the Hamming prefilter, then gets NULL cos from
+      // safeRatio; Spark's desc NULLS LAST would seat it last but a
+      // SQL replay dividing by zero yields inf/nan and orders
+      // differently — exclude degenerate candidates before ranking,
+      // mirroring the null-ham exclusion above
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -268,10 +275,25 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // the greedy stage needs a typed Long group key, so non-integral id
+    // columns are REJECTED up front: a lossy cast("long") on e.g. a
+    // string id would NULL every id, the non-null-safe pool join would
+    // then drop every row, and "unsupported" would manifest as a
+    // silently-empty result instead of an error
+    def requireIntegralId(df: DataFrame, side: String): Unit = {
+      import org.apache.spark.sql.types._
+      df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"mmrRerank: $side id column '$idCol' must be integral " +
+            s"(byte/short/int/long), got ${other.simpleString}")
+      }
+    }
+    requireIntegralId(queries, "queries")
+    requireIntegralId(corpus, "corpus")
     // normalize to the group encoder's shape up front: integral ids
     // widen to long, double vectors narrow to float — so any corpus the
-    // sibling operators accept works here too (string ids remain
-    // unsupported: the greedy stage needs a typed group key)
+    // sibling operators accept works here too
     val fvec = col(vecCol).cast("array<float>") // norms from the SAME
     val q = queries.select(col(idCol).cast("long").as("query_id"), // narrowed
       fvec.as("qv"), l2norm(fvec).as("qn")) // values the greedy stage dots
@@ -292,9 +314,16 @@ object Similarity {
         val n = cand.length
         // norms once per candidate, same sqrt(dot(v,v)) fold as l2norm
         def dotD(a: Array[Float], b: Array[Float]): Double = {
+          // equal lengths REQUIRED, matching the null-on-mismatch
+          // convention of VectorDot/HammingDistExpr — a truncated
+          // partial dot would silently mis-rank; unreachable while the
+          // pool stage filters rel-null rows, so a hit here means that
+          // invariant broke and deserves a loud failure
+          if (a.length != b.length) throw new IllegalStateException(
+            s"mmrRerank: dimension mismatch in greedy stage " +
+              s"(${a.length} vs ${b.length})")
           var s = 0.0; var i = 0
-          val len = math.min(a.length, b.length)
-          while (i < len) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
           s
         }
         val nrm = cand.map(x => math.sqrt(dotD(x._4, x._4)))

@@ -87,12 +87,37 @@ object SubstringDedup {
     * candidates only ever meet inside a hash bucket, never all-pairs);
     * fingerprints are pre-deduplicated per doc so a long internal
     * repeat cannot inflate a pair's count.
+    *
+    * `dfCap`: the hot-bucket guard. A fingerprint present in d
+    * documents emits d² candidate rows from the bucket join, so a
+    * boilerplate phrase shared corpus-wide turns the join quadratic
+    * (measured 80.7× wall-clock for 10× data on a closed-vocabulary
+    * corpus). With dfCap set, fingerprints appearing in more than
+    * `dfCap` documents are dropped from EVERY document's set before
+    * pairing — MOSS's own stop-fingerprint move (Schleimer et al. §5
+    * discard overly-common fingerprints as boilerplate), and the same
+    * semantics-preserving-cap design as `CosinePairs.dfCap`: overlap
+    * over the rare-fingerprint subspace, a well-defined pipeline a SQL
+    * oracle replays exactly (HAVING count(*) <= cap), not a lossy
+    * heuristic. Per-bucket fan-out is then ≤ dfCap² regardless of
+    * corpus size, so total join volume grows with the number of
+    * distinct fingerprints — linear in corpus. None = exact
+    * full-fingerprint semantics (quadratic in hot buckets by nature).
     */
   def winnowedPairs(df: DataFrame, gram: Int = 8, window: Int = 4,
-      minShared: Int = 2,
+      minShared: Int = 2, dfCap: Option[Int] = None,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = winnowedFingerprints(df, gram, window, idCol, textCol)
+    require(dfCap.forall(_ >= 2), "winnowedPairs: dfCap >= 2 (df=1 never pairs)")
+    val all = winnowedFingerprints(df, gram, window, idCol, textCol)
       .select("doc", "h").distinct()
+    // document frequency per fingerprint: counts shuffle as combined
+    // longs (map-side partials), never doc lists
+    val fps = dfCap.fold(all) { c =>
+      val rare = all.groupBy("h").agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= c)
+        .select("h")
+      all.join(rare, Seq("h"), "left_semi")
+    }
     val a = fps.select(col("doc").as("doc_a"), col("h"))
     val b = fps.select(col("doc").as("doc_b"), col("h"))
     a.join(b, Seq("h"))

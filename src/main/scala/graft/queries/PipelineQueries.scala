@@ -67,26 +67,30 @@ object PipelineQueries {
           .cast("long"))
         .orderBy("shard", "pos")}),
 
-    // incremental ingestion: history = digests of doc_id % 5 != 0; the
-    // new batch = the % 5 == 0 docs plus re-submissions of the % 7 == 0
-    // docs under shifted ids (both engines build identical frames, as
-    // in text_scrub). Replays of history dedup away in the anti-join;
-    // replays of in-batch docs dedup away in the min-id group
     // corpus release diff: two snapshots are carved deterministically
     // from the documents table (old drops ids ≡4 mod 5; new drops ids
     // ≡3 mod 7 and appends " v2" to ids ≡0 mod 11), and snapshotDiff
     // must classify every id as added/removed/changed purely from the
     // digest full-outer join — the oracle re-derives each status from
-    // the carving arithmetic alone, no hashing
+    // the carving arithmetic alone, no hashing. The append uses
+    // concat_ws so a NULL-text doc still DIFFERS from its old form
+    // (plain concat would null out and diff as unchanged while the
+    // oracle's arithmetic classifies it changed)
     "pipe_snapshot_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val old = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
       val nw = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
         .withColumn("text", when(pmod(col("doc_id"), lit(11L)) === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          concat_ws("", coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")))
       Dedup.snapshotDiff(old, nw, "text", "doc_id")
         .orderBy("doc_id")}),
 
+    // incremental ingestion: history = digests of doc_id % 5 != 0; the
+    // new batch = the % 5 == 0 docs plus re-submissions of the % 7 == 0
+    // docs under shifted ids (both engines build identical frames, as
+    // in text_scrub). Replays of history dedup away in the anti-join;
+    // replays of in-batch docs dedup away in the min-id group
     "pipe_ingest_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Pins the bench harness's error contract: a query that throws yields
+  * a JSON-null timing (never a near-zero "fast green" number), lands in
+  * the errors map, and the assembled line still parses as one JSON
+  * object a machine consumer can ingest whole.
+  */
+class BenchSpec extends SparkSpec {
+  private val mapper = new ObjectMapper()
+
+  private def fakeQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "ok_query" -> ((s: SparkSession, _: String) => s.range(3).toDF("id")),
+    "broken_query" -> ((_: SparkSession, _: String) =>
+      throw new RuntimeException("deliberately broken (spec)")))
+
+  test("an errored query benches as null timing plus an errors entry") {
+    val (results, errors) = Bench.measure(spark, sf0001, runs = 1, fakeQueries)
+    val byName = results.toMap
+    assert(byName("ok_query").exists(_ >= 0.0))
+    assert(byName("broken_query").isEmpty, "errored timing must be None")
+    assert(errors.map(_._1) == Seq("broken_query"))
+    assert(errors.head._2.contains("deliberately broken"))
+  }
+
+  test("the rendered line is one parseable JSON object with null for the error") {
+    val (results, errors) = Bench.measure(spark, sf0001, runs = 1, fakeQueries)
+    val line = Bench.renderLine(results, errors, skip = Set("skipped_one"),
+      streaming = ""","streaming_rps":123.4""", sfDir = "/tmp/sf\"quoted")
+    val node = mapper.readTree(line) // throws on malformed JSON
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("queries").get("broken_query").isNull,
+      "errored query must be JSON null, not a number")
+    assert(node.get("queries").get("ok_query").isNumber)
+    assert(node.get("errors").get("broken_query").asText()
+      .contains("deliberately broken"))
+    assert(node.get("skipped").get(0).asText() == "skipped_one")
+    assert(node.get("streaming_rps").asDouble() == 123.4)
+    // total counts only real measurements
+    assert(node.get("value").asDouble() >= 0.0)
+  }
+}

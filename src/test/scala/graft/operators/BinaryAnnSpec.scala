@@ -119,4 +119,20 @@ class BinaryAnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("a zero-norm corpus vector never reaches the rerank ranking") {
+    // all-zero embedding sign-packs to a VALID all-zero code and
+    // survives the Hamming prefilter, but its cosine is NULL (0/0) —
+    // a SQL replay's inf/nan would order differently, so the operator
+    // excludes it before ranking rather than relying on NULLS LAST
+    val dim = emb.selectExpr("size(embedding) d").limit(1).as[Int].head()
+    val zero = spark.range(1).select(lit(900001L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"))
+    val poisoned = emb.limit(50).select("vec_id", "embedding").unionByName(zero)
+    val got = Similarity.binaryTopK(
+      poisoned.filter(col("vec_id") < 5), poisoned, k = 50, rerankFactor = 16)
+    assert(got.filter(col("neighbor_id") === 900001L).isEmpty,
+      "zero-norm vector must be excluded from results")
+    assert(got.filter(col("cos").isNull).isEmpty, "no NULL cos may rank")
+  }
 }

@@ -339,4 +339,21 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("the snapshot-diff carve modifies NULL-text docs too (concat_ws, ADVICE r7)") {
+    // pins the pipe_snapshot_diff carving arithmetic: appending ' v2'
+    // with plain concat on a NULL text yields NULL — the doc would then
+    // diff 'unchanged' while an arithmetic-only oracle says 'changed'.
+    // concat_ws(coalesce(text,'')) keeps the modified row distinct.
+    val docs = Seq((11L, Option.empty[String]), (22L, Some("body")))
+      .toDF("doc_id", "text")
+    val old = docs
+    val nw = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        concat_ws("", coalesce(col("text"), lit("")), lit(" v2")))
+        .otherwise(col("text")))
+    val got = Dedup.snapshotDiff(old, nw, "text", "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(11L -> "changed", 22L -> "changed"))
+  }
 }

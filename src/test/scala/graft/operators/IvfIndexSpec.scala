@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
@@ -98,5 +100,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(posts.select("neighbor_id").distinct().count() == emb.count())
     // every posting's cell exists in the cell table
     assert(posts.join(cells.select("cell"), Seq("cell"), "left_anti").count() == 0)
+  }
+
+  test("append is incremental at file level: untouched cells' files never rewritten") {
+    // the FAISS-add promise made concrete in the lakehouse layout: an
+    // appended shard may only ADD files under the cell directories it
+    // lands in — every pre-existing postings file must survive
+    // byte-identical (same path, same length), and with the
+    // one-file-per-cell repartition discipline the delta is exactly one
+    // new file in the single landed cell
+    val d3 = java.nio.file.Files.createTempDirectory("graft_ivf_delta").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 5),
+      Similarity.centroids(emb, "label"), d3)
+    def fileMap(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(d3, "postings")
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally s.close()
+    }
+    val before = fileMap()
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") === 3), d3) // 1 vector
+    val after = fileMap()
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz),
+        s"pre-existing postings file $p changed or vanished on append")
+    }
+    val added = after.keySet -- before.keySet
+    assert(added.size == 1, s"one-vector append must add exactly one file: $added")
+    val touchedCells = added.map(_.split('/').head)
+    assert(touchedCells.size == 1, s"append touched ${touchedCells.size} cells")
+    // and the landed cell is the one the frozen codebook assigns
+    val assigned = spark.read.parquet(s"$d3/postings")
+      .filter(col("neighbor_id") === 3).select("cell").collect().map(_.get(0))
+    assert(assigned.length == 1 &&
+      touchedCells.head == s"cell=${assigned.head}")
   }
 }

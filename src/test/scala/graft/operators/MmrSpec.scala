@@ -80,4 +80,21 @@ class MmrSpec extends SparkSpec {
     val b = Similarity.mmrRerank(panel, emb, m = 10, poolSize = 30)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("a string id column is rejected loudly, never silently emptied") {
+    // before the guard, cast("long") nulled every string id and the
+    // non-null-safe pool join returned an EMPTY frame — unsupported
+    // must be an error, not a plausible-looking zero-row result
+    val strIds = emb.limit(20)
+      .select(concat(lit("doc-"), col("vec_id")).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(strIds, strIds, m = 3, poolSize = 10)
+    }
+    assert(e.getMessage.contains("must be integral"))
+    // and the mixed case: integral queries, string corpus
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb.limit(5), strIds, m = 3, poolSize = 10)
+    }
+    assert(e2.getMessage.contains("corpus"))
+  }
 }

@@ -143,4 +143,33 @@ class SubstringDedupSpec extends SparkSpec {
       assert(count == nOcc && nOcc > 1, s"'$gram' claimed $nOcc, found $count")
     }
   }
+
+  test("dfCap drops boilerplate fingerprints but keeps rare-overlap pairs") {
+    // 12 docs all carrying the same long boilerplate banner (df=12 for
+    // its fingerprints); docs 1 and 2 additionally share a long RARE
+    // passage. With dfCap=4 the banner stops pairing everyone with
+    // everyone, while the (1,2) pair survives on its rare fingerprints.
+    val banner = "ALL RIGHTS RESERVED COPYRIGHT BANNER TEXT REPEATED EVERYWHERE IN THE CORPUS"
+    val rare = "the quick zebra vaulted over seventeen lazy quantum accordions yesterday"
+    val docs = (1L to 12L).map { i =>
+      // bodies are single-character runs, so no two docs share an 8-gram
+      // outside the banner (and, for docs 1-2, the rare passage)
+      val body = if (i <= 2) rare
+        else ('a' + i.toInt).toChar.toString * 40
+      (i, s"$banner $body $banner")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val uncapped = SubstringDedup.winnowedPairs(df, gram = 8, window = 4,
+      minShared = 2).as[(Long, Long, Long)].collect().toSeq
+    val capped = SubstringDedup.winnowedPairs(df, gram = 8, window = 4,
+      minShared = 2, dfCap = Some(4)).as[(Long, Long, Long)].collect().toSeq
+    // uncapped: the banner pairs every doc with every other (66 pairs)
+    assert(uncapped.size == 66, s"expected all-pairs uncapped, got ${uncapped.size}")
+    // capped: only the rare-passage pair remains
+    assert(capped.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"capped pairs: $capped")
+    // and the surviving pair's count never exceeds its uncapped count
+    val un12 = uncapped.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(capped.head._3 <= un12)
+  }
 }

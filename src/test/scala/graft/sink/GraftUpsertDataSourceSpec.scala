@@ -110,4 +110,48 @@ class GraftUpsertDataSourceSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)) ||
       spark.read.parquet(dir).isEmpty, "bad-mode write mutated the target")
   }
+
+  test("simulated executor retry: only committed attempts' rows reach the target") {
+    // the environment-blocked Cassandra endpoint's job-level promise,
+    // exercised at the V2 protocol seam directly: partition 0's first
+    // attempt dies two ways — (a) aborted by the task (file deleted),
+    // (b) executor lost WITHOUT abort (orphan staged file) — then a
+    // retry attempt succeeds. Job commit must apply exactly the
+    // committed messages' rows once, ignore the orphan, and clear
+    // staging entirely.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmpDir("v2_retry")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("v", LongType)))
+    val staging = s"$dir/_staging/q-retry-spec"
+    val batch = new GraftUpsertBatchWrite(schema, dir, staging,
+      "upsert", Seq("id"), "v", None)
+    val factory = batch.createBatchWriterFactory(null)
+    def row(id: String, v: Long): InternalRow =
+      InternalRow(UTF8String.fromString(id), v)
+    // attempt 0 of partition 0: writes, then task-aborts (retry case a)
+    val w0a = factory.createWriter(0, 100L)
+    w0a.write(row("stale-aborted", 1L)); w0a.abort()
+    // attempt 1 of partition 0: executor dies silently — file ORPHANED
+    val w0b = factory.createWriter(0, 101L)
+    w0b.write(row("stale-orphan", 1L))
+    // never committed, never aborted: simulate lost executor
+    // attempt 2 of partition 0 succeeds; partition 1 first try
+    val w0c = factory.createWriter(0, 102L)
+    w0c.write(row("k0", 7L))
+    val m0 = w0c.commit()
+    val w1 = factory.createWriter(1, 103L)
+    w1.write(row("k1", 7L))
+    val m1 = w1.commit()
+    batch.commit(Array(m0, m1))
+    val got = spark.read.parquet(dir).as[(String, Long)].collect().toSet
+    assert(got == Set("k0" -> 7L, "k1" -> 7L),
+      s"retry attempts leaked into the target: $got")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_staging")),
+      "staging (incl. the orphan) must be cleaned on commit")
+  }
 }
