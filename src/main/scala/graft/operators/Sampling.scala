@@ -105,6 +105,43 @@ object Sampling {
       .drop("stratum")
   }
 
+  /** Leakage-free (cluster-aware) train/val/test split: every document
+    * whose content is identical to another's lands in the SAME split,
+    * so a verbatim duplicate of a training document can never sit in
+    * the eval set and inflate its scores — the eval-contamination mode
+    * a row-level split (e.g. a plain hash of the doc id) cannot
+    * prevent. Mechanism: content clusters are keyed by digest, each
+    * cluster's representative is its minimum id, and the split bucket
+    * is a [[shuffleKey]] hash of the REPRESENTATIVE — one decision per
+    * cluster, inherited by every member. NULL content forms its own
+    * cluster (digest coalesced, never a dropped join key).
+    *
+    * Returns (idCol, cluster_rep, split) with buckets in per-mille:
+    * [0, trainPerMille) → train, [trainPerMille, valPerMille) → val,
+    * rest → test.
+    *
+    * 100 TB shape: document TEXT never crosses an exchange — the
+    * cluster pass shuffles (digest, id) pairs with map-side min
+    * combine, and the assignment join carries (digest, id) against the
+    * (digest, rep) cluster table. Near-duplicate-aware splits compose
+    * the same way: feed `Dedup.connectedComponents` labels in as
+    * `rep` instead of the exact-digest minimum.
+    */
+  def leakproofSplit(df: DataFrame, textCol: String, idCol: String,
+      trainPerMille: Int = 900, valPerMille: Int = 950): DataFrame = {
+    require(0 < trainPerMille && trainPerMille <= valPerMille && valPerMille <= 1000,
+      "0 < trainPerMille <= valPerMille <= 1000")
+    val digest = coalesce(sha2(col(textCol), 256), lit("<null>"))
+    val keyed = df.select(col(idCol), digest.as("__sha"))
+    val reps = keyed.groupBy("__sha").agg(min(col(idCol)).as("cluster_rep"))
+    val bucket = pmod(shuffleKey(col("cluster_rep")), lit(1000L))
+    keyed.join(reps, "__sha")
+      .select(col(idCol), col("cluster_rep"),
+        when(bucket < trainPerMille, "train")
+          .when(bucket < valPerMille, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Per-stratum rates: `fractions` maps stratum value → (num, denom).
     * Strata missing from the map are dropped.
     */

@@ -919,6 +919,43 @@ object Similarity {
       .select(col("cell"), col("n"), col("mean_cos"))
   }
 
+  /** Per-group embedding outliers: the `topN` vectors FARTHEST (lowest
+    * cosine) from their own group's centroid — the mislabeled-example /
+    * noise-detection pass a training-data pipeline runs before trusting
+    * labels (Northcutt et al. 2021 "confident learning" flags the same
+    * rows from model confidences; the geometric form needs no model).
+    * Centroids come from [[centroids]] (order-independent fixed-point
+    * means, so the flagged set is replay-stable and cross-engine
+    * exact); zero-norm vectors have undefined cosine and are excluded
+    * (NULL ordering differs across engines; a zero embedding is a data
+    * bug caught by its own filter, not an "outlier").
+    *
+    * Output: (cell, rank, idCol, cos) — rank 1 = farthest.
+    *
+    * 100 TB shape: the centroid pass shuffles (group, pos, long)
+    * partials with map-side combine; the corpus is then scanned ONCE
+    * against the broadcast ≤|groups|-row centroid table, and the
+    * per-group rank is a `row_number <= topN` window — Spark plans a
+    * bounded WindowGroupLimit heap below the exchange, so only
+    * O(groups·topN) candidate rows ever shuffle, never the corpus.
+    */
+  def groupOutliers(df: DataFrame, topN: Int,
+      groupCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topN >= 1, "groupOutliers: topN >= 1")
+    val cents = centroids(df.select(col(groupCol), col(vecCol)), groupCol, vecCol)
+    val scored = df
+      .select(col(groupCol).as("cell"), col(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(cents), "cell")
+      .withColumn("cos", cosine(col("__v"), col("centroid")))
+      .filter(col("cos").isNotNull)
+    val w = Window.partitionBy("cell").orderBy(col("cos").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("cell"), col("rank"), col(idCol), col("cos"))
+  }
+
   /** Exact near-duplicate pairs by cosine within blocking keys (the
     * embedding analog of Dedup.ngramJaccardBlocked).
     *

@@ -157,6 +157,30 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
         .orderBy("split", "source")}),
 
+    // LEAKAGE-FREE split: same 90/5/5 arithmetic but decided once per
+    // content-duplicate CLUSTER (bucket of the min-id representative's
+    // shuffle key), so a verbatim duplicate of a training doc can never
+    // land in val/test and inflate eval — the contamination mode
+    // pipe_split_train's row-level hash cannot prevent. Reported as
+    // per-split doc + cluster counts; the zero-leak property itself is
+    // the companion row below
+    "pipe_split_leakproof" -> ((s, d) =>
+      Sampling.leakproofSplit(Tables.documents(s, d), "text", "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster_rep").as("n_clusters"))
+        .orderBy("split")),
+
+    // VIOLATION row for pipe_split_leakproof: any cluster straddling
+    // two splits appears here — the oracle asserts the EMPTY set (same
+    // property-row move as text_longest_dup_bound)
+    "pipe_split_leakproof_leaks" -> ((s, d) =>
+      Sampling.leakproofSplit(Tables.documents(s, d), "text", "doc_id")
+        .groupBy("cluster_rep")
+        .agg(countDistinct("split").as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .orderBy("cluster_rep")),
+
     // passage-level duplication census: per doc, distinct 4-gram count
     // and how many of those grams appear in >= 2 docs. Spark counts
     // 8-byte hashed grams, the oracle counts the gram strings — equal
@@ -455,6 +479,29 @@ object PipelineQueries {
         |            ELSE 'test' END AS split,
         |  source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
         |FROM k GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    // cluster = identical text (window PARTITION BY text groups NULLs
+    // together, matching the coalesced-digest cluster), rep = min id,
+    // bucket = the rep's shuffle-key arithmetic — one decision per
+    // cluster inherited by every member
+    "pipe_split_leakproof" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS rep
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, rep,
+        |    ((rep % 1000000007) * 654435747 + 40503) % 1000000007 % 1000
+        |      AS bucket
+        |  FROM c)
+        |SELECT CASE WHEN bucket < 900 THEN 'train'
+        |            WHEN bucket < 950 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT rep) AS n_clusters
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    // the leak census must be EMPTY by construction
+    "pipe_split_leakproof_leaks" ->
+      "SELECT CAST(NULL AS BIGINT) AS cluster_rep, CAST(NULL AS BIGINT) AS n_splits WHERE 1=0",
 
     "text_dup_passages" ->
       """WITH toks AS (

@@ -273,6 +273,18 @@ object SimilarityQueries {
       Similarity.clusterQuality(emb, Similarity.seedCentroids(emb, k = 8))
         .orderBy("cell")}),
 
+    // per-label embedding outliers: the 5 vectors farthest (lowest
+    // cosine) from their own label's centroid — the geometric
+    // mislabeled-example sweep. Centroids are the order-independent
+    // fixed-point means ([[Similarity.centroids]]), so the oracle
+    // replays the ENTIRE pass — per-dimension scaled-long sums, the
+    // sequential cosine fold, the ascending rank — from first
+    // principles and the flagged set hash-matches exactly
+    "sim_embed_outliers" -> ((s, d) =>
+      Similarity.groupOutliers(Tables.embeddings(s, d), topN = 5)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("cell", "rank")),
+
     // IVF + int8 candidate scoring + fp32 rerank of the k·4 shortlist
     // (rows-only; approx-score fidelity and recall asserted in
     // SimilaritySpec) — the 4×-less-IO form of sim_ivf_topk
@@ -751,6 +763,40 @@ object SimilarityQueries {
          |SELECT cell, count(*) AS n,
          |  round((sum(cos9)::DOUBLE) / count(*), 6) AS mean_cos
          |FROM j GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // replays groupOutliers from first principles: exactMean's
+    // fixed-point arithmetic (x·1e9 nudged ±0.5, truncated toward
+    // zero, summed as exact BIGINTs, one final double division), the
+    // sequential cosine fold, zero-norm exclusion, ascending rank
+    "sim_embed_outliers" ->
+      s"""WITH el AS (
+         |  SELECT label, vec_id, [x::DOUBLE FOR x IN embedding] AS v
+         |  FROM embeddings
+         |), comp AS (
+         |  SELECT label, vec_id, CAST(i.i AS INT) AS pos,
+         |         v[CAST(i.i AS INT)] AS x
+         |  FROM el, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) i
+         |), cent AS (
+         |  SELECT label, pos,
+         |    (sum(CAST(trunc(x * 1e9 +
+         |           CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT))::DOUBLE)
+         |      / (count(x)::DOUBLE * 1e9) AS m
+         |  FROM comp GROUP BY label, pos
+         |), cvec AS (
+         |  SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label
+         |), scored AS (
+         |  SELECT e.label AS cell, e.vec_id,
+         |    ${cosSql("e.v", "c.c")} AS cos_raw
+         |  FROM el e JOIN cvec c ON e.label = c.label
+         |  WHERE list_sum([y * y FOR y IN e.v]) > 0
+         |    AND list_sum([y * y FOR y IN c.c]) > 0
+         |), ranked AS (
+         |  SELECT cell, vec_id, cos_raw,
+         |    row_number() OVER (PARTITION BY cell
+         |                       ORDER BY cos_raw ASC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT cell, rank, vec_id, round(cos_raw, 9) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY cell, rank""".stripMargin,
 
     // replays NearestCentroid exactly: centroids normalized via
     // inv = 1/sqrt(Σc²) then multiplied element-wise, score = sequential

@@ -78,4 +78,42 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept.select("src", "id")
       .as[(String, Long)].collect().toSet)
   }
+
+  test("leakproofSplit: identical content always lands in one split") {
+    // ids deliberately far apart so a row-level id-hash split WOULD
+    // scatter them; every duplicate group must still agree, and NULL
+    // texts form one cluster of their own (not dropped join keys)
+    val docs = ((0L until 300L).map(i => (i, Some(s"unique text $i"))) ++
+      Seq(5000L, 90001L, 123456L).map(i => (i, Some("the repeated article"))) ++
+      Seq(7777L, 31415L).map(i => (i, Option.empty[String])))
+      .toDF("doc_id", "text")
+    val got = Sampling.leakproofSplit(docs, "text", "doc_id")
+    assert(got.count() == docs.count()) // total assignment, no drops
+    val dupSplits = got.filter(col("doc_id").isin(5000L, 90001L, 123456L))
+      .select("cluster_rep", "split").distinct()
+      .as[(Long, String)].collect().toSeq
+    assert(dupSplits == Seq(5000L -> dupSplits.head._2),
+      s"duplicate cluster split apart: $dupSplits")
+    val nullSplits = got.filter(col("doc_id").isin(7777L, 31415L))
+      .select("cluster_rep", "split").distinct().collect()
+    assert(nullSplits.length == 1, "NULL texts must form one cluster")
+    // no cluster anywhere straddles splits (the registered leak census)
+    assert(got.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("s")).filter(col("s") > 1).isEmpty)
+  }
+
+  test("leakproofSplit matches the row-level bucket arithmetic on unique docs") {
+    // with no duplicates every cluster is a singleton whose rep is the
+    // doc itself, so the split must equal pipe_split_train's row-level
+    // rule — the operator only ever DIFFERS where duplicates exist
+    val docs = (0L until 500L).map(i => (i, s"u $i")).toDF("doc_id", "text")
+    val got = Sampling.leakproofSplit(docs, "text", "doc_id")
+    val rowLevel = docs.select(col("doc_id"),
+      pmod(Sampling.shuffleKey(col("doc_id")), lit(1000L)).as("b"))
+      .withColumn("want", when(col("b") < 900, "train")
+        .when(col("b") < 950, "val").otherwise("test"))
+    assert(got.join(rowLevel, "doc_id")
+      .filter(col("split") =!= col("want")).isEmpty)
+    assert(got.filter(col("cluster_rep") =!= col("doc_id")).isEmpty)
+  }
 }

@@ -353,4 +353,36 @@ class SimilaritySpec extends SparkSpec {
       .map(g => g.size.toLong * (g.size - 1) / 2).sum
     assert(intraPairs < nPairs, "clusters must partition the pair space")
   }
+
+  test("groupOutliers flags the planted far vector first; zero-norm excluded") {
+    import spark.implicits._
+    val dim = 8
+    // label 1: a tight cloud along +e1 with one ANTI-aligned plant and
+    // one zero vector; label 2: a clean cloud (sanity group)
+    def v(main: Float, jitter: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(0) = main; a(1) = jitter; a
+    }
+    val rows =
+      (0L until 20L).map(i => (i, 1, v(1.0f, 0.01f * i))) ++
+        Seq((97L, 1, v(-1.0f, 0.0f)),            // the planted outlier
+          (98L, 1, Array.fill(dim)(0.0f))) ++    // degenerate: excluded
+        (200L until 210L).map(i => (i, 2, v(1.0f, 0.02f * (i - 200))))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.groupOutliers(df, topN = 3,
+      groupCol = "label", idCol = "vec_id")
+    // the anti-aligned plant is label 1's rank-1 outlier
+    val first = got.filter(col("cell") === 1 && col("rank") === 1)
+      .select("vec_id").as[Long].head()
+    assert(first == 97L)
+    // the zero vector never appears (NULL cosine filtered, not ranked)
+    assert(got.filter(col("vec_id") === 98L).isEmpty)
+    // exactly topN rows per group, ranks contiguous, cos ascending
+    val perCell = got.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(perCell.values.forall(_ == 3))
+    val l1 = got.filter(col("cell") === 1).orderBy("rank")
+      .select("cos").as[Double].collect()
+    assert(l1.sameElements(l1.sorted), "rank must follow ascending cosine")
+    // scale shape: the per-group rank runs as a bounded heap
+    assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
