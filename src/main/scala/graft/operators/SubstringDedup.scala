@@ -127,6 +127,99 @@ object SubstringDedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** The deduplicate-before-training TRANSFORM (Lee et al. 2022 §4:
+    * remove all but one occurrence of every duplicated substring):
+    * rewrite each document with every length-`len` gram that occurs
+    * ≥ 2 times corpus-wide CUT OUT, except the corpus-canonical first
+    * occurrence (lowest (doc, pos)), which survives. Overlapping
+    * removal spans merge before cutting, so a long repeated passage is
+    * excised once as a block, exactly as its overlapping grams imply.
+    * Returns (idCol, textCol) with rewritten text for every input row
+    * (documents without duplicated grams, shorter than `len`, or NULL
+    * pass through unchanged).
+    *
+    * Every step is declarative and engine-portable — census hashes,
+    * value-verified gram groups, `row_number = 1` canonical pick,
+    * gaps-and-islands interval merge, complement ("kept") segments via
+    * `lead`, in-order concat — so a SQL oracle replays the whole
+    * rewrite and the output text hash-matches.
+    *
+    * 100 TB shape: LINEAR end to end — one (hash,doc,pos) row per
+    * character with map-side-combined counts (census shape), only
+    * hash-hot positions rejoin their text, and a duplicated gram with
+    * d occurrences emits d rows (never d² — no pair join anywhere).
+    * The windows partition by gram value (group size = occurrence
+    * count) and by doc (spans per doc); the rewrite shuffles only
+    * (doc, span) intervals plus one final doc-keyed join.
+    */
+  def removeDupSpans(df: DataFrame, len: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(len >= 1, "removeDupSpans: len >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc"), col(textCol).as("t"))
+    // (doc, pos, h) per window position — 0-based pos, census shape
+    val hashes = base.select(col("doc"),
+      posexplode(RollingHashes(col("t"), len)).as(Seq("pos", "h")))
+    val hot = hashes.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    // hot positions extract their gram VALUE (collisions can only make
+    // candidates; the value window below decides)
+    val occ = hashes.join(hot, Seq("h"), "left_semi")
+      .join(base, Seq("doc"))
+      .select(col("doc"), col("pos"),
+        F.substring(col("t"), col("pos") + 1, lit(len)).as("gram"))
+    val wg = Window.partitionBy("gram")
+    val wgOrd = wg.orderBy(col("doc"), col("pos"))
+    // removal spans: every non-canonical occurrence of a true duplicate
+    val spans0 = occ
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wgOrd))
+      .filter(col("n") > 1 && col("rn") > 1)
+      .select(col("doc"), col("pos").as("start"),
+        (col("pos") + len).as("end"))
+    // gaps & islands: merge overlapping/touching spans per doc
+    val wd = Window.partitionBy("doc").orderBy(col("start"), col("end"))
+    val merged = spans0
+      .withColumn("prev_max",
+        max(col("end")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        (col("prev_max").isNull || col("start") > col("prev_max")).cast("int"))
+      .withColumn("island",
+        sum(col("fresh")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc", "island")
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    // complement segments: head [0, first s) plus one [e, next s) per
+    // span (next s defaults to the doc length) — no fold, just lead
+    val withLen = merged.join(base, Seq("doc"))
+      .withColumn("m", length(col("t")))
+    val wl = Window.partitionBy("doc").orderBy(col("s"))
+    val head = withLen.withColumn("first_s", min(col("s")).over(wl))
+      .filter(col("s") === col("first_s"))
+      .select(col("doc"), lit(0L).as("k_start"),
+        col("s").cast("long").as("k_end"), col("t"))
+    val tails = withLen
+      .withColumn("next_s", lead(col("s"), 1).over(wl))
+      .select(col("doc"), col("e").cast("long").as("k_start"),
+        coalesce(col("next_s"), col("m")).cast("long").as("k_end"), col("t"))
+    val kept = head.unionByName(tails)
+      .filter(col("k_end") > col("k_start"))
+      .select(col("doc"), col("k_start"),
+        col("t").substr((col("k_start") + 1).cast("int"),
+          (col("k_end") - col("k_start")).cast("int")).as("seg"))
+    // rebuild per doc IN ORDER; docs whose every segment vanished
+    // rebuild to the empty string, never to their original text
+    val rebuilt = merged.select("doc").distinct()
+      .join(kept.groupBy("doc")
+          .agg(concat_ws("", transform(
+            array_sort(collect_list(struct(col("k_start"), col("seg")))),
+            x => x.getField("seg"))).as("nt")),
+        Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("nt"), lit("")).as("nt"))
+    base.join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("nt"), col("t")).as(textCol))
+  }
+
   /** The longest duplicated substring length L* in [minLen, maxLen] and
     * its census: binary search on the monotone existence predicate (a
     * duplicate of length L contains duplicates of every shorter

@@ -86,6 +86,33 @@ object TextQueries {
       graft.operators.SubstringDedup.gramCensus(Tables.documents(s, d), 40)
         .orderBy("gram")),
 
+    // the deduplicate-before-training TRANSFORM (Lee et al. 2022 §4):
+    // every 40-char gram occurring >= 2 times corpus-wide is cut from
+    // every document except its corpus-first occurrence, overlapping
+    // cuts merged — the census's actionable counterpart. Fully
+    // declarative (value windows, gaps-and-islands merge, lead-based
+    // complement segments, in-order concat), so the oracle replays the
+    // ENTIRE rewrite and the output text hash-matches byte for byte
+    "text_remove_dup_spans" -> ((s, d) =>
+      graft.operators.SubstringDedup.removeDupSpans(Tables.documents(s, d), 40)
+        .orderBy("doc_id")),
+
+    // corpus-level reduction of the same rewrite — this is the row the
+    // BENCH prices: the full-text form above counts rows, and Catalyst
+    // rightly eliminates the distinct-keyed left joins under count(),
+    // so its bench number is the scan floor; the 1-row aggregate here
+    // cannot be pruned and carries the whole rewrite's cost
+    "text_remove_dup_spans_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("text").as("orig"))
+      val rw = graft.operators.SubstringDedup
+        .removeDupSpans(Tables.documents(s, d), 40)
+      docs.join(rw, "doc_id")
+        .select((length(coalesce(col("orig"), lit(""))) -
+          length(coalesce(col("text"), lit("")))).as("removed"))
+        .agg(count(when(col("removed") > 0, lit(1))).as("n_docs_changed"),
+          sum(col("removed")).cast("long").as("chars_removed"))}),
+
     // longest duplicated substring in the corpus: binary search on the
     // census existence bit (rows-only; text_dup_substrings carries the
     // oracle for the census machinery and the _bound row pins
@@ -528,6 +555,79 @@ object TextQueries {
        |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** First-principles DuckDB replay of the dedup rewrite (shared by the
+    * full-text and aggregate forms): brute-force gram explosion, value
+    * windows for the canonical pick, gaps-and-islands merge, lead
+    * complements, ordered string_agg.
+    */
+  private def removeDupSpansSql(stats: Boolean): String = {
+    val ctes = """WITH occ AS (
+      |  SELECT doc_id AS doc, CAST(ii.i AS INT) - 1 AS pos,
+      |         substr(text, CAST(ii.i AS INT), 40) AS gram
+      |  FROM documents,
+      |  LATERAL (SELECT unnest(range(1, GREATEST(len(text) - 38, 1))) AS i) ii
+      |  WHERE len(text) >= 40
+      |), marked AS (
+      |  SELECT doc, pos,
+      |    count(*) OVER (PARTITION BY gram) AS n,
+      |    row_number() OVER (PARTITION BY gram ORDER BY doc, pos) AS rn
+      |  FROM occ
+      |), spans0 AS (
+      |  SELECT doc, pos AS s0, pos + 40 AS e0 FROM marked
+      |  WHERE n > 1 AND rn > 1
+      |), isl AS (
+      |  SELECT doc, s0, e0,
+      |    CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc
+      |           ORDER BY s0, e0
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |         THEN 1 ELSE 0 END AS fresh
+      |  FROM spans0
+      |), isl2 AS (
+      |  SELECT doc, s0, e0,
+      |    sum(fresh) OVER (PARTITION BY doc ORDER BY s0, e0
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl
+      |), merged AS (
+      |  SELECT doc, min(s0) AS s, max(e0) AS e FROM isl2
+      |  GROUP BY doc, island
+      |), seg AS (
+      |  SELECT doc, 0 AS k_start, min(s) AS k_end FROM merged GROUP BY doc
+      |  UNION ALL
+      |  SELECT m.doc, m.e AS k_start,
+      |    coalesce(lead(m.s) OVER (PARTITION BY m.doc ORDER BY m.s),
+      |             len(d.text)) AS k_end
+      |  FROM merged m JOIN documents d ON d.doc_id = m.doc
+      |), rebuilt AS (
+      |  SELECT s.doc,
+      |    string_agg(substr(d.text, s.k_start + 1, s.k_end - s.k_start),
+      |               '' ORDER BY s.k_start) AS nt
+      |  FROM seg s JOIN documents d ON d.doc_id = s.doc
+      |  WHERE s.k_end > s.k_start
+      |  GROUP BY s.doc
+      |), fin AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN m.doc IS NOT NULL THEN coalesce(r.nt, '')
+      |         ELSE d.text END AS text,
+      |    d.text AS orig
+      |  FROM documents d
+      |  LEFT JOIN (SELECT DISTINCT doc FROM merged) m ON m.doc = d.doc_id
+      |  LEFT JOIN rebuilt r ON r.doc = d.doc_id
+      |)""".stripMargin
+    val tail =
+      if (stats)
+        """
+        |SELECT CAST(count(CASE WHEN len(coalesce(orig, '')) -
+        |                            len(coalesce(text, '')) > 0
+        |                       THEN 1 END) AS BIGINT) AS n_docs_changed,
+        |  CAST(sum(len(coalesce(orig, '')) - len(coalesce(text, '')))
+        |       AS BIGINT) AS chars_removed
+        |FROM fin""".stripMargin
+      else
+        """
+        |SELECT doc_id, text FROM fin ORDER BY doc_id""".stripMargin
+    ctes + tail
+  }
+
   def oracleSql: Map[String, String] = Map(
     // property oracle: the expected violation set is EMPTY (training is
     // not SQL-replayable; the accuracy floor is the assertable property)
@@ -669,6 +769,12 @@ object TextQueries {
     "text_winnow_pairs" -> winnowPairsSql(dfCap = Some(48)),
     // exact full-fingerprint companion: same replay, no df cap
     "text_winnow_pairs_exact" -> winnowPairsSql(dfCap = None),
+    // full first-principles replay of the dedup rewrite: brute-force
+    // gram explosion, value windows for the canonical pick,
+    // gaps-and-islands merge, lead complements, ordered string_agg
+    "text_remove_dup_spans" -> removeDupSpansSql(stats = false),
+    // same replay reduced to the 1-row benchable aggregate
+    "text_remove_dup_spans_stats" -> removeDupSpansSql(stats = true),
     "pipe_clean_corpus" ->
       s"""WITH deduped AS (
          |  SELECT * FROM documents

@@ -144,6 +144,79 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force reference for removeDupSpans: same semantics, direct
+    * string manipulation on the driver.
+    */
+  private def bruteRemove(docs: Seq[(Long, Option[String])], len: Int)
+      : Map[Long, Option[String]] = {
+    val occ = for {
+      (id, to) <- docs; t <- to.toSeq
+      p <- 0 to t.length - len
+    } yield (t.substring(p, p + len), id, p)
+    val spans = occ.groupBy(_._1).values.filter(_.size > 1).flatMap { g =>
+      g.sortBy(o => (o._2, o._3)).drop(1).map(o => (o._2, o._3, o._3 + len))
+    }.toSeq
+    val byDoc = spans.groupBy(_._1).map { case (d, ss) =>
+      // merge overlapping/touching intervals
+      val sorted = ss.map(s => (s._2, s._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (acc @ ((ls, le) :: rest), (s, e)) =>
+          if (s > le) (s, e) :: acc else (ls, math.max(le, e)) :: rest
+        case (Nil, s) => List(s)
+      }.reverse
+      d -> merged
+    }
+    docs.map { case (id, to) =>
+      id -> to.map { t =>
+        byDoc.get(id).fold(t) { spans =>
+          val keep = new StringBuilder
+          var prev = 0
+          spans.foreach { case (s, e) =>
+            keep.append(t.substring(prev, s)); prev = e
+          }
+          keep.append(t.substring(prev)).toString
+        }
+      }
+    }.toMap
+  }
+
+  test("removeDupSpans matches brute force: cross-doc, intra-doc, merged blocks") {
+    val passage = "this exact passage is repeated verbatim across documents"
+    val docs: Seq[(Long, Option[String])] = Seq(
+      1L -> Some(s"alpha begins here $passage and then continues uniquely one"),
+      2L -> Some(s"totally different opening $passage closing words two"),
+      3L -> Some("an intra-doc repeat: SAME_BLOCK_REPEATED_HERE! then SAME_BLOCK_REPEATED_HERE! done"),
+      4L -> Some("no duplication at all in this particular document body"),
+      5L -> Some("tiny"),
+      6L -> None)
+    val df = docs.toDF("doc_id", "text")
+    val got = SubstringDedup.removeDupSpans(df, len = 20)
+      .as[(Long, Option[String])].collect().toMap
+    val want = bruteRemove(docs, 20)
+    assert(got == want, s"\n got: $got\nwant: $want")
+    // the canonical first occurrence survived in doc 1, vanished in doc 2
+    assert(got(1L).get.contains(passage))
+    assert(!got(2L).get.contains(passage))
+    // doc 3's second block is gone, first kept (merged as one span)
+    assert(got(3L).get.contains("SAME_BLOCK_REPEATED_HERE!"))
+    assert(got(3L).get.sliding("SAME_BLOCK_REPEATED_HERE!".length)
+      .count(_ == "SAME_BLOCK_REPEATED_HERE!") == 1)
+    // untouched docs pass through (incl. short + NULL)
+    assert(got(4L) == docs(3)._2 && got(5L).contains("tiny") && got(6L).isEmpty)
+  }
+
+  test("removeDupSpans: a fully duplicated doc empties; the canonical keeps all") {
+    val t = "the complete document text duplicated wholesale between two ids"
+    val df = Seq((10L, t), (20L, t)).toDF("doc_id", "text")
+    val got = SubstringDedup.removeDupSpans(df, len = 16)
+      .as[(Long, String)].collect().toMap
+    assert(got(10L) == t, "canonical doc must be untouched")
+    assert(got(20L) == "", "duplicate doc must empty, not fall back to original")
+    // and it agrees with brute force
+    assert(got == bruteRemove(Seq(10L -> Some(t), 20L -> Some(t)), 16)
+      .map { case (k, v) => k -> v.get })
+  }
+
   test("dfCap drops boilerplate fingerprints but keeps rare-overlap pairs") {
     // 12 docs all carrying the same long boilerplate banner (df=12 for
     // its fingerprints); docs 1 and 2 additionally share a long RARE
