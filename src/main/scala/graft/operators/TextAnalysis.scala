@@ -196,6 +196,54 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix
+    * A1.1 — the doc-level subset; the line-level rules need newline
+    * structure this corpus lacks): per-rule pass flags appended as
+    * boolean columns, every decision pure integer/regex arithmetic so a
+    * SQL oracle replays it exactly.
+    *
+    *  - `g_word_count`:   50 ≤ tokens ≤ 100000
+    *  - `g_mean_word_len`: mean token length in [3, 10] (integer sum
+    *    over integer count, one final double division)
+    *  - `g_symbol_ratio`: ('#' count + '...' count) / tokens ≤ 0.1
+    *  - `g_alpha_words`:  ≥ 80% of tokens contain an alphabetic char
+    *  - `g_stopwords`:    ≥ 1 distinct of the 8 Gopher stopwords
+    *    (the, be, to, of, and, that, have, with). Gopher's own bar is
+    *    ≥ 2 on web text; the synthetic corpus's 31-word vocabulary
+    *    carries at most one of them per doc, so the faithful bar would
+    *    fail every document and census nothing — the rule keeps its
+    *    shape, the threshold adapts to the corpus
+    *
+    * NULL text yields NULL flags — aggregate with coalesce(flag,
+    * false) so absent text counts as a failure, never a silent pass.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def withGopherFlags(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val w = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)),
+      lit(0L), (a, x) => a + x)
+    val mwl = sumLen.cast("double") / w.cast("double")
+    val hashes = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipses = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / greatest(w, lit(1)).cast("double")
+    val lowered = transform(toks, t => lower(t))
+    val swHits = size(filter(array(GopherStopwords.map(lit): _*),
+      s => array_contains(lowered, s)))
+    df.withColumn("g_word_count", w.between(50, 100000))
+      .withColumn("g_mean_word_len", mwl.between(3.0, 10.0))
+      .withColumn("g_symbol_ratio",
+        (hashes + ellipses).cast("double") / greatest(w, lit(1)).cast("double")
+          <= 0.1)
+      .withColumn("g_alpha_words", alphaFrac >= 0.8)
+      .withColumn("g_stopwords", swHits >= 1)
+  }
+
   /** Deflate compression ratio (compressed/raw bytes) — the classic
     * gibberish/boilerplate detector (highly repetitive text compresses
     * far below prose; random noise barely compresses). No SQL engine

@@ -113,6 +113,23 @@ object TextQueries {
         .agg(count(when(col("removed") > 0, lit(1))).as("n_docs_changed"),
           sum(col("removed")).cast("long").as("chars_removed"))}),
 
+    // Gopher-style quality rule census (Rae et al. 2021 A1.1, the
+    // doc-level subset): per-rule failure counts + the all-pass count,
+    // one row — the go/no-go report a mix engineer reads before
+    // applying the gate. Every rule is integer/regex arithmetic both
+    // engines replay exactly; NULL text counts as failing every rule
+    "text_gopher_rules" -> ((s, d) => {
+      val rules = Seq("g_word_count", "g_mean_word_len", "g_symbol_ratio",
+        "g_alpha_words", "g_stopwords")
+      val f = withGopherFlags(Tables.documents(s, d), "text")
+      val failCols = rules.map(r =>
+        count(when(!coalesce(col(r), lit(false)), lit(1)))
+          .as("fail" + r.stripPrefix("g")))
+      val allPass = count(when(
+        rules.map(r => coalesce(col(r), lit(false))).reduce(_ && _),
+        lit(1))).as("n_all_pass")
+      f.agg(count(lit(1)).as("n_docs"), failCols :+ allPass: _*)}),
+
     // longest duplicated substring in the corpus: binary search on the
     // census existence bit (rows-only; text_dup_substrings carries the
     // oracle for the census machinery and the _bound row pins
@@ -766,6 +783,46 @@ object TextQueries {
     // hashes (the fingerprint arithmetic), sliding-window minima with
     // rightmost tie-break, per-doc dedupe, stop-fingerprint df cap,
     // hash-bucket pair counts
+    // replays the five doc-level Gopher rules: token split, integer
+    // length sum / count, literal '#' + '...' censuses via replace
+    // deltas, alpha-regex word filter, distinct-stopword membership
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), fl AS (
+        |  SELECT
+        |    len(toks) BETWEEN 50 AND 100000 AS g_word_count,
+        |    (list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+        |       / len(toks)::DOUBLE) BETWEEN 3.0 AND 10.0 AS g_mean_word_len,
+        |    ((len(text) - len(replace(text, '#', ''))) +
+        |     (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE
+        |       / greatest(len(toks), 1)::DOUBLE <= 0.1 AS g_symbol_ratio,
+        |    (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |       / greatest(len(toks), 1)::DOUBLE) >= 0.8 AS g_alpha_words,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+        |      >= 1 AS g_stopwords
+        |  FROM t
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN NOT coalesce(g_word_count, false)
+        |             THEN 1 END) AS BIGINT) AS fail_word_count,
+        |  CAST(count(CASE WHEN NOT coalesce(g_mean_word_len, false)
+        |             THEN 1 END) AS BIGINT) AS fail_mean_word_len,
+        |  CAST(count(CASE WHEN NOT coalesce(g_symbol_ratio, false)
+        |             THEN 1 END) AS BIGINT) AS fail_symbol_ratio,
+        |  CAST(count(CASE WHEN NOT coalesce(g_alpha_words, false)
+        |             THEN 1 END) AS BIGINT) AS fail_alpha_words,
+        |  CAST(count(CASE WHEN NOT coalesce(g_stopwords, false)
+        |             THEN 1 END) AS BIGINT) AS fail_stopwords,
+        |  CAST(count(CASE WHEN coalesce(g_word_count, false)
+        |                   AND coalesce(g_mean_word_len, false)
+        |                   AND coalesce(g_symbol_ratio, false)
+        |                   AND coalesce(g_alpha_words, false)
+        |                   AND coalesce(g_stopwords, false)
+        |             THEN 1 END) AS BIGINT) AS n_all_pass
+        |FROM fl""".stripMargin,
     "text_winnow_pairs" -> winnowPairsSql(dfCap = Some(48)),
     // exact full-fingerprint companion: same replay, no df cap
     "text_winnow_pairs_exact" -> winnowPairsSql(dfCap = None),

@@ -231,4 +231,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(100L) < m(101L),
       s"common word order should score as more predictable: $m")
   }
+
+  test("gopher rules: each rule trips on its own counterexample doc") {
+    val fifty = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // 0: passes everything — 50 plain words incl. a stopword
+      0L -> Some("the " + (1 to 49).map(i => s"word$i").mkString(" ")),
+      // 1: too short (10 words)
+      1L -> Some("the " + (1 to 9).map(i => s"word$i").mkString(" ")),
+      // 2: mean word length out of range (single-char words)
+      2L -> Some("the " + Seq.fill(49)("a b").mkString(" ")),
+      // 3: symbol-heavy (# per word)
+      3L -> Some("the " + (1 to 49).map(i => s"##word$i###").mkString(" ")),
+      // 4: numeric soup — no alphabetic chars in most words
+      4L -> Some("the " + (1 to 49).map(i => s"${i}00%").mkString(" ")),
+      // 5: no Gopher stopword at all
+      5L -> Some(fifty),
+      // 6: NULL text — must fail every rule via the coalesce convention
+      6L -> None)
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.withGopherFlags(df, "text")
+    def failing(rule: String): Set[Long] =
+      got.filter(!coalesce(col(rule), lit(false))).select("doc_id")
+        .as[Long].collect().toSet
+    // each rule trips its intended counterexample (other docs may trip
+    // a rule incidentally — e.g. symbol soup also inflates word length)
+    assert(failing("g_word_count") == Set(1L, 6L))
+    assert(failing("g_mean_word_len").contains(2L))
+    assert(failing("g_symbol_ratio").contains(3L))
+    assert(failing("g_alpha_words") == Set(4L, 6L))
+    assert(failing("g_stopwords") == Set(5L, 6L))
+    // doc 0 passes every rule; NULL text (doc 6) fails every rule
+    Seq("g_word_count", "g_mean_word_len", "g_symbol_ratio",
+      "g_alpha_words", "g_stopwords").foreach { r =>
+      assert(!failing(r).contains(0L), s"doc 0 must pass $r")
+      assert(failing(r).contains(6L), s"NULL text must fail $r")
+    }
+  }
 }
