@@ -162,6 +162,64 @@ object Dedup {
       .select(col(idCol), col("content_sha"))
   }
 
+  /** The distinct LSH band-bucket keys of a corpus — the compact
+    * NEAR-DUP index [[incrementalIngestNearDup]] screens against (one
+    * `band: long` column; the near-dup analog of the `content_sha`
+    * digest index). At scale it is a persisted, appendable table:
+    * after accepting a batch, union in the batch's own keys. Bodies
+    * and even signatures are never stored — ~16 longs per ever-seen
+    * document, deduplicated.
+    */
+  def bandIndex(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    withSignatures(df, textCol, idCol, numHashes, shingleN)
+      .select(explode(lshBands(col("sig"), bands, numHashes / bands)).as("band"))
+      .distinct()
+  }
+
+  /** Near-duplicate-aware incremental ingestion — the LSH form of
+    * [[incrementalIngestDigests]]: a batch document is rejected when
+    * ANY of its band-bucket keys already exists in `historyBands`
+    * (the [[bandIndex]] of everything ever accepted), which flags both
+    * exact replays (identical text ⇒ identical signature ⇒ identical
+    * bands, so exact-dup rejection is DETERMINISTIC, not
+    * probabilistic) and near-duplicates at the index's configured
+    * threshold. Within the batch, survivors then resolve through the
+    * full verified pipeline — banded candidates, exact-Jaccard
+    * verification at `threshold`, connected components, min-id
+    * representative — so a batch containing its own near-dup cluster
+    * admits exactly one member. Returns the accepted rows of `batch`.
+    *
+    * Collision semantics: a band hit from an UNRELATED doc (the
+    * ~2^-64 xxhash64 collision, or a genuine sub-threshold LSH
+    * false positive) rejects a novel doc — the deliberate trade of
+    * every index-only dedup service: the index stores no text, so no
+    * verification against history is possible, and false-positive
+    * rejections cost a document while false accepts would cost a
+    * duplicate in the training set. 100 TB shape: the index is a
+    * single long column joined semi/anti on its key; batch text never
+    * shuffles against history.
+    */
+  def incrementalIngestNearDup(historyBands: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val docBands = withSignatures(batch, textCol, idCol, numHashes, shingleN)
+      .select(col("id"),
+        explode(lshBands(col("sig"), bands, rpb)).as("band"))
+    val colliding = docBands
+      .join(historyBands.select(col("band")), Seq("band"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    val fresh = batch.join(colliding, Seq(idCol), "left_anti")
+    val (pairs, release) = minhashNearDupsManaged(
+      fresh, textCol, idCol, threshold, numHashes, bands, shingleN)
+    val accepted = resolveClusters(fresh, idCol, pairs)
+    release()
+    accepted
+  }
+
   /** [[incrementalIngestDigests]] with a Bloom prefilter: rows whose
     * digest the filter has definitely never seen skip the anti-join
     * shuffle entirely; only possible-duplicates (true dups + the fpp

@@ -157,6 +157,53 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
         .orderBy("split", "source")}),
 
+    // NEAR-DUP-aware incremental ingest: the history is a compact LSH
+    // band-key index (no bodies, no digests — ~16 longs per ever-seen
+    // doc), the batch is the %5==0 docs plus replays of the %7==0
+    // history docs under shifted ids. Replays share every band with
+    // history, so their rejection is deterministic; in-batch near-dup
+    // clusters resolve through the full verified pipeline to one min-id
+    // member. Rows-only (the band keys are xxhash64, which SQL cannot
+    // replay); the _miss row below is the oracle-checked property
+    "pipe_ingest_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val idx = Dedup.bandIndex(history, "text", "doc_id")
+      Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")}),
+
+    // VIOLATION row for pipe_ingest_neardup, asserted EMPTY: (a) an
+    // accepted doc whose exact digest exists in history — identical
+    // text means identical bands, so the index rejection is
+    // deterministic, and one slipping through would be a bug, not bad
+    // luck; (b) an accepted doc that is not the minimum id of its
+    // in-batch exact-text group. Both classes are pure digest
+    // arithmetic a SQL oracle replays exactly
+    "pipe_ingest_neardup_miss" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val idx = Dedup.bandIndex(history, "text", "doc_id")
+      val accepted = Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id")
+        .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      val histShas = history.select(sha2(col("text"), 256).as("sha")).distinct()
+      val viol1 = accepted.join(histShas, Seq("sha"), "left_semi")
+        .select(col("doc_id"), lit("exact_in_history").as("reason"))
+      val minPerText = batch
+        .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+        .groupBy("sha").agg(min(col("doc_id")).as("keep"))
+      val viol2 = accepted.join(minPerText, "sha")
+        .filter(col("doc_id") =!= col("keep"))
+        .select(col("doc_id"), lit("not_min_of_batch_group").as("reason"))
+      viol1.unionByName(viol2).orderBy("doc_id", "reason")}),
+
     // LEAKAGE-FREE split: same 90/5/5 arithmetic but decided once per
     // content-duplicate CLUSTER (bucket of the min-id representative's
     // shuffle key), so a verbatim duplicate of a training doc can never
@@ -502,6 +549,9 @@ object PipelineQueries {
     // the leak census must be EMPTY by construction
     "pipe_split_leakproof_leaks" ->
       "SELECT CAST(NULL AS BIGINT) AS cluster_rep, CAST(NULL AS BIGINT) AS n_splits WHERE 1=0",
+    // deterministic-rejection property: the expected answer is EMPTY
+    "pipe_ingest_neardup_miss" ->
+      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS reason WHERE 1=0",
 
     "text_dup_passages" ->
       """WITH toks AS (

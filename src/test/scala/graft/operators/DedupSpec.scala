@@ -340,6 +340,41 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("near-dup-aware ingest: replays and near-dups rejected, novel kept, min-id wins") {
+    val histDocs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.bandIndex(histDocs, "text", "doc_id")
+    val batch = Seq(
+      // exact replay of history doc 1 → deterministic rejection
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      // near-dup of history doc 2 (one word changed) → LSH rejection
+      (101L, "one two three four five six seven eight nine ten eleven twelve ALTERED"),
+      // novel cluster: two near-identical in-batch docs → min id only
+      (102L, "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter newt"),
+      (103L, "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter GNU"),
+      // fully novel singleton
+      (104L, "completely different content with no overlap whatsoever against anything here at all"))
+      .toDF("doc_id", "text")
+    val accepted = Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id",
+      threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!accepted.contains(100L), "exact replay must be rejected")
+    assert(!accepted.contains(101L), "near-dup of history must be rejected")
+    assert(accepted.contains(102L) && !accepted.contains(103L),
+      s"in-batch cluster must keep the min id only: $accepted")
+    assert(accepted.contains(104L), "novel doc must be accepted")
+    // idempotence of the append cycle: extend the index with the
+    // accepted docs' bands; re-submitting them must reject everything
+    val idx2 = idx.unionByName(
+      Dedup.bandIndex(batch.filter(col("doc_id").isin(accepted.toSeq: _*)),
+        "text", "doc_id")).distinct()
+    val replay = Dedup.incrementalIngestNearDup(idx2,
+      batch.filter(col("doc_id").isin(accepted.toSeq: _*)), "text", "doc_id")
+    assert(replay.isEmpty, "re-submitting accepted docs must be a no-op")
+  }
+
   test("the snapshot-diff carve modifies NULL-text docs too (concat_ws, ADVICE r7)") {
     // pins the pipe_snapshot_diff carving arithmetic: appending ' v2'
     // with plain concat on a NULL text yields NULL — the doc would then
