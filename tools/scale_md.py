@@ -212,15 +212,17 @@ totals — `dedup_ngram_jaccard` {hundred('dedup_ngram_jaccard'):.0f}×, `dedup_
 near the 144× two-decade quadratic bar (the worst, 154×, is 7% over
 it on an overhead-deflated sf0.1 denominator), i.e. the growth an
 exact all-pairs ground truth has on this corpus, not worse.
-`dedup_components` specifically costs ~2× its own edge INPUT
-(`dedup_ngram_jaccard`, {qc['dedup_ngram_jaccard']:.0f} s at sf10) because under sf10 memory
-pressure the persisted edge list can be evicted and recomputed; the
-component LOOP itself is trivial at every SF — the probe
+`dedup_components` tracks its own edge INPUT almost 1:1
+(`dedup_ngram_jaccard`, {qc['dedup_ngram_jaccard']:.0f} s vs {qc['dedup_components']:.0f} s at sf10): the component
+LOOP itself is trivial at every SF — the probe
 `Test/runMain graft.DevEdges` measures the actual edge-list sizes (2
 edges at sf1, 10 at sf10, both far under the 1M driver-union-find
-threshold), so the flagged growth is entirely the exact-edge ground
-truth, and the MinHash-fed production components path stays cheap at
-every SF. `text_train_classifier` is heavy by design — each GD
+threshold) — so any growth in these rows is entirely the exact-edge
+ground truth, and the MinHash-fed production components path stays
+cheap at every SF. (An earlier same-day run measured components at 2×
+its input — sf10 memory pressure evicting and recomputing the
+persisted edge list; run-to-run variance of the machinery, not of any
+production path.) `text_train_classifier` is heavy by design — each GD
 iteration is a full corpus pass ({qa['text_train_classifier']:.1f} → {qb['text_train_classifier']:.1f} → {qc['text_train_classifier']:.1f} s,
 {qc['text_train_classifier']/qb['text_train_classifier']:.1f}× per decade, under the bar); at fleet scale the per-job
 overhead dominating the small columns amortizes away.
