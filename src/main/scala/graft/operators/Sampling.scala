@@ -131,6 +131,19 @@ object Sampling {
       trainPerMille: Int = 900, valPerMille: Int = 950): DataFrame = {
     require(0 < trainPerMille && trainPerMille <= valPerMille && valPerMille <= 1000,
       "0 < trainPerMille <= valPerMille <= 1000")
+    // the bucket is modular arithmetic on the representative id: a
+    // non-integral id column would make shuffleKey NULL and silently
+    // route every cluster to 'test' — reject it loudly instead (the
+    // same lossy-cast trap mmrRerank guards against)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"leakproofSplit: id column '$idCol' must be integral " +
+          s"(byte/short/int/long), got ${other.simpleString}")
+    }
     val digest = coalesce(sha2(col(textCol), 256), lit("<null>"))
     val keyed = df.select(col(idCol), digest.as("__sha"))
     val reps = keyed.groupBy("__sha").agg(min(col(idCol)).as("cluster_rep"))

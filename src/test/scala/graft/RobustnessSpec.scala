@@ -141,4 +141,39 @@ class RobustnessSpec extends SparkSpec {
     val wsDoc = Seq((1L, "   ")).toDF("doc_id", "text")
     assert(TextAnalysis.lmScore(wsDoc, "text", "doc_id").count() == 1)
   }
+
+  test("round-8 operators on empty and degenerate frames") {
+    import graft.operators.{Dedup, Sampling, Similarity, SubstringDedup, TextAnalysis}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "only a handful of words here")).toDF("doc_id", "text")
+    // dedup rewrite: empty in → empty out; single doc passes through
+    assert(SubstringDedup.removeDupSpans(emptyDocs, 8).count() == 0)
+    assert(SubstringDedup.removeDupSpans(one, 8)
+      .as[(Long, String)].head()._2 == "only a handful of words here")
+    // leakproof split: empty frame fine; string ids rejected loudly
+    assert(Sampling.leakproofSplit(emptyDocs, "text", "doc_id").count() == 0)
+    val strIds = Seq(("a", "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.leakproofSplit(strIds, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("must be integral"))
+    // gopher flags: empty and whitespace-only never crash
+    assert(TextAnalysis.withGopherFlags(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.withGopherFlags(
+      Seq((1L, "   ")).toDF("doc_id", "text"), "text").count() == 1)
+    // outliers: empty corpus; single-member group still ranks itself
+    val emptyEmb = Seq.empty[(Long, Int, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.groupOutliers(emptyEmb, 3, "label", "vec_id").count() == 0)
+    val solo = Seq((7L, 1, Array(1f, 2f))).toDF("vec_id", "label", "embedding")
+    assert(Similarity.groupOutliers(solo, 3, "label", "vec_id").count() == 1)
+    // near-dup ingest: empty batch, and an empty index accepts all
+    val emptyIdx = Seq.empty[Tuple1[Long]].toDF("band")
+    assert(Dedup.incrementalIngestNearDup(emptyIdx, emptyDocs,
+      "text", "doc_id").count() == 0)
+    assert(Dedup.incrementalIngestNearDup(emptyIdx, one,
+      "text", "doc_id").count() == 1)
+    // winnow pairs with dfCap on an empty frame
+    assert(SubstringDedup.winnowedPairs(emptyDocs, dfCap = Some(4)).count() == 0)
+  }
 }
