@@ -82,6 +82,77 @@ object CorpusIngest {
     }
   }
 
+  /** NEAR-DUP-aware variant of the per-batch resolve/screen/append:
+    * the landed corpus table carries each document's LSH band-key
+    * array ([[graft.operators.Dedup.bandKeysCol]]) beside its digest,
+    * so ONE transactional append maintains both the exact and the
+    * near-dup state — there is no separate index table whose ordering
+    * with the sink a crash could split. A batch doc is dropped when
+    * (a) its digest already landed (exact replay — this alone makes a
+    * crash-replayed micro-batch a no-op, same contract as [[start]]),
+    * (b) any of its band keys already landed (near-dup of the corpus),
+    * or (c) it loses the verified within-batch near-dup resolution
+    * (min id per cluster, exact-Jaccard checked at `threshold`).
+    * Probe sides project only `digest` / exploded `band` — bodies
+    * never shuffle against history.
+    */
+  def resolveNearDup(batch: DataFrame, corpusDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val withBands = freshOnly(resolveBatch(batch), corpusDir)
+      .withColumn("bands", Dedup.bandKeysCol(col("text")))
+    val landedBands =
+      try Some(spark.read.parquet(corpusDir)
+        .select(explode(col("bands")).as("band")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val screened = landedBands match {
+      case Some(idx) =>
+        val colliding = withBands
+          .select(col("doc_id"), explode(col("bands")).as("band"))
+          .join(idx, Seq("band"), "left_semi")
+          .select("doc_id").distinct()
+        withBands.join(colliding, Seq("doc_id"), "left_anti")
+      case None => withBands
+    }
+    // within-batch near-dup clusters: verified pairs → min-id survivor
+    val (pairs, release) = Dedup.minhashNearDupsManaged(
+      screened, "text", "doc_id", threshold)
+    val accepted = Dedup.resolveClusters(screened, "doc_id", pairs)
+    release()
+    accepted
+  }
+
+  /** Start the checkpointed NEAR-DUP ingest over `sourceDir`: the
+    * [[start]] pipeline with [[resolveNearDup]] as the per-batch
+    * stage. The landed table's extra `bands` column is the whole
+    * near-dup state; restarts and replays inherit [[start]]'s
+    * effectively-once story unchanged.
+    */
+  def startNearDup(
+      spark: SparkSession,
+      sourceDir: String,
+      corpusDir: String,
+      checkpointDir: String,
+      minTokens: Int = 5,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    prepared(stream, minTokens).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        resolveNearDup(batch, corpusDir, threshold)
+          .write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+  }
+
   /** Start the checkpointed ingest over `sourceDir`. */
   def start(
       spark: SparkSession,

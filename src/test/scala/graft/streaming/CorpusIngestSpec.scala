@@ -65,4 +65,40 @@ class CorpusIngestSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 5L))
   }
+
+  private def drainNd(src: String, corpus: String, ckpt: String): Unit = {
+    val q = CorpusIngest.startNearDup(spark, src, corpus, ckpt,
+      minTokens = 3, threshold = 0.5, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+  }
+
+  test("near-dup ingest: sink-held band keys reject near-dups across batches") {
+    val src = tmpDir("cind_src"); val corpus = tmpDir("cind_corp")
+    val ckpt = tmpDir("cind_ckpt")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    // arrival 1: the base doc + an in-batch near-dup (one word changed,
+    // jaccard over 3-shingles >= 0.5) → min id 2 survives alone
+    writeArrival(src, Seq(
+      doc(2, base),
+      doc(9, base.replace("lima", "CHANGED"))))
+    // arrival 2: an exact replay (digest hit), a near-dup of the landed
+    // doc (band hit — the state crossed micro-batches through the SINK),
+    // and a genuinely novel doc
+    writeArrival(src, Seq(
+      doc(7, base),
+      doc(8, base.replace("alpha", "OMEGA")),
+      doc(4, "one two three four five six seven eight nine ten eleven twelve")))
+    drainNd(src, corpus, ckpt)
+    val landed = spark.read.parquet(corpus)
+    val ids = landed.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(2L, 4L), s"landed: ${ids.toSeq}")
+    // the band keys really live in the sink, beside the rows they index
+    assert(landed.schema.fieldNames.contains("bands"))
+    assert(landed.filter(size(col("bands")) === 0).isEmpty)
+    // worst-case at-least-once replay (fresh checkpoint, same sources):
+    // the sink-held digest + band state keeps the corpus unchanged
+    drainNd(src, corpus, tmpDir("cind_ckpt2"))
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
 }
