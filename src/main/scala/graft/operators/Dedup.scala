@@ -200,13 +200,22 @@ object Dedup {
     * ANY of its band-bucket keys already exists in `historyBands`
     * (the [[bandIndex]] of everything ever accepted), which flags both
     * exact replays (identical text ⇒ identical signature ⇒ identical
-    * bands, so exact-dup rejection is DETERMINISTIC, not
-    * probabilistic) and near-duplicates at the index's configured
-    * threshold. Within the batch, survivors then resolve through the
-    * full verified pipeline — banded candidates, exact-Jaccard
-    * verification at `threshold`, connected components, min-id
-    * representative — so a batch containing its own near-dup cluster
-    * admits exactly one member. Returns the accepted rows of `batch`.
+    * bands, so exact-dup rejection of every shingle-able doc is
+    * DETERMINISTIC, not probabilistic) and near-duplicates at the
+    * index's configured threshold. Before that screen, the batch
+    * resolves internally: exact digest groups keep their min id (this
+    * covers docs too short to shingle, which have no bands and are
+    * invisible to every LSH stage — screening THOSE against history
+    * needs the digest index, [[incrementalIngestDigests]]; the
+    * streaming composition in
+    * [[graft.streaming.CorpusIngest.startNearDup]] runs both), then
+    * verified near-dup clusters — banded candidates, exact-Jaccard at
+    * `threshold`, connected components — keep their min-id member.
+    * Resolution runs BEFORE the history screen so acceptance never
+    * depends on a batch member the screen rejects: feeding a batch's
+    * accepted output back as history and re-running the same batch is
+    * a no-op, the property the streaming crash-replay contract needs.
+    * Returns the accepted rows of `batch`.
     *
     * Collision semantics: a band hit from an UNRELATED doc (the
     * ~2^-64 xxhash64 collision, or a genuine sub-threshold LSH
@@ -223,18 +232,35 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val docBands = withSignatures(batch, textCol, idCol, numHashes, shingleN)
+    // 1. exact within-batch dedup by digest, min id per group — this
+    //    also covers docs too short to shingle, which the band
+    //    machinery cannot see (no shingles ⇒ no bands ⇒ no pairs)
+    val exactKeep = batch
+      .select(col(idCol), coalesce(sha2(col(textCol), 256), lit("<null>"))
+        .as("__sha"))
+      .groupBy("__sha").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val uniq = batch.join(exactKeep, Seq(idCol), "left_semi")
+    // 2. verified within-batch near-dup resolution BEFORE the history
+    //    screen: acceptance of a doc then never depends on a batch
+    //    member the screen later rejects, so re-running the same batch
+    //    against a history that already absorbed its output is a no-op
+    //    (the crash-replay property CorpusIngest.startNearDup builds
+    //    on). The conservative flip side: a cluster whose min-id
+    //    representative is itself a near-dup of history admits NO
+    //    member (the mates are near-dups-of-a-near-dup of history).
+    val (pairs, release) = minhashNearDupsManaged(
+      uniq, textCol, idCol, threshold, numHashes, bands, shingleN)
+    val resolved = resolveClusters(uniq, idCol, pairs)
+    release()
+    // 3. history screen: any band hit rejects
+    val docBands = withSignatures(resolved, textCol, idCol, numHashes, shingleN)
       .select(col("id"),
         explode(lshBands(col("sig"), bands, rpb)).as("band"))
     val colliding = docBands
       .join(historyBands.select(col("band")), Seq("band"), "left_semi")
       .select(col("id").as(idCol)).distinct()
-    val fresh = batch.join(colliding, Seq(idCol), "left_anti")
-    val (pairs, release) = minhashNearDupsManaged(
-      fresh, textCol, idCol, threshold, numHashes, bands, shingleN)
-    val accepted = resolveClusters(fresh, idCol, pairs)
-    release()
-    accepted
+    resolved.join(colliding, Seq(idCol), "left_anti")
   }
 
   /** [[incrementalIngestDigests]] with a Bloom prefilter: rows whose

@@ -135,15 +135,7 @@ object Sampling {
     // non-integral id column would make shuffleKey NULL and silently
     // route every cluster to 'test' — reject it loudly instead (the
     // same lossy-cast trap mmrRerank guards against)
-    df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType
-         | org.apache.spark.sql.types.ShortType
-         | org.apache.spark.sql.types.IntegerType
-         | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"leakproofSplit: id column '$idCol' must be integral " +
-          s"(byte/short/int/long), got ${other.simpleString}")
-    }
+    Checks.requireIntegralId(df, idCol, s"leakproofSplit: id column '$idCol'")
     val digest = coalesce(sha2(col(textCol), 256), lit("<null>"))
     val keyed = df.select(col(idCol), digest.as("__sha"))
     val reps = keyed.groupBy("__sha").agg(min(col(idCol)).as("cluster_rep"))

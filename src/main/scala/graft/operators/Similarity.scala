@@ -280,17 +280,8 @@ object Similarity {
     // string id would NULL every id, the non-null-safe pool join would
     // then drop every row, and "unsupported" would manifest as a
     // silently-empty result instead of an error
-    def requireIntegralId(df: DataFrame, side: String): Unit = {
-      import org.apache.spark.sql.types._
-      df.schema(idCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => ()
-        case other => throw new IllegalArgumentException(
-          s"mmrRerank: $side id column '$idCol' must be integral " +
-            s"(byte/short/int/long), got ${other.simpleString}")
-      }
-    }
-    requireIntegralId(queries, "queries")
-    requireIntegralId(corpus, "corpus")
+    Checks.requireIntegralId(queries, idCol, s"mmrRerank: queries id column '$idCol'")
+    Checks.requireIntegralId(corpus, idCol, s"mmrRerank: corpus id column '$idCol'")
     // normalize to the group encoder's shape up front: integral ids
     // widen to long, double vectors narrow to float — so any corpus the
     // sibling operators accept works here too
@@ -943,12 +934,19 @@ object Similarity {
       groupCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(topN >= 1, "groupOutliers: topN >= 1")
+    // centroid norms are computed ONCE in the ≤|groups|-row table (the
+    // qn/cn move of the top-k operators): cosine() would re-fold the
+    // identical centroid self-dot for every corpus row. The den keeps
+    // cosine's exact factor order (row norm × centroid norm) so scores
+    // are bit-identical to the cosine() form and its oracle replay.
     val cents = centroids(df.select(col(groupCol), col(vecCol)), groupCol, vecCol)
+      .withColumn("cnorm", l2norm(col("centroid")))
     val scored = df
       .select(col(groupCol).as("cell"), col(idCol),
         col(vecCol).cast("array<double>").as("__v"))
       .join(broadcast(cents), "cell")
-      .withColumn("cos", cosine(col("__v"), col("centroid")))
+      .withColumn("cos", safeRatio(dot(col("__v"), col("centroid")),
+        l2norm(col("__v")) * col("cnorm")))
       .filter(col("cos").isNotNull)
     val w = Window.partitionBy("cell").orderBy(col("cos").asc, col(idCol))
     scored.withColumn("rank", row_number().over(w))

@@ -87,40 +87,58 @@ object CorpusIngest {
     * array ([[graft.operators.Dedup.bandKeysCol]]) beside its digest,
     * so ONE transactional append maintains both the exact and the
     * near-dup state — there is no separate index table whose ordering
-    * with the sink a crash could split. A batch doc is dropped when
-    * (a) its digest already landed (exact replay — this alone makes a
-    * crash-replayed micro-batch a no-op, same contract as [[start]]),
-    * (b) any of its band keys already landed (near-dup of the corpus),
-    * or (c) it loses the verified within-batch near-dup resolution
-    * (min id per cluster, exact-Jaccard checked at `threshold`).
-    * Probe sides project only `digest` / exploded `band` — bodies
-    * never shuffle against history.
+    * with the sink a crash could split. The batch first resolves
+    * internally (exact digest min-id, then verified near-dup clusters
+    * at `threshold`), and only the resolved survivors are screened
+    * against the landed state: digest anti-join (exact replays) and
+    * band semi-join (near-dups of the corpus). Because resolution is a
+    * pure function of the batch alone, a crash-replayed micro-batch
+    * resolves identically and every survivor is then dropped against
+    * its own landed output — effectively-once even for transitive
+    * in-batch clusters (A-B-C chains), which a screen-before-resolve
+    * order would re-admit piecemeal on replay. Probe sides project
+    * only `digest` / exploded `band` — bodies never shuffle against
+    * history.
     */
   def resolveNearDup(batch: DataFrame, corpusDir: String,
       threshold: Double = 0.5): DataFrame = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val withBands = freshOnly(resolveBatch(batch), corpusDir)
-      .withColumn("bands", Dedup.bandKeysCol(col("text")))
-    val landedBands =
-      try Some(spark.read.parquet(corpusDir)
-        .select(explode(col("bands")).as("band")))
+    // within-batch resolution FIRST (exact digest min-id via
+    // resolveBatch, then verified near-dup clusters): acceptance of a
+    // doc must never depend on a batch member the landed-state screen
+    // rejects, or a crash-replayed batch could admit a doc the
+    // original run rejected through a cluster chain (A-B-C where only
+    // A landed: on replay B is band-screened away and C would sail
+    // through if pairing ran after the screen). Resolving first makes
+    // the screen a pure function of (resolved batch, landed state),
+    // and a replayed batch resolves identically — so every survivor is
+    // then digest- or band-dropped against its own landed output.
+    val resolved0 = resolveBatch(batch)
+    val (pairs, release) = Dedup.minhashNearDupsManaged(
+      resolved0, "text", "doc_id", threshold)
+    val resolved = Dedup.resolveClusters(resolved0, "doc_id", pairs)
+    release()
+    // ONE read of the landed corpus serves both screens (digest
+    // anti-join + band semi-join project different columns from the
+    // same relation; the parquet footer/file listing is paid once)
+    val landed =
+      try Some(spark.read.parquet(corpusDir))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val screened = landedBands match {
-      case Some(idx) =>
-        val colliding = withBands
+    val withBands = resolved
+      .withColumn("bands", Dedup.bandKeysCol(col("text")))
+    landed match {
+      case Some(corp) =>
+        val freshByDigest = withBands.join(
+          corp.select("digest"), Seq("digest"), "left_anti")
+        val colliding = freshByDigest
           .select(col("doc_id"), explode(col("bands")).as("band"))
-          .join(idx, Seq("band"), "left_semi")
+          .join(corp.select(explode(col("bands")).as("band")),
+            Seq("band"), "left_semi")
           .select("doc_id").distinct()
-        withBands.join(colliding, Seq("doc_id"), "left_anti")
+        freshByDigest.join(colliding, Seq("doc_id"), "left_anti")
       case None => withBands
     }
-    // within-batch near-dup clusters: verified pairs → min-id survivor
-    val (pairs, release) = Dedup.minhashNearDupsManaged(
-      screened, "text", "doc_id", threshold)
-    val accepted = Dedup.resolveClusters(screened, "doc_id", pairs)
-    release()
-    accepted
   }
 
   /** Start the checkpointed NEAR-DUP ingest over `sourceDir`: the

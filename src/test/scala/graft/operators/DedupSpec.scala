@@ -375,6 +375,18 @@ class DedupSpec extends SparkSpec {
     assert(replay.isEmpty, "re-submitting accepted docs must be a no-op")
   }
 
+  test("near-dup ingest dedups exact copies of sub-shingle docs within the batch") {
+    // docs under shingleN tokens have no bands and no pairs — invisible
+    // to every LSH stage; the exact digest pass must still admit only
+    // one copy rather than silently accepting both
+    val emptyIdx = Seq.empty[Tuple1[Long]].toDF("band")
+    val shorts = Seq((5L, "a b"), (9L, "a b"), (7L, "c d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalIngestNearDup(emptyIdx, shorts, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(5L, 7L), s"got ${got.toSeq}")
+  }
+
   test("the snapshot-diff carve modifies NULL-text docs too (concat_ws, ADVICE r7)") {
     // pins the pipe_snapshot_diff carving arithmetic: appending ' v2'
     // with plain concat on a NULL text yields NULL — the doc would then

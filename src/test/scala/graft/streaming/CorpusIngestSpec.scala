@@ -101,4 +101,28 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
+
+  test("near-dup ingest: transitive A-B-C cluster replays as a no-op") {
+    // A-B and B-C are verified near-dup pairs (one word apart each) but
+    // A and C differ in two words (Jaccard ~0.25 < 0.5): component
+    // chaining must land ONLY A, and — the crash-replay trap — a full
+    // replay must not re-admit C now that B never landed. Pinning the
+    // resolve-before-screen order: resolution is a pure function of
+    // the batch, so the replay resolves to {A} again and A digest-drops
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo"
+    val b = a.replace("echo", "CHANGED1")
+    val cdoc = b.replace("november", "CHANGED2")
+    val src = tmpDir("cind3_src"); val corpus = tmpDir("cind3_corp")
+    writeArrival(src, Seq(doc(1, a), doc(2, b), doc(3, cdoc)))
+    drainNd(src, corpus, tmpDir("cind3_ckpt"))
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L),
+      "the chained cluster must admit only its min id")
+    // the at-least-once worst case: full replay from a fresh checkpoint
+    drainNd(src, corpus, tmpDir("cind3_ckpt2"))
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L),
+      "replay re-admitted part of a transitive cluster")
+  }
 }

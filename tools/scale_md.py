@@ -38,7 +38,17 @@ def main(p01, p1, p10):
     a = json.load(open(p01))
     b = json.load(open(p1))
     c = json.load(open(p10))
-    qa, qb, qc = a["queries"], b["queries"], c["queries"]
+
+    def timed(d):
+        # errored queries bench as JSON null (Bench's error contract);
+        # a None would TypeError every ratio — report and exclude them
+        nulls = sorted(k for k, v in d["queries"].items() if v is None)
+        if nulls:
+            print(f"WARNING: {d.get('sf')} has errored (null) timings, "
+                  f"excluded from tables: {', '.join(nulls)}")
+        return {k: v for k, v in d["queries"].items() if v is not None}
+
+    qa, qb, qc = timed(a), timed(b), timed(c)
     skipped1 = b.get("skipped", [])
     skipped10 = c.get("skipped", [])
     t1, s1, note1 = table(qa, qb, RATIO_BAR, skipped1)
