@@ -468,6 +468,38 @@ class PlanSpec extends SparkSpec {
     } finally release()
   }
 
+  test("pipe_split_leakproof: document text never crosses an exchange") {
+    // the split's 100 TB story: the cluster pass shuffles (digest, id)
+    // pairs and the assignment join carries digests — a text attribute
+    // inside any exchange would mean documents are being shuffled
+    val plan = executed(query("pipe_split_leakproof"))
+    val exchanges = plan.collect {
+      case e: ShuffleExchangeExec => e.child.output.map(_.name)
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      assert(!cols.contains("text"), s"text shuffled: $cols")
+    }
+  }
+
+  test("sim_embed_outliers: broadcast centroid join + bounded rank heap") {
+    val plan = executed(query("sim_embed_outliers"))
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "centroid join must be broadcast — the corpus never shuffles for scoring")
+    assert(plan.toString.contains("WindowGroupLimit"),
+      "per-group rank must run as a bounded heap below the exchange")
+  }
+
+  test("text_remove_dup_spans_stats: equi-joins only, no cartesian/NLJ") {
+    val plan = executed(query("text_remove_dup_spans_stats"))
+    assert(plan.collect {
+      case c: CartesianProductExec => c
+      case n: BroadcastNestedLoopJoinExec => n
+    }.isEmpty, "the rewrite must never plan a non-equi join")
+  }
+
   test("partitioned history table prunes month partitions at read") {
     val dir = tmpDir("hist_prune")
     graft.pipeline.Enrich.plain(graft.sources.Tables.messages(spark, sf0001))
