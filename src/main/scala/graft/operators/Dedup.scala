@@ -234,13 +234,9 @@ object Dedup {
     val rpb = numHashes / bands
     // 1. exact within-batch dedup by digest, min id per group — this
     //    also covers docs too short to shingle, which the band
-    //    machinery cannot see (no shingles ⇒ no bands ⇒ no pairs)
-    val exactKeep = batch
-      .select(col(idCol), coalesce(sha2(col(textCol), 256), lit("<null>"))
-        .as("__sha"))
-      .groupBy("__sha").agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    val uniq = batch.join(exactKeep, Seq(idCol), "left_semi")
+    //    machinery cannot see (no shingles ⇒ no bands ⇒ no pairs).
+    //    groupBy keys NULL texts together, same as everywhere else.
+    val uniq = dropExact(batch, textCol, idCol)
     // 2. verified within-batch near-dup resolution BEFORE the history
     //    screen: acceptance of a doc then never depends on a batch
     //    member the screen later rejects, so re-running the same batch
@@ -249,18 +245,23 @@ object Dedup {
     //    on). The conservative flip side: a cluster whose min-id
     //    representative is itself a near-dup of history admits NO
     //    member (the mates are near-dups-of-a-near-dup of history).
-    val (pairs, release) = minhashNearDupsManaged(
-      uniq, textCol, idCol, threshold, numHashes, bands, shingleN)
+    //    Signatures are computed ONCE and feed both the pairing and
+    //    the band screen below.
+    val sigs = docSignatures(uniq, textCol, idCol, numHashes, shingleN)
+    val (pairs, release) = minhashPairsFromSigs(sigs, threshold, bands, rpb)
     val resolved = resolveClusters(uniq, idCol, pairs)
-    release()
-    // 3. history screen: any band hit rejects
-    val docBands = withSignatures(resolved, textCol, idCol, numHashes, shingleN)
+    // 3. history screen: any band hit rejects (the sig frame is
+    //    filtered to survivors — no recomputation)
+    val docBands = sigs
+      .join(resolved.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"),
         explode(lshBands(col("sig"), bands, rpb)).as("band"))
     val colliding = docBands
       .join(historyBands.select(col("band")), Seq("band"), "left_semi")
       .select(col("id").as(idCol)).distinct()
-    resolved.join(colliding, Seq(idCol), "left_anti")
+    val accepted = resolved.join(colliding, Seq(idCol), "left_anti")
+    release()
+    accepted
   }
 
   /** [[incrementalIngestDigests]] with a Bloom prefilter: rows whose
@@ -352,6 +353,16 @@ object Dedup {
     * (id, sig) pairs ever reaches a shuffle. (Earlier form exploded one
     * row per shingle into k min-aggregates — a full corpus shuffle.)
     */
+  /** `(id, sh, sig)` per shingle-able doc — exposed within the engine
+    * so ingest paths can compute signatures ONCE and share them
+    * between pairing ([[minhashPairsFromSigs]]) and band-key
+    * derivation ([[lshBands]]).
+    */
+  private[graft] def docSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    withSignatures(df, textCol, idCol, numHashes, shingleN)
+
   private def withSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleN: Int): DataFrame =
@@ -383,8 +394,19 @@ object Dedup {
       threshold: Double = 0.5, numHashes: Int = 64,
       bands: Int = 16, shingleN: Int = 3): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val withSig = withSignatures(df, textCol, idCol, numHashes, shingleN)
+    minhashPairsFromSigs(
+      withSignatures(df, textCol, idCol, numHashes, shingleN),
+      threshold, bands, numHashes / bands)
+  }
+
+  /** [[minhashNearDupsManaged]] over a precomputed `(id, sh, sig)`
+    * frame ([[docSignatures]]) — the single-signature-pass seam: an
+    * ingest that needs signatures for pairing AND for band keys
+    * computes them once and feeds both stages.
+    */
+  private[graft] def minhashPairsFromSigs(sigs: DataFrame,
+      threshold: Double, bands: Int, rowsPerBand: Int): (DataFrame, () => Unit) = {
+    val withSig = sigs
       .persist() // read by both bucket-join branches and both verify joins
     // candidate generation shuffles only (id, band) — 16 bytes of key per
     // row; shingle sets are joined back AFTER pair dedup so the band

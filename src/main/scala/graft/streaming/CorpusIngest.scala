@@ -115,18 +115,29 @@ object CorpusIngest {
     // and a replayed batch resolves identically — so every survivor is
     // then digest- or band-dropped against its own landed output.
     val resolved0 = resolveBatch(batch)
-    val (pairs, release) = Dedup.minhashNearDupsManaged(
-      resolved0, "text", "doc_id", threshold)
+    // ONE signature pass feeds pairing AND the stored band keys (the
+    // narrow shingle+minhash stage dominates per-batch CPU; computing
+    // it twice — once in the pair search, once for bandKeysCol — would
+    // double it). The pair plan is consumed eagerly by the components
+    // loop under the persist; the band projection re-derives from the
+    // cached sigs, with at most one post-release recomputation of a
+    // narrow map at write time.
+    val sigs = Dedup.docSignatures(resolved0, "text", "doc_id")
+    val (pairs, release) = Dedup.minhashPairsFromSigs(sigs, threshold,
+      bands = 16, rowsPerBand = 4)
     val resolved = Dedup.resolveClusters(resolved0, "doc_id", pairs)
-    release()
     // ONE read of the landed corpus serves both screens (digest
     // anti-join + band semi-join project different columns from the
     // same relation; the parquet footer/file listing is paid once)
     val landed =
       try Some(spark.read.parquet(corpusDir))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val withBands = resolved
-      .withColumn("bands", Dedup.bandKeysCol(col("text")))
+    val bandsOf = sigs.select(col("id").as("doc_id"),
+      Dedup.lshBands(col("sig"), bands = 16, rowsPerBand = 4).as("bands"))
+    val withBands = resolved.join(bandsOf, Seq("doc_id"), "left")
+      .withColumn("bands",
+        coalesce(col("bands"), array().cast("array<bigint>")))
+    release()
     landed match {
       case Some(corp) =>
         val freshByDigest = withBands.join(
@@ -155,21 +166,12 @@ object CorpusIngest {
       minTokens: Int = 5,
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val reader = spark.readStream.schema(schema)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(sourceDir)
-    prepared(stream, minTokens).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        resolveNearDup(batch, corpusDir, threshold)
-          .write.mode("append").parquet(corpusDir)
-        ()
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startStream(spark, sourceDir, checkpointDir, minTokens,
+      maxFilesPerTrigger, trigger) { batch =>
+      resolveNearDup(batch, corpusDir, threshold)
+        .write.mode("append").parquet(corpusDir)
+    }
 
   /** Start the checkpointed ingest over `sourceDir`. */
   def start(
@@ -179,7 +181,25 @@ object CorpusIngest {
       checkpointDir: String,
       minTokens: Int = 5,
       maxFilesPerTrigger: Option[Int] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startStream(spark, sourceDir, checkpointDir, minTokens,
+      maxFilesPerTrigger, trigger) { batch =>
+      freshOnly(resolveBatch(batch), corpusDir)
+        .write.mode("append").parquet(corpusDir)
+    }
+
+  /** Shared reader/writer scaffolding of both starters: schema-declared
+    * file stream → quality gate → checkpointed foreachBatch running
+    * `perBatch`. One copy, so stream-setup fixes cannot silently miss
+    * a variant.
+    */
+  private def startStream(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      minTokens: Int,
+      maxFilesPerTrigger: Option[Int],
+      trigger: Trigger)(perBatch: DataFrame => Unit): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -187,11 +207,7 @@ object CorpusIngest {
     prepared(stream, minTokens).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        freshOnly(resolveBatch(batch), corpusDir)
-          .write.mode("append").parquet(corpusDir)
-        ()
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => perBatch(batch); () }
       .start()
   }
 }

@@ -40,13 +40,18 @@ def main(p01, p1, p10):
     c = json.load(open(p10))
 
     def timed(d):
-        # errored queries bench as JSON null (Bench's error contract);
-        # a None would TypeError every ratio — report and exclude them
+        # errored queries bench as JSON null (Bench's error contract).
+        # The narrative below indexes specific queries directly, so a
+        # doc generated from a failed run would either crash mid-format
+        # or silently misrepresent the run — refuse instead: fix the
+        # errored queries and re-bench.
         nulls = sorted(k for k, v in d["queries"].items() if v is None)
         if nulls:
-            print(f"WARNING: {d.get('sf')} has errored (null) timings, "
-                  f"excluded from tables: {', '.join(nulls)}")
-        return {k: v for k, v in d["queries"].items() if v is not None}
+            raise SystemExit(
+                f"ERROR: {d.get('sf')} has errored (null) timings for "
+                f"{', '.join(nulls)}; SCALE.md only regenerates from "
+                "clean runs — fix the errors and re-bench")
+        return d["queries"]
 
     qa, qb, qc = timed(a), timed(b), timed(c)
     skipped1 = b.get("skipped", [])
