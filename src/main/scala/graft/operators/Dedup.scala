@@ -162,20 +162,37 @@ object Dedup {
       .select(col(idCol), col("content_sha"))
   }
 
-  /** The distinct LSH band-bucket keys of a corpus — the compact
-    * NEAR-DUP index [[incrementalIngestNearDup]] screens against (one
-    * `band: long` column; the near-dup analog of the `content_sha`
-    * digest index). At scale it is a persisted, appendable table:
-    * after accepting a batch, union in the batch's own keys. Bodies
-    * and even signatures are never stored — ~16 longs per ever-seen
-    * document, deduplicated.
+  /** The NEAR-DUP ingest index of a corpus — one
+    * (digest, sig, bands) row per distinct content, the state
+    * [[incrementalIngestNearDup]] screens against. `digest` (NULL
+    * text coalesced to a sentinel) carries the exact screen — it
+    * covers EVERY doc, including those too short to shingle; `sig`
+    * (the 64-long MinHash signature, NULL for sub-shingle docs) lets
+    * the screen VERIFY a band collision by signature-agreement
+    * fraction instead of trusting it — an unverified single-band hit
+    * is only ~J^(1/rowsPerBand) evidence, and its false-reject rate
+    * would otherwise grow with the corpus; `bands` are the LSH keys
+    * candidate generation joins on. ~(32 B + 8·numHashes B + 8·bands
+    * B) per ever-seen doc — bodies are never stored or re-read.
+    *
+    * At scale this is a persisted, appendable table: after accepting a
+    * batch, append the batch's own rows
+    * (see [[graft.streaming.CorpusIngest]] for the partitioned,
+    * prune-friendly layout).
     */
-  def bandIndex(df: DataFrame, textCol: String, idCol: String,
+  def nearDupIndex(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    withSignatures(df, textCol, idCol, numHashes, shingleN)
-      .select(explode(lshBands(col("sig"), bands, numHashes / bands)).as("band"))
-      .distinct()
+    val rpb = numHashes / bands
+    df.select(coalesce(sha2(col(textCol), 256), lit("<null>")).as("digest"),
+        hashedShingles(col(textCol), shingleN).as("sh"))
+      .dropDuplicates("digest")
+      .select(col("digest"),
+        when(size(col("sh")) > 0,
+          TextHashExprs.minhashSig(col("sh"), numHashes)).as("sig"))
+      .withColumn("bands",
+        when(col("sig").isNotNull, lshBands(col("sig"), bands, rpb))
+          .otherwise(array().cast("array<bigint>")))
   }
 
   /** The LSH band-key array of a text column, as a COLUMN — the
@@ -196,72 +213,95 @@ object Dedup {
   }
 
   /** Near-duplicate-aware incremental ingestion — the LSH form of
-    * [[incrementalIngestDigests]]: a batch document is rejected when
-    * ANY of its band-bucket keys already exists in `historyBands`
-    * (the [[bandIndex]] of everything ever accepted), which flags both
-    * exact replays (identical text ⇒ identical signature ⇒ identical
-    * bands, so exact-dup rejection of every shingle-able doc is
-    * DETERMINISTIC, not probabilistic) and near-duplicates at the
-    * index's configured threshold. Before that screen, the batch
-    * resolves internally: exact digest groups keep their min id (this
-    * covers docs too short to shingle, which have no bands and are
-    * invisible to every LSH stage — screening THOSE against history
-    * needs the digest index, [[incrementalIngestDigests]]; the
-    * streaming composition in
-    * [[graft.streaming.CorpusIngest.startNearDup]] runs both), then
-    * verified near-dup clusters — banded candidates, exact-Jaccard at
-    * `threshold`, connected components — keep their min-id member.
-    * Resolution runs BEFORE the history screen so acceptance never
-    * depends on a batch member the screen rejects: feeding a batch's
-    * accepted output back as history and re-running the same batch is
-    * a no-op, the property the streaming crash-replay contract needs.
-    * Returns the accepted rows of `batch`.
+    * [[incrementalIngestDigests]], screening a batch against a
+    * [[nearDupIndex]] of everything ever accepted. Two screens:
     *
-    * Collision semantics: a band hit from an UNRELATED doc (the
-    * ~2^-64 xxhash64 collision, or a genuine sub-threshold LSH
-    * false positive) rejects a novel doc — the deliberate trade of
-    * every index-only dedup service: the index stores no text, so no
-    * verification against history is possible, and false-positive
-    * rejections cost a document while false accepts would cost a
-    * duplicate in the training set. 100 TB shape: the index is a
-    * single long column joined semi/anti on its key; batch text never
-    * shuffles against history.
+    *  1. EXACT: anti-join on content digest. Deterministic, covers
+    *     every doc including those too short to shingle (which have no
+    *     bands and are invisible to every LSH stage).
+    *  2. NEAR-DUP, VERIFIED: band-key equality generates CANDIDATES
+    *     only; a candidate rejects its batch doc only when the
+    *     MinHash signature-agreement fraction with the colliding
+    *     history doc — the standard unbiased Jaccard estimate — is at
+    *     least `threshold`. An unverified single-band hit is only
+    *     ~J^(1/rowsPerBand) evidence of similarity, and trusting it
+    *     makes the false-reject rate GROW with corpus size (the union
+    *     bound over ever-more landed docs); verification pins the
+    *     per-candidate reject decision to the estimator's fixed
+    *     variance (σ ≈ √(J(1−J)/numHashes)) instead.
+    *
+    * Before the screens, the batch resolves internally: exact digest
+    * groups keep their min id, then near-dup clusters — banded
+    * candidates verified by the SAME signature-agreement measure,
+    * connected components — keep their min-id member. Using one
+    * measure for in-batch pairing and the history screen keeps the
+    * two decisions consistent (a pair that would reject across
+    * batches also clusters within one), which is what makes feeding a
+    * batch's accepted output back as history and re-running the same
+    * batch a no-op — the crash-replay property
+    * [[graft.streaming.CorpusIngest.startNearDup]] builds on.
+    * Resolution runs BEFORE the screens so acceptance never depends
+    * on a batch member the screen rejects. Returns the accepted rows
+    * of `batch`.
+    *
+    * 100 TB shape: candidate generation joins single-long band keys;
+    * only verified-candidate pairs carry two fixed 8·numHashes-byte
+    * signatures; batch text never shuffles against history. Note the
+    * agreement verify joins SIGNATURES, not shingle sets — the exact
+    * [[minhashNearDups]] verify would need history shingle sets, which
+    * an index that never stores bodies cannot provide, and whose size
+    * is unbounded where a signature's is fixed.
     */
-  def incrementalIngestNearDup(historyBands: DataFrame, batch: DataFrame,
+  def incrementalIngestNearDup(index: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame =
+    incrementalIngestNearDupManaged(index, batch, textCol, idCol,
+      threshold, numHashes, bands, shingleN)._1
+
+  /** [[incrementalIngestNearDup]] plus a release handle for the
+    * internal signature cache (the band screen re-reads it at action
+    * time): call after acting on the result — see
+    * [[minhashNearDupsManaged]]. The no-handle form above leaves the
+    * cache to LRU eviction / session end.
+    */
+  def incrementalIngestNearDupManaged(index: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    // 1. exact within-batch dedup by digest, min id per group — this
-    //    also covers docs too short to shingle, which the band
-    //    machinery cannot see (no shingles ⇒ no bands ⇒ no pairs).
+    // 1. exact within-batch dedup by digest, min id per group.
     //    groupBy keys NULL texts together, same as everywhere else.
     val uniq = dropExact(batch, textCol, idCol)
-    // 2. verified within-batch near-dup resolution BEFORE the history
-    //    screen: acceptance of a doc then never depends on a batch
-    //    member the screen later rejects, so re-running the same batch
-    //    against a history that already absorbed its output is a no-op
-    //    (the crash-replay property CorpusIngest.startNearDup builds
-    //    on). The conservative flip side: a cluster whose min-id
-    //    representative is itself a near-dup of history admits NO
-    //    member (the mates are near-dups-of-a-near-dup of history).
-    //    Signatures are computed ONCE and feed both the pairing and
-    //    the band screen below.
+    // 2. within-batch near-dup resolution (verified by signature
+    //    agreement — the same measure as the history screen). The
+    //    pair plan is consumed eagerly by the components loop inside
+    //    resolveClusters, under the persist below.
     val sigs = docSignatures(uniq, textCol, idCol, numHashes, shingleN)
-    val (pairs, release) = minhashPairsFromSigs(sigs, threshold, bands, rpb)
+      .persist()
+    val pairs = pairsByAgreement(sigs, threshold, bands, rpb)
     val resolved = resolveClusters(uniq, idCol, pairs)
-    // 3. history screen: any band hit rejects (the sig frame is
-    //    filtered to survivors — no recomputation)
-    val docBands = sigs
-      .join(resolved.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select(col("id"),
+    // 3. exact history screen: digest anti-join (NULL text coalesced
+    //    to the index's sentinel so null-content replays screen too)
+    val idxDigests = index
+      .select(coalesce(col("digest"), lit("<null>")).as("__sha")).distinct()
+    val freshExact = resolved
+      .withColumn("__sha", coalesce(sha2(col(textCol), 256), lit("<null>")))
+      .join(idxDigests, Seq("__sha"), "left_anti")
+    // 4. near-dup history screen: band hits are candidates; reject
+    //    only on signature agreement >= threshold
+    val batchBands = sigs
+      .join(freshExact.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, rpb)).as("band"))
-    val colliding = docBands
-      .join(historyBands.select(col("band")), Seq("band"), "left_semi")
+    val idxBands = index.filter(size(col("bands")) > 0)
+      .select(col("sig").as("h_sig"), explode(col("bands")).as("band"))
+    val colliding = batchBands.join(idxBands, Seq("band"))
+      .filter(sigAgreement(col("sig"), col("h_sig")) >= threshold)
       .select(col("id").as(idCol)).distinct()
-    val accepted = resolved.join(colliding, Seq(idCol), "left_anti")
-    release()
-    accepted
+    val accepted = freshExact.join(colliding, Seq(idCol), "left_anti")
+      .drop("__sha")
+    (accepted, () => { sigs.unpersist(); () })
   }
 
   /** [[incrementalIngestDigests]] with a Bloom prefilter: rows whose
@@ -338,6 +378,42 @@ object Dedup {
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b))
+
+  /** Signature-agreement fraction of two equal-length MinHash
+    * signatures — the standard unbiased estimator of their sets'
+    * Jaccard similarity (each position agrees with probability J;
+    * σ ≈ √(J(1−J)/k)). Fixed-size inputs make this the verify measure
+    * of choice when one side's shingle set is unavailable or unbounded
+    * (a history index never stores bodies).
+    */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / size(a).cast("double")
+
+  /** Near-dup pairs over a PERSISTED `(id, sig)` frame, verified by
+    * [[sigAgreement]] >= threshold (estimated Jaccard) instead of the
+    * exact shingle-set Jaccard [[minhashPairsFromSigs]] uses — the
+    * ingest-path variant, where pairing must use the SAME measure as
+    * the signature-only history screen so in-batch and cross-batch
+    * decisions agree. Caller owns the persist lifecycle of `sigs`.
+    */
+  private[graft] def pairsByAgreement(sigs: DataFrame, threshold: Double,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = sigs.select(col("id"),
+      explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
+    val cands = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sv = sigs.select(col("id"), col("sig"))
+    cands
+      .join(sv.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sv.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
 
   /** Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification
     * of candidates. Output: (id_a, id_b, jaccard) with id_a < id_b,

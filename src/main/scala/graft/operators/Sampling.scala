@@ -139,12 +139,71 @@ object Sampling {
     val digest = coalesce(sha2(col(textCol), 256), lit("<null>"))
     val keyed = df.select(col(idCol), digest.as("__sha"))
     val reps = keyed.groupBy("__sha").agg(min(col(idCol)).as("cluster_rep"))
+    splitByRep(keyed.join(reps, "__sha").select(col(idCol), col("cluster_rep")),
+      idCol, trainPerMille, valPerMille)
+  }
+
+  /** NEAR-DUPLICATE-aware [[leakproofSplit]]: the cluster an id
+    * inherits its split from is the connected component over exact-dup
+    * edges UNION verified near-dup pairs
+    * ([[Dedup.minhashNearDups]] at `threshold` — banded LSH
+    * candidates, exact-Jaccard verification), so a paraphrase-level
+    * copy of a training document can no longer sit in the eval set —
+    * the contamination mode the exact-digest split closes only for
+    * VERBATIM duplicates (Lee et al. 2022 measure this near-dup
+    * train/eval overlap directly). Exact edges stay in the union
+    * because sub-shingle docs have no LSH signature yet still need
+    * their verbatim copies co-located. `cluster_rep` is the component
+    * label (the cluster's minimum id); unpaired docs are their own
+    * singleton cluster.
+    *
+    * 100 TB shape: document text never crosses an exchange — the edge
+    * list carries (id, id) pairs (exact edges shuffle digests, LSH
+    * candidates shuffle band keys + signatures), components label only
+    * PAIRED nodes (the duplicate-pair list, not the corpus), and the
+    * assignment join is (id, component). Recall caveat, documented:
+    * banding misses a (1−j^r)^b fraction of true-j pairs, so this is
+    * leakproof up to LSH recall — the exhaustive alternative is the
+    * O(n²) oracle, not a production shape.
+    */
+  def leakproofSplitNearDup(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5,
+      trainPerMille: Int = 900, valPerMille: Int = 950): DataFrame = {
+    require(0 < trainPerMille && trainPerMille <= valPerMille && valPerMille <= 1000,
+      "0 < trainPerMille <= valPerMille <= 1000")
+    Checks.requireIntegralId(df, idCol,
+      s"leakproofSplitNearDup: id column '$idCol'")
+    val digest = coalesce(sha2(col(textCol), 256), lit("<null>"))
+    val keyed = df.select(col(idCol).as("id"), digest.as("__sha"))
+    val exactReps = keyed.groupBy("__sha").agg(min(col("id")).as("rep"))
+    val exactEdges = keyed.join(exactReps, "__sha")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val (nd, release) =
+      Dedup.minhashNearDupsManaged(df, textCol, idCol, threshold)
+    val edges = exactEdges.unionByName(nd.select("id_a", "id_b"))
+    // connectedComponents materializes the edge list eagerly (its
+    // measure-then-choose count), so the near-dup plan is consumed
+    // before the signature cache is released
+    val comps = Dedup.connectedComponents(edges)
+    release()
+    val assigned = df.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_rep"))
+    splitByRep(assigned, idCol, trainPerMille, valPerMille)
+  }
+
+  /** Shared split-assignment arithmetic: one [[shuffleKey]] bucket per
+    * cluster representative, inherited by every member.
+    */
+  private def splitByRep(assigned: DataFrame, idCol: String,
+      trainPerMille: Int, valPerMille: Int): DataFrame = {
     val bucket = pmod(shuffleKey(col("cluster_rep")), lit(1000L))
-    keyed.join(reps, "__sha")
-      .select(col(idCol), col("cluster_rep"),
-        when(bucket < trainPerMille, "train")
-          .when(bucket < valPerMille, "val")
-          .otherwise("test").as("split"))
+    assigned.select(col(idCol), col("cluster_rep"),
+      when(bucket < trainPerMille, "train")
+        .when(bucket < valPerMille, "val")
+        .otherwise("test").as("split"))
   }
 
   /** Per-stratum rates: `fractions` maps stratum value → (num, denom).

@@ -26,29 +26,13 @@ object SimilarityQueries {
   private def scaledK(emb: DataFrame): Int =
     math.max(8, math.ceil(emb.count() / 1000.0).toInt)
 
-  /** Run `build` once per (index dir, corpus content): a completion
-    * marker stamped with a cheap content digest (count + id sum + sum
-    * of first components) gates the rebuild, so repeated invocations —
-    * the bench's 3 samples, Verify after Bench, every later session
-    * against unchanged testdata — pay only the index SERVE. A
-    * regenerated corpus (different rows at the same path) changes the
-    * digest and rebuilds; a half-written index (no marker: markers are
-    * stamped only after `build` returns) rebuilds too.
+  /** Run `build` once per (index dir, corpus content) — see
+    * [[BuiltOnce]] for the marker/stamp semantics (full-content
+    * xxhash64 XOR stamp, and the serve-only pricing note for
+    * cross-round bench comparisons).
     */
-  private def builtOnce(dir: String, corpus: DataFrame)(build: => Unit): Unit = {
-    val r = corpus.agg(count(lit(1)), sum(col("vec_id")),
-      round(sum(element_at(col("embedding"), 1)), 6)).collect().head
-    val stamp = s"v1 n=${r.get(0)} ids=${r.get(1)} e1=${r.get(2)}"
-    val marker = java.nio.file.Paths.get(dir, "_graft_built")
-    val current = if (java.nio.file.Files.exists(marker))
-      Some(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8"))
-    else None
-    if (!current.contains(stamp)) {
-      build
-      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
-      ()
-    }
-  }
+  private def builtOnce(dir: String, corpus: DataFrame)(build: => Unit): Unit =
+    BuiltOnce(dir, corpus, Seq(col("vec_id"), col("embedding")))(build)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

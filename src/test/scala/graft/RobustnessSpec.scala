@@ -168,7 +168,7 @@ class RobustnessSpec extends SparkSpec {
     val solo = Seq((7L, 1, Array(1f, 2f))).toDF("vec_id", "label", "embedding")
     assert(Similarity.groupOutliers(solo, 3, "label", "vec_id").count() == 1)
     // near-dup ingest: empty batch, and an empty index accepts all
-    val emptyIdx = Seq.empty[Tuple1[Long]].toDF("band")
+    val emptyIdx = Dedup.nearDupIndex(emptyDocs, "text", "doc_id")
     assert(Dedup.incrementalIngestNearDup(emptyIdx, emptyDocs,
       "text", "doc_id").count() == 0)
     assert(Dedup.incrementalIngestNearDup(emptyIdx, one,

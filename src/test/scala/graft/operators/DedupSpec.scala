@@ -345,7 +345,7 @@ class DedupSpec extends SparkSpec {
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
       (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"))
       .toDF("doc_id", "text")
-    val idx = Dedup.bandIndex(histDocs, "text", "doc_id")
+    val idx = Dedup.nearDupIndex(histDocs, "text", "doc_id")
     val batch = Seq(
       // exact replay of history doc 1 → deterministic rejection
       (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
@@ -366,10 +366,10 @@ class DedupSpec extends SparkSpec {
       s"in-batch cluster must keep the min id only: $accepted")
     assert(accepted.contains(104L), "novel doc must be accepted")
     // idempotence of the append cycle: extend the index with the
-    // accepted docs' bands; re-submitting them must reject everything
+    // accepted docs' rows; re-submitting them must reject everything
     val idx2 = idx.unionByName(
-      Dedup.bandIndex(batch.filter(col("doc_id").isin(accepted.toSeq: _*)),
-        "text", "doc_id")).distinct()
+      Dedup.nearDupIndex(batch.filter(col("doc_id").isin(accepted.toSeq: _*)),
+        "text", "doc_id"))
     val replay = Dedup.incrementalIngestNearDup(idx2,
       batch.filter(col("doc_id").isin(accepted.toSeq: _*)), "text", "doc_id")
     assert(replay.isEmpty, "re-submitting accepted docs must be a no-op")
@@ -379,12 +379,82 @@ class DedupSpec extends SparkSpec {
     // docs under shingleN tokens have no bands and no pairs — invisible
     // to every LSH stage; the exact digest pass must still admit only
     // one copy rather than silently accepting both
-    val emptyIdx = Seq.empty[Tuple1[Long]].toDF("band")
+    val emptyIdx = Dedup.nearDupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
     val shorts = Seq((5L, "a b"), (9L, "a b"), (7L, "c d"))
       .toDF("doc_id", "text")
     val got = Dedup.incrementalIngestNearDup(emptyIdx, shorts, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted
     assert(got.toSeq == Seq(5L, 7L), s"got ${got.toSeq}")
+  }
+
+  test("near-dup ingest screens sub-shingle exact replays of history (digest screen)") {
+    // a history doc too short to shingle has NO band keys; a band-only
+    // index is blind to its exact replay. The digest column of the
+    // near-dup index must reject it regardless.
+    val hist = Seq((1L, "a b"), (2L, "long enough to shingle with many words here"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.nearDupIndex(hist, "text", "doc_id")
+    val batch = Seq((10L, "a b"), (11L, "x y")).toDF("doc_id", "text")
+    val got = Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(11L), s"got ${got.toSeq}")
+  }
+
+  test("band collision below threshold is ADMITTED: the history screen verifies") {
+    // A single LSH band hit is only weak evidence of similarity (at 16
+    // bands x 4 rows, a moderately-similar pair collides on SOME band
+    // with high probability) — the screen must VERIFY signature
+    // agreement before rejecting. Fixture: search deterministically
+    // (all hashes are seeded) for a batch doc that band-collides with
+    // the history doc while its agreement sits in (0.3, 0.85); assert
+    // it is admitted at threshold 0.9 and rejected once the threshold
+    // drops below its measured agreement.
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango")
+    val histDoc = words.mkString(" ")
+    val hist = Seq((1L, histDoc)).toDF("doc_id", "text")
+    val idx = Dedup.nearDupIndex(hist, "text", "doc_id").cache()
+    val hSig = idx.select("sig").as[Seq[Long]].head
+    val hBands = idx.select("bands").as[Seq[Long]].head.toSet
+    // candidate variants: replace the k-th word (and the last word) —
+    // similarity well under 1, varying signatures deterministically
+    val candidates = (0 until words.size).map { k =>
+      words.zipWithIndex.map { case (w, i) =>
+        if (i == k) s"CHANGED$k" else if (i == words.size - 1) "ALTERED" else w
+      }.mkString(" ")
+    }
+    val cdf = candidates.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val csigs = Dedup.docSignatures(cdf, "text", "doc_id")
+      .select(col("id"), col("sig"),
+        Dedup.lshBands(col("sig"), 16, 4).as("bands"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    val pick = csigs.flatMap { case (id, sig, bands) =>
+      val agree = sig.zip(hSig).count { case (a, b) => a == b } / 64.0
+      if (bands.exists(hBands.contains) && agree > 0.3 && agree < 0.85)
+        Some((id, agree))
+      else None
+    }.headOption
+    assert(pick.nonEmpty,
+      "no band-colliding sub-threshold candidate found — widen the search")
+    val (pickId, agree) = pick.get
+    val batch = cdf.filter(col("doc_id") === pickId)
+    val got = Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id",
+      threshold = 0.9).select("doc_id").as[Long].collect()
+    assert(got.toSeq == Seq(pickId),
+      s"band-colliding doc with agreement $agree < 0.9 must be ADMITTED")
+    // and once the threshold drops below the measured agreement, the
+    // same collision DOES reject — the verify gates, it doesn't disable
+    val thr = math.max(0.05, agree - 0.1)
+    val got2 = Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id",
+      threshold = thr).select("doc_id").as[Long].collect()
+    assert(got2.isEmpty,
+      s"at threshold $thr <= agreement $agree the doc must reject")
+    idx.unpersist()
+    ()
   }
 
   test("the snapshot-diff carve modifies NULL-text docs too (concat_ws, ADVICE r7)") {

@@ -116,4 +116,37 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") =!= col("want")).isEmpty)
     assert(got.filter(col("cluster_rep") =!= col("doc_id")).isEmpty)
   }
+
+  test("leakproofSplitNearDup: near-dup chains and exact dups share one split") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo"
+    val b = base.replace("echo", "CHANGED1")   // verified near-dup of base
+    val c = b.replace("november", "CHANGED2")  // near-dup of b, NOT of base
+    val docs = ((0L until 200L).map(i => (i + 10000L, s"unique doc number $i body")) ++
+      Seq((1L, base), (500L, base),            // exact dup pair
+        (42L, b), (9001L, c),                  // transitive chain via b
+        (77L, "a b")))                          // sub-shingle singleton
+      .toDF("doc_id", "text")
+    val got = Sampling.leakproofSplitNearDup(docs, "text", "doc_id")
+    assert(got.count() == docs.count(), "total assignment, no drops")
+    // the exact pair AND the transitive near-dup chain form ONE cluster
+    // labelled by its min id, all in one split
+    val chain = got.filter(col("doc_id").isin(1L, 500L, 42L, 9001L))
+      .select("cluster_rep", "split").distinct()
+      .as[(Long, String)].collect().toSeq
+    assert(chain.size == 1 && chain.head._1 == 1L,
+      s"exact+near-dup chain must be one min-id cluster: $chain")
+    // sub-shingle docs (no signature) are their own singleton cluster
+    assert(got.filter(col("doc_id") === 77L)
+      .select("cluster_rep").as[Long].head == 77L)
+    // the registered leak census: no cluster straddles splits
+    assert(got.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("s")).filter(col("s") > 1).isEmpty)
+    // and no VERIFIED near-dup pair straddles splits either
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, "text", "doc_id")
+    val sa = got.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val sb = got.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    assert(pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("split_a") =!= col("split_b")).isEmpty)
+  }
 }

@@ -125,4 +125,170 @@ class CorpusIngestSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L),
       "replay re-admitted part of a transitive cluster")
   }
+
+  // --- round 9: verified + bounded landed-corpus screen -----------------
+
+  import graft.operators.Dedup
+
+  private def prep(docs: Seq[(Long, String, String, String, Long)]) =
+    CorpusIngest.prepared(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"), 3)
+
+  /** Deterministic fixture search (all hashes are seeded): a doc that
+    * shares >= 1 LSH band with `histDoc` while its signature agreement
+    * sits inside (lo, hi) — the band-collides-but-isn't-a-near-dup case.
+    */
+  private def bandCollidingVariant(histDoc: String, words: Seq[String],
+      lo: Double, hi: Double): (String, Double) = {
+    val hRow = Dedup.docSignatures(
+      Seq((1L, histDoc)).toDF("doc_id", "text"), "text", "doc_id")
+      .select(col("sig"), Dedup.lshBands(col("sig"), 16, 4).as("bands"))
+      .as[(Seq[Long], Seq[Long])].head
+    val (hSig, hBands) = (hRow._1, hRow._2.toSet)
+    val candidates = (0 until words.size).map { k =>
+      words.zipWithIndex.map { case (w, i) =>
+        if (i == k) s"CHANGED$k" else if (i == words.size - 1) "ALTERED" else w
+      }.mkString(" ")
+    }
+    val cdf = candidates.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val picked = Dedup.docSignatures(cdf, "text", "doc_id")
+      .select(col("id"), col("sig"), Dedup.lshBands(col("sig"), 16, 4).as("bands"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .flatMap { case (id, sig, bands) =>
+        val agree = sig.zip(hSig).count { case (a, b) => a == b } / 64.0
+        if (bands.exists(hBands.contains) && agree > lo && agree < hi)
+          Some((candidates((id - 100L).toInt), agree))
+        else None
+      }.headOption
+    assert(picked.nonEmpty,
+      "no band-colliding sub-threshold candidate found — widen the search")
+    picked.get
+  }
+
+  test("landed screen VERIFIES: band-colliding below-threshold doc is admitted") {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango")
+    val histDoc = words.mkString(" ")
+    val (cand, agree) = bandCollidingVariant(histDoc, words, 0.3, 0.85)
+    // corpus A, threshold 0.9 > agreement: the collision must NOT reject
+    val corpA = tmpDir("cind5_a")
+    CorpusIngest.ingestBatch(prep(Seq(doc(1, histDoc))), corpA,
+      Some(0.9), buckets = 8)
+    val stA = CorpusIngest.ingestBatch(prep(Seq(doc(50, cand))), corpA,
+      Some(0.9), buckets = 8)
+    assert(stA.acceptedRows == 1L,
+      s"band-colliding doc with agreement $agree < 0.9 must be ADMITTED")
+    assert(spark.read.parquet(corpA).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 50L))
+    // corpus B, threshold below the measured agreement: it must reject
+    val thr = math.max(0.05, agree - 0.1)
+    val corpB = tmpDir("cind5_b")
+    CorpusIngest.ingestBatch(prep(Seq(doc(1, histDoc))), corpB,
+      Some(thr), buckets = 8)
+    val stB = CorpusIngest.ingestBatch(prep(Seq(doc(50, cand))), corpB,
+      Some(thr), buckets = 8)
+    assert(stB.acceptedRows == 0L,
+      s"at threshold $thr <= agreement $agree the doc must reject")
+  }
+
+  test("per-batch probe stays FLAT as the corpus grows; dup probes are pruned") {
+    val corpus = tmpDir("cind6_corp")
+    def novelBatch(b: Int): Seq[(Long, String, String, String, Long)] =
+      (0 until 8).map { i =>
+        doc(b * 100L + i,
+          (0 until 12).map(j => s"tok${b}x${i}w$j").mkString(" "))
+      }
+    val stats = (1 to 6).map { b =>
+      CorpusIngest.ingestBatch(prep(novelBatch(b)), corpus,
+        Some(0.5), buckets = 8)
+    }
+    // corpus grows batch over batch...
+    assert(stats.map(_.acceptedRows).sum == 48L)
+    assert(spark.read.parquet(corpus).count() == 48L)
+    // ...but all-novel batches after the first are bloom-screened:
+    // ZERO landed/index files are read no matter how big the corpus is
+    stats.drop(1).zipWithIndex.foreach { case (st, i) =>
+      assert(st.landedFilesRead == 0L && st.indexFilesRead == 0L,
+        s"batch ${i + 2} probed files for an all-novel batch: $st")
+      assert(st.bloomNegative == 8L, s"batch ${i + 2}: $st")
+    }
+    // a batch with a true near-dup DOES probe — but reads only its own
+    // partition buckets, not the whole landed table
+    val dup = doc(999L,
+      (0 until 12).map(j => if (j == 5) "SWAPPED" else s"tok2x3w$j")
+        .mkString(" "))
+    val st7 = CorpusIngest.ingestBatch(prep(Seq(dup)), corpus,
+      Some(0.5), buckets = 8)
+    assert(st7.acceptedRows == 0L, s"near-dup must reject: $st7")
+    assert(st7.probed == 1L, s"the dup must be bloom-flagged: $st7")
+    val totalLanded = new java.io.File(corpus).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dbucket="))
+      .map(_.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))).sum
+    assert(st7.landedFilesRead > 0L && st7.landedFilesRead < totalLanded,
+      s"probe must be pruned: read ${st7.landedFilesRead} of $totalLanded")
+  }
+
+  test("landed and index probes are partition-pruned (plan pin)") {
+    val corpus = tmpDir("cind7_corp")
+    (1 to 3).foreach { b =>
+      CorpusIngest.ingestBatch(prep((0 until 6).map(i =>
+        doc(b * 10L + i,
+          (0 until 10).map(j => s"pp${b}x${i}w$j").mkString(" ")))),
+        corpus, Some(0.5), buckets = 8)
+    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }.head
+    val landedScan = scanOf(
+      spark.read.parquet(corpus).filter(col("dbucket").isin(0, 3)))
+    assert(landedScan.partitionFilters.exists(_.toString.contains("dbucket")),
+      s"landed probe must carry a dbucket partition filter: $landedScan")
+    val idxScan = scanOf(
+      spark.read.parquet(s"$corpus/_graft_index")
+        .filter(col("bbucket").isin(1, 2)))
+    assert(idxScan.partitionFilters.exists(_.toString.contains("bbucket")),
+      s"index probe must carry a bbucket partition filter: $idxScan")
+  }
+
+  test("crash between index append and docs append: replay still lands the doc") {
+    // the write-order contract (bloom → index → docs): a replay that
+    // finds its OWN phantom index rows must exclude the digest-equal
+    // candidates and land the document — not reject it against itself
+    val corpus = tmpDir("cind8_corp")
+    val nb = 8
+    // an unrelated doc lands first, so the landed table (and therefore
+    // the band screen) is live when the replay runs
+    CorpusIngest.ingestBatch(prep(Seq(doc(1,
+      (0 until 10).map(j => s"other w$j base$j").mkString(" ")))),
+      corpus, Some(0.5), buckets = nb)
+    val text = (0 until 12).map(j => s"ph w$j token$j").mkString(" ")
+    val batch = prep(Seq(doc(5, text)))
+    // simulate the crashed attempt: index rows written, docs were not
+    Dedup.nearDupIndex(batch, "text", "doc_id")
+      .filter(size(col("bands")) > 0)
+      .select(explode(col("bands")).as("band"), col("digest"), col("sig"))
+      .withColumn("bbucket", pmod(col("band"), lit(nb.toLong)).cast("int"))
+      .write.partitionBy("bbucket").mode("append")
+      .parquet(s"$corpus/_graft_index")
+    // in the real crash window the bloom already holds the doc's keys
+    // (bloom writes first); drop it so the replay takes the
+    // conservative probe-everything path and MUST consult the index
+    val bloomBin = new java.io.File(s"$corpus/_graft_bloom/bloom.bin")
+    assert(bloomBin.exists())
+    assert(bloomBin.delete())
+    // the replay
+    val st = CorpusIngest.ingestBatch(batch, corpus, Some(0.5), buckets = nb)
+    assert(st.probed == 1L, s"without a bloom everything must probe: $st")
+    assert(st.indexFilesRead > 0L,
+      s"the index screen must have been consulted: $st")
+    assert(st.acceptedRows == 1L,
+      s"replay with phantom index rows must land the doc: $st")
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+  }
 }
