@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CorpusIngest
+
+/** Growing-corpus ingest bench: streams the sf documents table into ONE
+  * corpus dir as fixed-size micro-batches and records each batch's wall
+  * clock beside its maintenance telemetry — so "per-batch cost tracks
+  * the batch, not the corpus" is a MEASURED time series, not an
+  * argument from the operator plan. The flat-probe/flat-maintenance
+  * properties are spec-pinned at toy sizes in CorpusIngestSpec; this
+  * main prices them at scale (sf10 grows the corpus 0 → 500k docs).
+  *
+  * Usage: `runMain graft.IngestBench [sfDir] [outFile] [nBatches]`
+  * Output: one JSON line, `series` = per-batch
+  * {sec, rows, accepted, probed, landedFiles, indexFiles, bloomBytes,
+  * compacted, corpusRows}. Compaction/rebuild batches are the amortized
+  * boundaries and are expected (and labeled) spikes; every other batch
+  * should cost ~the same as the corpus grows.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val outPath = args.lift(1).getOrElse("bench_ingest_series.json")
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(20)
+    val spark = GraftSession.get(GraftSession.envCpus)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (minId, maxId) = {
+      val r = docs.agg(min("doc_id"), max("doc_id")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = maxId - minId + 1
+    val per = (span + nBatches - 1) / nBatches
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_ingest_bench_").toString
+    val prepared = CorpusIngest.prepared(docs, 5)
+    var cum = 0L
+    val series = (0 until nBatches).map { b =>
+      val lo = minId + b * per
+      val hi = math.min(lo + per, minId + span)
+      val batch = prepared.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val t0 = System.nanoTime()
+      val st = CorpusIngest.ingestBatch(batch, corpus, Some(0.5))
+      val sec = (System.nanoTime() - t0) / 1e9
+      cum += st.acceptedRows
+      val line = s"""{"batch":$b,"sec":${Bench.sec3(sec)}""" +
+        s""","rows":${st.batchRows},"accepted":${st.acceptedRows}""" +
+        s""","probed":${st.probed},"landedFiles":${st.landedFilesRead}""" +
+        s""","indexFiles":${st.indexFilesRead}""" +
+        s""","bloomBytes":${st.bloomBytesWritten}""" +
+        s""","compacted":${st.bloomCompacted},"corpusRows":$cum}"""
+      // progress is visible batch by batch if the run is watched live
+      println(s"INGEST_BENCH $line")
+      line
+    }
+    val out = s"""{"metric":"ingest_series","sf":${Bench.jsonStr(sfDir)}""" +
+      s""","batches":$nBatches,"series":[${series.mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      out.getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}

@@ -270,6 +270,21 @@ object Dedup {
       shingleN: Int = 3): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
+    // LOUD parameter guard: the index stores signatures but not the
+    // (numHashes, bands) they were built with. Screening with a
+    // different numHashes would zip_with-null-pad the agreement (nulls
+    // count as disagreement) and a different banding would shift every
+    // band key — either way the near-dup screen silently degrades to
+    // admit-everything. One limit(1) probe of the index pins both.
+    index.filter(col("sig").isNotNull)
+      .select(size(col("sig")).as("nh"), size(col("bands")).as("nb"))
+      .limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == numHashes && r.getInt(1) == bands,
+          s"index was built with numHashes=${r.getInt(0)}, " +
+            s"bands=${r.getInt(1)}; caller passed numHashes=$numHashes, " +
+            s"bands=$bands — signature screens across mismatched " +
+            "parameters silently reject nothing, so this is an error")
+      }
     // 1. exact within-batch dedup by digest, min id per group.
     //    groupBy keys NULL texts together, same as everywhere else.
     val uniq = dropExact(batch, textCol, idCol)
@@ -396,11 +411,29 @@ object Dedup {
     * ingest-path variant, where pairing must use the SAME measure as
     * the signature-only history screen so in-batch and cross-batch
     * decisions agree. Caller owns the persist lifecycle of `sigs`.
+    *
+    * HOT-BAND CAP: the band self-join is quadratic in a bucket's
+    * membership, so a batch of thousands of boilerplate near-identical
+    * docs would degrade on its shared bands. A band held by more than
+    * `hotBandCap` docs is dropped from candidate generation — the
+    * stop-fingerprint move ([[SubstringDedup]]'s df-cap): such a band
+    * is boilerplate-saturated, and any true near-dup pair it holds
+    * almost surely shares another, colder band (a J ≥ t pair agrees on
+    * each of the `bands` bands independently with prob ~t^rowsPerBand,
+    * so missing ALL others requires every one of bands−1 coin flips to
+    * fail — and the docs a hot band clusters are precisely the ones
+    * sharing many bands). Recall cost is therefore confined to pairs
+    * whose ONLY collision is a >cap boilerplate band; candidate volume
+    * drops from O(hot²) to ≤ bands·cap per doc.
     */
   private[graft] def pairsByAgreement(sigs: DataFrame, threshold: Double,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val buckets = sigs.select(col("id"),
+      bands: Int, rowsPerBand: Int, hotBandCap: Int = 256): DataFrame = {
+    val buckets0 = sigs.select(col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
+    val hot = buckets0.groupBy("band")
+      .agg(count(lit(1)).as("c")).filter(col("c") > hotBandCap)
+      .select("band")
+    val buckets = buckets0.join(hot, Seq("band"), "left_anti")
     val cands = buckets.as("l")
       .join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))

@@ -168,10 +168,15 @@ object QualityClassifier {
         // then ONE bucket aggregation; the synthetic b = −1 entry
         // carries the bias gradient Σr AND the slice's doc count
         // through the same shuffle
+        // rotate the TARGET residue, not the key: adding `it` to the raw
+        // xxhash64 could overflow Long near MaxValue (an ANSI-mode abort
+        // on a pathological document); pmod-then-compare keeps the same
+        // 1/k rotation with no arithmetic on the hash itself
+        val k = cfg.batchInv.toLong
         val slice =
           if (cfg.batchInv == 1) feat
           else feat.filter(
-            pmod(col("__k") + lit(it.toLong), lit(cfg.batchInv.toLong)) === 0)
+            pmod(col("__k"), lit(k)) === lit((k - it.toLong % k) % k))
         val grads = slice
           .withColumn("m", aggregate(col("entries"), lit(beff), (acc, e) =>
             acc + element_at(wlit, e.getField("b") + 1) *

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 private[queries] object BuiltOnce {
 
+  /** Collision-resistant directory key for a dataset path: sha-256 of
+    * the path's UTF-8 bytes, first 16 hex chars. The earlier 32-bit
+    * `String.hashCode` key let two dataset paths (or concurrent
+    * sessions) collide onto ONE index directory — correct (the content
+    * stamp forces a rebuild) but it silently defeated the build-once
+    * amortization on every alternating invocation.
+    */
+  def dirKey(path: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
   def contentStamp(corpus: DataFrame, keyCols: Seq[Column]): String = {
     val r = corpus
       .agg(count(lit(1)), bit_xor(xxhash64(keyCols: _*))).collect().head
@@ -33,15 +46,28 @@ private[queries] object BuiltOnce {
 
   def apply(dir: String, corpus: DataFrame, keyCols: Seq[Column])(
       build: => Unit): Unit = {
+    // Hadoop FS (not java.nio) so the marker lives on the same
+    // filesystem as the index it gates — HDFS-style dirs included
+    val spark = corpus.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(dir, "_graft_built")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stamp = contentStamp(corpus, keyCols)
-    val marker = java.nio.file.Paths.get(dir, "_graft_built")
     val current =
-      if (java.nio.file.Files.exists(marker))
-        Some(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8"))
-      else None
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(out.toByteArray, "UTF-8"))
+        } finally in.close()
+      }
     if (!current.contains(stamp)) {
       build
-      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
       ()
     }
   }

@@ -38,7 +38,7 @@ object PipelineQueries {
       .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_nd_idx_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      BuiltOnce.dirKey(d)
     BuiltOnce(idxDir, history, Seq(col("doc_id"), col("text"))) {
       Dedup.nearDupIndex(history, "text", "doc_id")
         .write.mode("overwrite").parquet(idxDir)
@@ -73,7 +73,7 @@ object PipelineQueries {
     // encode→container→split-read→decode flips the hash
     "pipe_avro_roundtrip" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_avro_rt_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        BuiltOnce.dirKey(d)
       graft.sources.AvroFiles.write(
         Tables.events(s, d).select("event_id", "user_id", "event_type", "value", "ts"),
         dir, deflate = true)

@@ -182,7 +182,7 @@ object SimilarityQueries {
     "sim_ivf_index_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        BuiltOnce.dirKey(d)
       builtOnce(dir, emb) {
         Similarity.buildIvfIndex(emb, Similarity.centroids(emb, "label"), dir)
       }
@@ -204,7 +204,7 @@ object SimilarityQueries {
     "sim_ivf_index_append" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_app_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        BuiltOnce.dirKey(d)
       builtOnce(dir, emb) {
         Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
           Similarity.centroids(emb, "label"), dir)

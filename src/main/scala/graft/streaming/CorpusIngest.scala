@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.Partitioner
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -32,9 +34,10 @@ import org.apache.spark.util.sketch.BloomFilter
   *     dbucket=<k>/part-*.parquet   docs, partitioned by digest bucket
   *     _graft_index/bbucket=<k>/    (band, digest, sig) rows,
   *                                  partitioned by band bucket
-  *     _graft_bloom/bloom.bin       merged Bloom over digest-hash +
-  *                                  band keys of everything landed
-  *     _graft_bloom/meta            "capacity inserted"
+  *     _graft_bloom/shard-<s>.bin   base Bloom, sharded by key bucket
+  *     _graft_bloom/delta-<n>.keys  raw key longs landed since the
+  *                                  last compaction (LSM-style deltas)
+  *     _graft_bloom/meta            "v2 capacity inserted epoch shards"
   *     _graft_meta                  layout constants (bucket count)
   * }}}
   *
@@ -42,19 +45,28 @@ import org.apache.spark.util.sketch.BloomFilter
   * so `spark.read.parquet(corpusDir)` still yields exactly the docs
   * table (plus its `dbucket` partition column).
   *
+  * A corpus dir written by the pre-bucketed FLAT layout (no `dbucket`
+  * partition, no `_graft_meta`) is detected and served by a LEGACY
+  * fallback: unpruned screens, flat appends, no bloom/index state —
+  * correct but per-batch O(corpus). Start a fresh corpus dir (or copy
+  * the docs through one [[ingestBatch]] into a new dir) to get the
+  * bucketed probes back.
+  *
   * ## Why this probe shape survives 100 TB
   *
   * The naive screen re-reads the whole landed table every micro-batch
   * — per-batch cost grows with everything ever ingested, unbounded
   * over the stream's lifetime. Here the probe cost tracks the BATCH:
   *
-  *  1. BLOOM PREFILTER (first pass, cheapest): a broadcast Bloom over
-  *     every landed digest-hash and band key. A doc none of whose keys
-  *     might be present is DEFINITELY novel and skips the landed read
-  *     entirely; a batch with no possible hits reads ZERO landed
-  *     files. In the steady state of corpus growth (mostly-novel
-  *     batches) this is the common path. False positives only fall
-  *     through to the verified probe — never a correctness risk.
+  *  1. BLOOM PREFILTER (first pass, cheapest): a sharded base Bloom
+  *     over every landed digest-hash and band key, plus an exact
+  *     sorted-array probe of the keys landed since the last
+  *     compaction. A doc none of whose keys might be present is
+  *     DEFINITELY novel and skips the landed read entirely; a batch
+  *     with no possible hits reads ZERO landed files. In the steady
+  *     state of corpus growth (mostly-novel batches) this is the
+  *     common path. False positives only fall through to the verified
+  *     probe — never a correctness risk.
   *  2. PARTITION PRUNING (the probe itself): docs are partitioned by
   *     `dbucket = pmod(xxhash64(digest), buckets)` and index rows by
   *     `bbucket = pmod(band, buckets)`; the probe filters each read
@@ -67,12 +79,33 @@ import org.apache.spark.util.sketch.BloomFilter
   *     evidence, and its false-reject rate would otherwise GROW with
   *     corpus size (union bound over ever-more landed docs).
   *
-  * The Bloom is maintained incrementally (one merge + rewrite per
-  * batch, written BEFORE the appends — the safe direction: a crash
-  * leaves spurious positives, which the verified probe resolves, never
-  * false negatives). When inserts outgrow capacity it is rebuilt from
-  * the landed table at doubled capacity — O(corpus) work amortized
-  * O(1) per doc, the classic doubling move.
+  * ## Why this bloom MAINTENANCE shape survives 100 TB
+  *
+  * The naive incremental bloom pays O(corpus capacity) per batch three
+  * ways: a distributed delta built at full capacity (a whole bitset of
+  * zero value per task), a full `bloom.bin` rewrite per batch, and a
+  * full re-broadcast per batch. Here every per-batch term tracks the
+  * BATCH, with capacity-sized work only at amortized boundaries:
+  *
+  *  - INSERT: the batch's key set is bounded (~1+bands keys per
+  *    accepted doc), so it is collected and appended as a raw-longs
+  *    DELTA FILE — O(batch) bytes written, no distributed build at
+  *    all. Probes check base-bloom ∨ delta-set (exact, so deltas add
+  *    zero false positives).
+  *  - COMPACTION: when the delta set outgrows `capacity/16`, its keys
+  *    are folded into the base shards on the driver and the touched
+  *    shard files are rewritten — O(capacity) I/O amortized over
+  *    capacity/16 inserts, i.e. O(1) per key.
+  *  - REBUILD: when inserts outgrow capacity, the base is rebuilt from
+  *    the landed table at doubled capacity, ONE SHARD PER TASK
+  *    (`partitionBy` on the key bucket), so peak build memory is one
+  *    total-capacity bitset spread across the fleet — not one full
+  *    bitset per task. O(corpus) amortized O(1) per doc.
+  *  - BROADCAST: the base shards are broadcast ONCE PER EPOCH (epoch
+  *    bumps only on compaction/rebuild) and cached per corpus dir;
+  *    per-batch shipping is the batch-sized delta broadcast, which is
+  *    destroyed at batch end. Replaced base broadcasts are destroyed
+  *    on epoch change.
   */
 object CorpusIngest {
 
@@ -102,11 +135,14 @@ object CorpusIngest {
       .select(col("digest"), col("r.*"))
 
   /** Per-batch probe/append telemetry — the observable the
-    * flat-probe property is asserted on (CorpusIngestSpec): for
-    * all-novel batches `landedFilesRead`/`indexFilesRead` are 0 no
-    * matter how large the landed corpus has grown; for batches with
-    * possible hits they count only the files in the batch's own
-    * partition buckets.
+    * flat-probe and batch-proportional-maintenance properties are
+    * asserted on (CorpusIngestSpec): for all-novel batches
+    * `landedFilesRead`/`indexFilesRead` are 0 no matter how large the
+    * landed corpus has grown; for batches with possible hits they
+    * count only the files in the batch's own partition buckets; and
+    * `bloomBytesWritten` is ~8·keys(batch) on every batch that does
+    * not compact (`bloomCompacted` marks the amortized boundaries
+    * where shard files rewrite).
     */
   final case class IngestStats(
       batchRows: Long,
@@ -114,7 +150,9 @@ object CorpusIngest {
       bloomNegative: Long,
       probed: Long,
       landedFilesRead: Long,
-      indexFilesRead: Long)
+      indexFilesRead: Long,
+      bloomBytesWritten: Long = 0L,
+      bloomCompacted: Boolean = false)
 
   /** Default partition-bucket count for both digest and band buckets.
     * Sized to the shuffle parallelism here; a petabyte corpus wants
@@ -128,9 +166,10 @@ object CorpusIngest {
     * the per-DOC false-flag rate is ~17× this; 1e-4 keeps mostly-novel
     * batches genuinely zero-probe (~0.2% of docs flagged) at ~19
     * bits/key — ~4 GB for a 10⁸-doc corpus's 1.7×10⁹ keys, still a
-    * broadcastable sketch. A fleet that outgrows that trades fpp up:
-    * probes stay batch-proportional either way, only the zero-read
-    * fraction shrinks.
+    * broadcastable sketch (shipped once per compaction epoch, not per
+    * batch). A fleet that outgrows that trades fpp up: probes stay
+    * batch-proportional either way, only the zero-read fraction
+    * shrinks.
     */
   private val BloomFpp = 1e-4
   private val Bands = 16
@@ -159,7 +198,8 @@ object CorpusIngest {
   /** Write-then-rename (delete + rename on filesystems without
     * overwriting rename). A crash in the tiny delete/rename window
     * leaves the file ABSENT, which every reader treats conservatively
-    * (no bloom → probe everything; no meta → adopt caller's buckets).
+    * (no bloom state → probe everything; no meta → adopt caller's
+    * buckets).
     */
   private def writeSmall(spark: SparkSession, p: Path, bytes: Array[Byte]): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -171,56 +211,206 @@ object CorpusIngest {
     ()
   }
 
-  /** Bucket count the corpus was laid out with: adopted from
-    * `_graft_meta` when present (a probe computed with a different
-    * modulus would prune the WRONG partitions and silently re-admit
-    * duplicates), else pinned to `requested` on first write.
+  /** Bucket count the corpus was laid out with: pinned to `requested`
+    * on first write, and REQUIRED to match on every later call — a
+    * probe computed with a different modulus would prune the WRONG
+    * partitions and silently re-admit duplicates, so a caller passing
+    * a different `buckets` than the persisted layout is a loud error
+    * (pass the corpus's own bucket count, or start a fresh dir).
     */
   private def layoutBuckets(spark: SparkSession, corpusDir: String,
       requested: Int): Int = {
     val p = new Path(corpusDir, "_graft_meta")
     readSmall(spark, p) match {
-      case Some(b) => new String(b, "UTF-8").trim.toInt
+      case Some(b) =>
+        val persisted = new String(b, "UTF-8").trim.toInt
+        require(persisted == requested,
+          s"corpus at $corpusDir was laid out with buckets=$persisted " +
+            s"but the caller passed buckets=$requested; a mismatched " +
+            "modulus would prune the wrong partitions — pass the " +
+            "persisted value or use a fresh corpus dir")
+        persisted
       case None =>
         writeSmall(spark, p, s"$requested".getBytes("UTF-8"))
         requested
     }
   }
 
-  private def loadBloom(spark: SparkSession,
-      corpusDir: String): Option[(BloomFilter, Long, Long)] = {
+  // --- sharded bloom + delta-key state -----------------------------------
+
+  private final case class BloomMeta(
+      cap: Long, ins: Long, epoch: Long, nshards: Int)
+
+  /** Parsed `_graft_bloom/meta`, None when absent OR written by the
+    * retired single-file format ("cap ins") — a legacy bloom is simply
+    * treated as missing: the batch probes everything (conservative)
+    * and the accept path rebuilds the sharded base from the landed
+    * table, which is the one-time migration.
+    */
+  private def readBloomMeta(spark: SparkSession,
+      corpusDir: String): Option[BloomMeta] =
+    readSmall(spark, new Path(s"$corpusDir/_graft_bloom", "meta"))
+      .map(b => new String(b, "UTF-8").trim.split(" "))
+      .collect { case Array("v2", cap, ins, epoch, ns) =>
+        BloomMeta(cap.toLong, ins.toLong, epoch.toLong, ns.toInt)
+      }
+
+  private def writeBloomMeta(spark: SparkSession, corpusDir: String,
+      m: BloomMeta): Unit =
+    writeSmall(spark, new Path(s"$corpusDir/_graft_bloom", "meta"),
+      s"v2 ${m.cap} ${m.ins} ${m.epoch} ${m.nshards}".getBytes("UTF-8"))
+
+  /** Compaction threshold: fold deltas into the base when they exceed
+    * capacity/16 keys — per-batch delta cost stays O(batch) and the
+    * O(capacity) shard rewrite amortizes to O(1) per key.
+    */
+  private def compactThreshold(cap: Long): Long = math.max(1024L, cap / 16)
+
+  private def shardOf(k: Long, nshards: Int): Int =
+    java.lang.Math.floorMod(k, nshards.toLong).toInt
+
+  private def bloomToBytes(bf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  private def bloomFromBytes(b: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+
+  /** Write the given shards (all of them — compaction and rebuild both
+    * touch every shard, keys being uniform hashes); returns bytes
+    * written. Ordering contract: callers write shards BEFORE meta, so
+    * a crash between leaves old-epoch readers on (old base + still
+    * present deltas) — a correct superset.
+    */
+  private def writeShards(spark: SparkSession, corpusDir: String,
+      shards: Array[BloomFilter]): Long = {
     val dir = new Path(corpusDir, "_graft_bloom")
-    for {
-      meta <- readSmall(spark, new Path(dir, "meta"))
-      bin <- readSmall(spark, new Path(dir, "bloom.bin"))
-    } yield {
-      val Array(cap, ins) = new String(meta, "UTF-8").trim.split(" ").map(_.toLong)
-      (BloomFilter.readFrom(new java.io.ByteArrayInputStream(bin)), cap, ins)
+    shards.zipWithIndex.map { case (bf, s) =>
+      val bytes = bloomToBytes(bf)
+      writeSmall(spark, new Path(dir, s"shard-$s.bin"), bytes)
+      bytes.length.toLong
+    }.sum
+  }
+
+  private def loadShards(spark: SparkSession, corpusDir: String,
+      nshards: Int): Option[Array[BloomFilter]] = {
+    val dir = new Path(corpusDir, "_graft_bloom")
+    val loaded = (0 until nshards).map(s =>
+      readSmall(spark, new Path(dir, s"shard-$s.bin")).map(bloomFromBytes))
+    if (loaded.forall(_.isDefined)) Some(loaded.map(_.get).toArray) else None
+  }
+
+  /** All delta keys landed since the last compaction, sorted for
+    * binary-search probes, plus their on-disk byte size. Read by
+    * LISTING delta files (not trusting meta counts) so a crash between
+    * delta write and meta update still probes the landed keys.
+    */
+  private def readDeltaKeys(spark: SparkSession,
+      corpusDir: String): (Array[Long], Seq[Path]) = {
+    val dir = new Path(corpusDir, "_graft_bloom")
+    val fs = fsOf(spark, corpusDir)
+    if (!fs.exists(dir)) return (Array.empty[Long], Nil)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("delta-") &&
+        p.getName.endsWith(".keys")).toSeq
+    val keys = files.flatMap { p =>
+      val bytes = readSmall(spark, p).getOrElse(Array.empty[Byte])
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }.toArray
+    java.util.Arrays.sort(keys)
+    (keys, files)
+  }
+
+  private def writeDeltaFile(spark: SparkSession, corpusDir: String,
+      name: String, keys: Array[Long]): Long = {
+    val bb = java.nio.ByteBuffer.allocate(keys.length * 8)
+    keys.foreach(bb.putLong)
+    writeSmall(spark, new Path(s"$corpusDir/_graft_bloom", name), bb.array())
+    keys.length.toLong * 8
+  }
+
+  /** Per-corpus cache of the base-shard broadcast: shipped once per
+    * epoch, reused across micro-batches, destroyed (and reloaded from
+    * the shard files) when a compaction or rebuild bumps the epoch —
+    * the per-batch broadcast cost is only the delta, never the base.
+    */
+  private final case class CachedBase(
+      epoch: Long, shards: Array[BloomFilter],
+      bcast: Broadcast[Array[BloomFilter]])
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedBase]()
+
+  /** Replaced/invalidated base broadcasts are RETIRED, not destroyed in
+    * place: a compaction runs mid-batch, and the batch's later append
+    * jobs still serialize the probe UDF's lineage, which references the
+    * old broadcast — destroying it there fails task serialization.
+    * Retired broadcasts are destroyed at the START of the next
+    * [[ingestBatch]], when no live plan can reference them.
+    */
+  private val retiredBcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]()
+
+  private def drainRetiredBcasts(): Unit = {
+    var b = retiredBcasts.poll()
+    while (b != null) {
+      try b.destroy() catch { case _: Exception => () }
+      b = retiredBcasts.poll()
     }
   }
 
-  private def writeBloom(spark: SparkSession, corpusDir: String,
-      bf: BloomFilter, capacity: Long, inserted: Long): Unit = {
-    val dir = new Path(corpusDir, "_graft_bloom")
-    val out = new java.io.ByteArrayOutputStream()
-    bf.writeTo(out)
-    // bloom first, meta second: a crash between leaves a readable
-    // bloom with stale (smaller) counts — only delays the next rebuild
-    writeSmall(spark, new Path(dir, "bloom.bin"), out.toByteArray)
-    writeSmall(spark, new Path(dir, "meta"),
-      s"$capacity $inserted".getBytes("UTF-8"))
+  /** The base shards for probing, via the epoch-keyed cache. None when
+    * the shard files are unreadable (conservative probe-everything).
+    */
+  private def cachedBase(spark: SparkSession, corpusDir: String,
+      meta: BloomMeta): Option[CachedBase] = {
+    val hit = Option(baseCache.get(corpusDir)).filter(_.epoch == meta.epoch)
+    hit.orElse {
+      loadShards(spark, corpusDir, meta.nshards).map { shards =>
+        Option(baseCache.get(corpusDir)).foreach(c => retiredBcasts.add(c.bcast))
+        val cached = CachedBase(meta.epoch,
+          shards, spark.sparkContext.broadcast(shards))
+        baseCache.put(corpusDir, cached)
+        cached
+      }
+    }
   }
 
-  /** Distributed Bloom build over long keys: per-partition filters of
-    * identical size (same capacity/fpp ⇒ mergeable) OR-merged on the
-    * driver — no key ever collects.
+  /** Invalidate the cached broadcast after this JVM itself bumped the
+    * epoch (compaction/rebuild): the next batch reloads from the shard
+    * files it just wrote; the old broadcast is retired (see above).
     */
-  private def bloomOf(keys: DataFrame, capacity: Long): BloomFilter = {
+  private def dropCachedBase(corpusDir: String): Unit = {
+    Option(baseCache.remove(corpusDir)).foreach(c => retiredBcasts.add(c.bcast))
+    ()
+  }
+
+  /** Distributed sharded bloom build: keys are range-assigned to their
+    * shard's task by an explicit partitioner, so each task allocates
+    * exactly ONE shard-sized bitset (capacity/nshards) — total build
+    * memory across the fleet is one capacity, not one capacity per
+    * task the way a treeAggregate with a full-size zero value costs.
+    */
+  private def buildShards(keys: DataFrame, capacity: Long,
+      nshards: Int): Array[BloomFilter] = {
     import keys.sparkSession.implicits._
-    keys.select(col("k")).as[Long].rdd.treeAggregate(
-      BloomFilter.create(capacity, BloomFpp))(
-      (bf, k) => { bf.putLong(k); bf },
-      (a, b) => { a.mergeInPlace(b); a })
+    val perShard = math.max(capacity / nshards, 64L)
+    val built = keys.select(col("k")).as[Long].rdd
+      .map(k => (shardOf(k, nshards), k))
+      .partitionBy(new Partitioner {
+        override def numPartitions: Int = nshards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitionsWithIndex { (s, it) =>
+        val bf = BloomFilter.create(perShard, BloomFpp)
+        it.foreach(t => bf.putLong(t._2))
+        Iterator((s, bf))
+      }.collect()
+    val out = Array.fill(nshards)(BloomFilter.create(perShard, BloomFpp))
+    built.foreach { case (s, bf) => out(s) = bf }
+    out
   }
 
   /** All bloom keys of a landed-or-accepted frame: the digest hash
@@ -251,6 +441,15 @@ object CorpusIngest {
     }.sum.toLong
   }
 
+  /** Data files directly under a FLAT (legacy-layout) corpus root. */
+  private def filesFlat(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(root))) 0L
+    else fs.listStatus(new Path(root)).count(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith(".")).toLong
+  }
+
   private def existingParquet(spark: SparkSession, dir: String): Option[DataFrame] =
     try Some(spark.read.parquet(dir))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -265,7 +464,10 @@ object CorpusIngest {
     * WRITE ORDER and crash-replay convergence (batch resolution is a
     * pure function of the batch, so a replay resolves identically):
     *
-    *  1. bloom (spurious positives only — resolved by the probe);
+    *  1. bloom delta (spurious positives only — resolved by the probe;
+    *     a compaction's shard files also precede its meta, and its
+    *     meta precedes the delta deletes, so every crash point leaves
+    *     a probe-visible superset of the landed keys);
     *  2. index rows (a replay that finds its OWN phantom index rows
     *     excludes digest-equal candidates, and phantom rows of a
     *     same-batch NEIGHBOR can never verify ≥ threshold — in-batch
@@ -276,12 +478,26 @@ object CorpusIngest {
     *  3. docs last — the exact screen keys on the DOCS table, so only
     *     a fully-landed batch screens its own replay out, and a replay
     *     of any partial crash still lands the documents.
+    *
+    * A corpus dir in the retired FLAT layout (no `dbucket` column) is
+    * served by the legacy fallback documented on the object: unpruned
+    * digest anti-join, near-dup screen recomputed from landed text,
+    * flat appends in the landed schema, no bloom/index/meta writes —
+    * so a stream restarted over a pre-bucketed corpus keeps its
+    * "state survives restarts" contract instead of throwing on the
+    * first batch with possible hits.
     */
   def ingestBatch(batch: DataFrame, corpusDir: String,
       threshold: Option[Double] = Some(0.5),
       buckets: Int = DefaultBuckets): IngestStats = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    // legacy detection must run BEFORE layoutBuckets, which would
+    // otherwise stamp a flat corpus with a bucketed-layout meta
+    val landedPre = existingParquet(spark, corpusDir)
+    val legacy = landedPre.exists(df => !df.columns.contains("dbucket"))
+    if (legacy)
+      return ingestBatchLegacy(batch, corpusDir, landedPre.get, threshold)
     val nb = layoutBuckets(spark, corpusDir, buckets)
     val resolved0 = resolveBatch(batch)
 
@@ -309,24 +525,33 @@ object CorpusIngest {
         pmod(xxhash64(col("digest")), lit(nb.toLong)).cast("int"))
       .persist()
     var candidatesP: Option[DataFrame] = None
+    var deltaBcast: Option[Broadcast[Array[Long]]] = None
     try {
       val batchRows = withState.count()
 
       // ---- bloom gate: definitely-novel docs skip the probes ----
-      val bloomState = loadBloom(spark, corpusDir)
+      val bloomMeta = readBloomMeta(spark, corpusDir)
       val hasBands = threshold.isDefined
-      val flagged = bloomState match {
-        case Some((bf, _, _)) =>
-          val bfB = spark.sparkContext.broadcast(bf)
-          val maybe = udf((ks: Seq[Long]) =>
-            ks.exists(k => bfB.value.mightContainLong(k)))
+      val baseOpt = bloomMeta.flatMap(m => cachedBase(spark, corpusDir, m))
+      val (deltaKeys, deltaFiles) = readDeltaKeys(spark, corpusDir)
+      val flagged = baseOpt match {
+        case Some(base) =>
+          val nsh = base.shards.length
+          val baseB = base.bcast
+          val dB = spark.sparkContext.broadcast(deltaKeys)
+          deltaBcast = Some(dB)
+          val maybe = udf((ks: Seq[Long]) => ks.exists { k =>
+            baseB.value(shardOf(k, nsh)).mightContainLong(k) ||
+              java.util.Arrays.binarySearch(dB.value, k) >= 0
+          })
           val keyArr: Column =
             if (hasBands) concat(array(xxhash64(col("digest"))), col("bands"))
             else array(xxhash64(col("digest")))
           withState.withColumn("__maybe", maybe(keyArr))
         case None =>
-          // no bloom (first batch, or mid-crash absence): conservative
-          // — everything probes; correctness never rests on the bloom
+          // no bloom (first batch, legacy bloom format, or mid-crash
+          // absence): conservative — everything probes; correctness
+          // never rests on the bloom
           withState.withColumn("__maybe", lit(true))
       }
       val candidates = flagged.filter(col("__maybe")).drop("__maybe").persist()
@@ -384,32 +609,62 @@ object CorpusIngest {
       val accepted = definiteFresh.unionByName(screened).persist()
       try {
         val acceptedRows = accepted.count()
+        var bloomBytes = 0L
+        var compacted = false
         if (acceptedRows > 0) {
           // ---- 1. bloom (before any append — see write order) ----
-          val keys = bloomKeys(accepted, hasBands).persist()
-          val nKeys = keys.count()
-          val (mergedBloom, cap, ins) = bloomState match {
-            case Some((bf, cap0, ins0)) if ins0 + nKeys <= cap0 =>
-              val delta = bloomOf(keys, cap0)
-              delta.mergeInPlace(bf)
-              (delta, cap0, ins0 + nKeys)
+          // batch keys are bounded (~1+bands per accepted doc), so
+          // they collect; no distributed work on the maintenance path
+          import spark.implicits._
+          val ks = bloomKeys(accepted, hasBands).as[Long].collect()
+          val nKeys = ks.length.toLong
+          (bloomMeta, baseOpt) match {
+            case (Some(m), Some(base)) if m.ins + nKeys <= m.cap =>
+              if (deltaKeys.length + nKeys > compactThreshold(m.cap)) {
+                // COMPACT: fold deltas + batch keys into a CLONE of the
+                // base (the cached array is broadcast-shared — never
+                // mutated), write shards → meta(epoch+1) → drop deltas
+                compacted = true
+                val merged = base.shards.map(bf => bloomFromBytes(bloomToBytes(bf)))
+                val nsh = merged.length
+                deltaKeys.foreach(k => merged(shardOf(k, nsh)).putLong(k))
+                ks.foreach(k => merged(shardOf(k, nsh)).putLong(k))
+                bloomBytes += writeShards(spark, corpusDir, merged)
+                writeBloomMeta(spark, corpusDir,
+                  m.copy(ins = m.ins + nKeys, epoch = m.epoch + 1))
+                val fs = fsOf(spark, corpusDir)
+                deltaFiles.foreach(p => fs.delete(p, false))
+                dropCachedBase(corpusDir)
+              } else {
+                // steady state: one batch-sized delta file + meta
+                bloomBytes += writeDeltaFile(spark, corpusDir,
+                  s"delta-${m.ins}.keys", ks)
+                writeBloomMeta(spark, corpusDir, m.copy(ins = m.ins + nKeys))
+              }
             case other =>
-              // absent (first batch / legacy corpus) or over capacity:
+              // absent (first batch / legacy bloom) or over capacity:
               // rebuild from the landed table + this batch at doubled
-              // size — O(corpus) amortized O(1)/doc
+              // size — O(corpus) amortized O(1)/doc, one shard per task
+              compacted = true
+              val keysDf = bloomKeys(accepted, hasBands)
               val landedKeys = existingParquet(spark, corpusDir)
                 .map(l => bloomKeys(
                   if (hasBands) l.select(col("digest"), col("bands"))
                   else l.select(col("digest")), hasBands))
               val nLanded = landedKeys.map(_.count()).getOrElse(0L)
-              val prevCap = other.map(_._2).getOrElse(0L)
+              val prevCap = other._1.map(_.cap).getOrElse(0L)
+              val prevEpoch = other._1.map(_.epoch).getOrElse(-1L)
               val cap1 = math.max(math.max(2 * prevCap, 1L << 17),
                 2 * (nLanded + nKeys))
-              val all = landedKeys.fold(keys)(lk => keys.unionByName(lk))
-              (bloomOf(all, cap1), cap1, nLanded + nKeys)
+              val all = landedKeys.fold(keysDf)(lk => keysDf.unionByName(lk))
+              bloomBytes += writeShards(spark, corpusDir,
+                buildShards(all, cap1, nb))
+              writeBloomMeta(spark, corpusDir,
+                BloomMeta(cap1, nLanded + nKeys, prevEpoch + 1, nb))
+              val fs = fsOf(spark, corpusDir)
+              deltaFiles.foreach(p => fs.delete(p, false))
+              dropCachedBase(corpusDir)
           }
-          writeBloom(spark, corpusDir, mergedBloom, cap, ins)
-          keys.unpersist()
 
           // ---- 2. index rows (near-dup state), pruned-layout append ----
           if (hasBands) {
@@ -427,13 +682,89 @@ object CorpusIngest {
             .write.partitionBy("dbucket").mode("append").parquet(corpusDir)
         }
         IngestStats(batchRows, acceptedRows, bloomNegative, probed,
-          landedFiles, indexFiles)
+          landedFiles, indexFiles, bloomBytes, compacted)
       } finally { accepted.unpersist(); () }
     } finally {
       candidatesP.foreach(_.unpersist())
       withState.unpersist()
       sigRelease()
+      // retired, not destroyed: see retiredBcasts
+      deltaBcast.foreach(retiredBcasts.add)
     }
+  }
+
+  /** The legacy-layout fallback of [[ingestBatch]]: correct screens
+    * over a FLAT pre-bucketed corpus dir, at the flat layout's cost —
+    * every screen reads the whole landed table (nothing to prune by),
+    * and the near-dup screen recomputes landed signatures from text
+    * (the flat layout persisted band keys but no signatures, and an
+    * unverified band hit is exactly the growing-false-reject defect
+    * the verified screen exists to fix). Appends stay FLAT in the
+    * landed schema — mixing partitioned and flat files in one dir
+    * would break partition discovery for every reader.
+    */
+  private def ingestBatchLegacy(batch: DataFrame, corpusDir: String,
+      landedAll: DataFrame, threshold: Option[Double]): IngestStats = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val resolved0 = resolveBatch(batch)
+    val (resolved, sigRelease) = threshold match {
+      case Some(t) =>
+        val sigs = Dedup.docSignatures(resolved0, "text", "doc_id").persist()
+        val pairs = Dedup.pairsByAgreement(sigs, t, Bands, RowsPerBand)
+        (Dedup.resolveClusters(resolved0, "doc_id", pairs),
+          () => { sigs.unpersist(); () })
+      case None => (resolved0, () => ())
+    }
+    try {
+      val batchRows = resolved.count()
+      val landedFiles = filesFlat(spark, corpusDir)
+      // exact screen, unpruned
+      val freshExact = resolved.join(
+        landedAll.select("digest"), Seq("digest"), "left_anti")
+      val accepted = threshold match {
+        case Some(t) =>
+          // verified near-dup screen, recomputed from landed text (one
+          // narrow pass — no signatures persisted in this layout)
+          val idx = Dedup.docSignatures(landedAll, "text", "digest")
+            .select(col("id").as("h_digest"), col("sig").as("h_sig"),
+              explode(Dedup.lshBands(col("sig"), Bands, RowsPerBand))
+                .as("band"))
+          val batchSigs = Dedup.docSignatures(freshExact, "text", "doc_id")
+          val colliding = batchSigs
+            .select(col("id").as("doc_id"), col("sig"),
+              explode(Dedup.lshBands(col("sig"), Bands, RowsPerBand))
+                .as("band"))
+            .join(idx, Seq("band"))
+            .filter(Dedup.sigAgreement(col("sig"), col("h_sig")) >= t)
+            .select("doc_id").distinct()
+          freshExact.join(colliding, Seq("doc_id"), "left_anti")
+        case None => freshExact
+      }
+      // append in the landed schema exactly: extra batch-side state is
+      // dropped; a landed column the batch cannot produce is a loud
+      // error rather than a silently null-filled column
+      val landedCols = landedAll.columns.toSeq
+      val out = threshold match {
+        case Some(_) if landedCols.contains("bands") =>
+          accepted.withColumn("bands",
+            Dedup.bandKeysCol(col("text"), Bands * RowsPerBand, Bands))
+        case _ => accepted
+      }
+      val missing = landedCols.filterNot(out.columns.contains)
+      require(missing.isEmpty,
+        s"legacy corpus at $corpusDir has columns $missing the " +
+          s"${if (threshold.isDefined) "near-dup" else "exact"} ingest " +
+          "does not produce — use the stream variant the corpus was " +
+          "written by")
+      val persisted = out.select(landedCols.map(col): _*).persist()
+      try {
+        val acceptedRows = persisted.count()
+        if (acceptedRows > 0)
+          persisted.write.mode("append").parquet(corpusDir)
+        IngestStats(batchRows, acceptedRows, 0L, batchRows, landedFiles, 0L)
+      } finally { persisted.unpersist(); () }
+    } finally sigRelease()
   }
 
   /** Start the checkpointed NEAR-DUP ingest over `sourceDir`: the

@@ -457,6 +457,71 @@ class DedupSpec extends SparkSpec {
     ()
   }
 
+  test("hot-band cap bounds the in-batch candidate join on boilerplate batches") {
+    // a batch of hundreds of near-identical boilerplate docs makes some
+    // band bucket quadratic: 400 docs sharing a band is 80k candidate
+    // pairs from that band alone. pairsByAgreement drops bands held by
+    // more than hotBandCap docs (the stop-fingerprint move): candidate
+    // volume is bounded, and pairs whose docs also share a COLD band
+    // are still found.
+    val boiler = (0 until 40).map(j => s"boiler$j").mkString(" ")
+    val bulk = (0 until 400).map(i => (i.toLong, s"$boiler unique$i"))
+    // a planted near-dup pair with its own distinctive vocabulary: its
+    // bands are cold (shared by 2 docs), so the cap must not lose it
+    val planted = Seq(
+      (9001L, "planted kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi"),
+      (9002L, "planted kappa lambda mu nu xi omicron pi rho sigma tau upsilon CHANGED"))
+    val sigs = Dedup.docSignatures(
+      (bulk ++ planted).toDF("doc_id", "text"), "text", "doc_id").persist()
+    try {
+      // candidate volume under the cap is bounded by bands·cap per doc;
+      // assert through the band-bucket census the cap keys on
+      val bandCounts = sigs
+        .select(explode(Dedup.lshBands(col("sig"), 16, 4)).as("band"))
+        .groupBy("band").agg(count(lit(1)).as("c"))
+      val maxBand = bandCounts.agg(max("c")).as[Long].head()
+      assert(maxBand > 256L,
+        s"fixture must saturate a band past the cap (got $maxBand)")
+      val capped = Dedup.pairsByAgreement(sigs, 0.5, 16, 4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val uncapped = Dedup.pairsByAgreement(sigs, 0.5, 16, 4,
+        hotBandCap = Int.MaxValue)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(capped.subsetOf(uncapped))
+      assert(capped.contains((9001L, 9002L)),
+        "a cold-band near-dup pair must survive the hot-band cap")
+      // the boilerplate cluster's hot bands are dropped: the capped
+      // pair set over the bulk ids must be far below the uncapped one
+      val bulkCapped = capped.count(p => p._1 < 9000L && p._2 < 9000L)
+      val bulkUncapped = uncapped.count(p => p._1 < 9000L && p._2 < 9000L)
+      assert(bulkUncapped > 10000,
+        s"fixture must be quadratic uncapped (got $bulkUncapped)")
+      assert(bulkCapped < bulkUncapped / 10,
+        s"cap must cut the boilerplate candidates: $bulkCapped vs $bulkUncapped")
+    } finally { sigs.unpersist(); () }
+  }
+
+  test("screening with mismatched signature parameters is a loud error") {
+    // the index stores signatures but not their (numHashes, bands);
+    // zip_with null-pads a mismatched agreement and the nulls count as
+    // disagreement — the screen would silently reject nothing. The
+    // ingest must fail loudly instead.
+    val hist = Seq((1L, "long enough to shingle with many words in here"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.nearDupIndex(hist, "text", "doc_id") // 64 hashes, 16 bands
+    val batch = Seq((10L, "a totally different document body with words"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id",
+        numHashes = 32, bands = 16)
+    }
+    assert(e.getMessage.contains("numHashes=64"), e.getMessage)
+    // matching parameters still pass
+    val ok = Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect()
+    assert(ok.toSeq == Seq(10L))
+  }
+
   test("the snapshot-diff carve modifies NULL-text docs too (concat_ws, ADVICE r7)") {
     // pins the pipe_snapshot_diff carving arithmetic: appending ' v2'
     // with plain concat on a NULL text yields NULL — the doc would then
