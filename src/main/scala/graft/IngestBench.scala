@@ -15,7 +15,7 @@ import graft.streaming.CorpusIngest
   * Usage: `runMain graft.IngestBench [sfDir] [outFile] [nBatches]`
   * Output: one JSON line, `series` = per-batch
   * {sec, rows, accepted, probed, landedFiles, indexFiles, bloomBytes,
-  * compacted, corpusRows}. Compaction/rebuild batches are the amortized
+  * deltaReads, compacted, corpusRows}. Compaction/rebuild batches are the amortized
   * boundaries and are expected (and labeled) spikes; every other batch
   * should cost ~the same as the corpus grows.
   */
@@ -50,6 +50,7 @@ object IngestBench {
         s""","probed":${st.probed},"landedFiles":${st.landedFilesRead}""" +
         s""","indexFiles":${st.indexFilesRead}""" +
         s""","bloomBytes":${st.bloomBytesWritten}""" +
+        s""","deltaReads":${st.deltaFilesRead}""" +
         s""","compacted":${st.bloomCompacted},"corpusRows":$cum}"""
       // progress is visible batch by batch if the run is watched live
       println(s"INGEST_BENCH $line")

@@ -29,6 +29,18 @@ object PipelineQueries {
     * steady-state serve — the amortization an incremental ingest
     * actually has (history docs are signed ONCE ever, not once per
     * query run).
+    *
+    * Serve-pricing profile (round 10, sf0.1, `Test/runMain
+    * graft.DevR10`): invocation #1 = 9.3 s (index build), #2/#3 =
+    * 3.5–3.8 s — the stamp does NOT re-trigger the build (the stamp agg
+    * itself is 0.13 s). The steady state decomposes as batch signature
+    * pass 0.3 s + in-batch resolve (banded self-join + components)
+    * 1.5 s + verified screen join 2.0 s: all BATCH-side work, the
+    * honest per-batch cost of an ingest whose rejections must be
+    * signature-verified. The r9 bench uptick over r8 (2.1 → 2.8 s) is
+    * the verify join that round added — an unverified band hit's
+    * false-reject rate grows with corpus size — not a stale-index
+    * rebuild.
     */
   private def ndIngestParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)

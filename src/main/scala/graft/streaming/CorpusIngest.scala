@@ -90,7 +90,7 @@ import org.apache.spark.util.sketch.BloomFilter
   *  - INSERT: the batch's key set is bounded (~1+bands keys per
   *    accepted doc), so it is collected and appended as a raw-longs
   *    DELTA FILE — O(batch) bytes written, no distributed build at
-  *    all. Probes check base-bloom ∨ delta-set (exact, so deltas add
+  *    all. Probes check base-bloom ∨ delta-sets (exact, so deltas add
   *    zero false positives).
   *  - COMPACTION: when the delta set outgrows `capacity/16`, its keys
   *    are folded into the base shards on the driver and the touched
@@ -103,9 +103,20 @@ import org.apache.spark.util.sketch.BloomFilter
   *    bitset per task. O(corpus) amortized O(1) per doc.
   *  - BROADCAST: the base shards are broadcast ONCE PER EPOCH (epoch
   *    bumps only on compaction/rebuild) and cached per corpus dir;
-  *    per-batch shipping is the batch-sized delta broadcast, which is
-  *    destroyed at batch end. Replaced base broadcasts are destroyed
-  *    on epoch change.
+  *    each delta FILE is immutable and broadcast ONCE, by the batch
+  *    that wrote it (steady-state per-batch shipping = the new batch's
+  *    own keys; `deltaFilesRead` telemetry pins that nothing is
+  *    re-read). Executor residency for the delta set is bounded by the
+  *    compaction threshold. A JVM restart re-reads and re-broadcasts
+  *    the live delta files once; replaced broadcasts are retired on
+  *    epoch change and destroyed at the next batch boundary.
+  *
+  * Driver-side metadata cost is also batch-proportional: the landed
+  * and index probes read ONLY the batch's own partition-bucket
+  * directories (never a full-corpus file listing), and the
+  * bucketed-vs-legacy layout decision reads `_graft_meta`, not the
+  * table. (On a real fleet the listing would come from a catalog; this
+  * keeps the same O(touched buckets) shape without one.)
   */
 object CorpusIngest {
 
@@ -152,7 +163,8 @@ object CorpusIngest {
       landedFilesRead: Long,
       indexFilesRead: Long,
       bloomBytesWritten: Long = 0L,
-      bloomCompacted: Boolean = false)
+      bloomCompacted: Boolean = false,
+      deltaFilesRead: Long = 0L)
 
   /** Default partition-bucket count for both digest and band buckets.
     * Sized to the shuffle parallelism here; a petabyte corpus wants
@@ -302,34 +314,67 @@ object CorpusIngest {
     if (loaded.forall(_.isDefined)) Some(loaded.map(_.get).toArray) else None
   }
 
-  /** All delta keys landed since the last compaction, sorted for
-    * binary-search probes, plus their on-disk byte size. Read by
-    * LISTING delta files (not trusting meta counts) so a crash between
-    * delta write and meta update still probes the landed keys.
-    */
-  private def readDeltaKeys(spark: SparkSession,
-      corpusDir: String): (Array[Long], Seq[Path]) = {
-    val dir = new Path(corpusDir, "_graft_bloom")
-    val fs = fsOf(spark, corpusDir)
-    if (!fs.exists(dir)) return (Array.empty[Long], Nil)
-    val files = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith("delta-") &&
-        p.getName.endsWith(".keys")).toSeq
-    val keys = files.flatMap { p =>
-      val bytes = readSmall(spark, p).getOrElse(Array.empty[Byte])
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      Array.fill(bytes.length / 8)(bb.getLong)
-    }.toArray
-    java.util.Arrays.sort(keys)
-    (keys, files)
-  }
-
   private def writeDeltaFile(spark: SparkSession, corpusDir: String,
       name: String, keys: Array[Long]): Long = {
     val bb = java.nio.ByteBuffer.allocate(keys.length * 8)
     keys.foreach(bb.putLong)
     writeSmall(spark, new Path(s"$corpusDir/_graft_bloom", name), bb.array())
     keys.length.toLong * 8
+  }
+
+  /** One immutable delta file's sorted keys, broadcast once — by the
+    * batch that wrote the file, so the steady state never re-reads or
+    * re-ships a delta it already holds.
+    */
+  private final case class DeltaFile(name: String, n: Long,
+      bcast: Broadcast[Array[Long]])
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[DeltaFile]]()
+
+  /** Sync the per-corpus delta cache with the delta files on disk (the
+    * files, not meta counts, are the source of truth — a crash between
+    * delta write and meta update still probes the landed keys):
+    * vanished files (a compaction, possibly by another JVM) retire
+    * their broadcasts; unseen files (JVM restart, foreign writer) are
+    * read, sorted, and broadcast ONCE. Returns the live delta set, the
+    * file paths, and how many files had to be read from the FS — 0 in
+    * the steady state, asserted by spec.
+    */
+  private def deltaState(spark: SparkSession,
+      corpusDir: String): (List[DeltaFile], Seq[Path], Long) = {
+    val dir = new Path(corpusDir, "_graft_bloom")
+    val fs = fsOf(spark, corpusDir)
+    val files =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.startsWith("delta-") &&
+          p.getName.endsWith(".keys")).toSeq
+    val names = files.map(_.getName).toSet
+    val prev = Option(deltaCache.get(corpusDir)).getOrElse(Nil)
+    val (live, dead) = prev.partition(d => names.contains(d.name))
+    dead.foreach(d => retiredBcasts.add(d.bcast))
+    val known = live.map(_.name).toSet
+    var reads = 0L
+    val fresh = files.filterNot(p => known.contains(p.getName)).map { p =>
+      reads += 1
+      val bytes = readSmall(spark, p).getOrElse(Array.empty[Byte])
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val ks = Array.fill(bytes.length / 8)(bb.getLong)
+      java.util.Arrays.sort(ks)
+      DeltaFile(p.getName, ks.length.toLong, spark.sparkContext.broadcast(ks))
+    }.toList
+    val all = live ++ fresh
+    deltaCache.put(corpusDir, all)
+    (all, files, reads)
+  }
+
+  /** Retire every cached delta broadcast of `corpusDir` (compaction or
+    * rebuild folded the deltas into the base).
+    */
+  private def dropDeltaCache(corpusDir: String): Unit = {
+    Option(deltaCache.remove(corpusDir))
+      .foreach(_.foreach(d => retiredBcasts.add(d.bcast)))
+    ()
   }
 
   /** Per-corpus cache of the base-shard broadcast: shipped once per
@@ -492,12 +537,20 @@ object CorpusIngest {
       buckets: Int = DefaultBuckets): IngestStats = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    drainRetiredBcasts()
     // legacy detection must run BEFORE layoutBuckets, which would
-    // otherwise stamp a flat corpus with a bucketed-layout meta
-    val landedPre = existingParquet(spark, corpusDir)
-    val legacy = landedPre.exists(df => !df.columns.contains("dbucket"))
-    if (legacy)
-      return ingestBatchLegacy(batch, corpusDir, landedPre.get, threshold)
+    // otherwise stamp a flat corpus with a bucketed-layout meta. The
+    // common (bucketed) path decides on `_graft_meta` alone — no
+    // full-corpus file listing per batch; only a corpus with no meta
+    // pays one listing to distinguish empty-new from legacy-flat.
+    val fs0 = fsOf(spark, corpusDir)
+    if (!fs0.exists(new Path(corpusDir, "_graft_meta"))) {
+      existingParquet(spark, corpusDir) match {
+        case Some(df) if !df.columns.contains("dbucket") =>
+          return ingestBatchLegacy(batch, corpusDir, df, threshold)
+        case _ => ()
+      }
+    }
     val nb = layoutBuckets(spark, corpusDir, buckets)
     val resolved0 = resolveBatch(batch)
 
@@ -525,7 +578,6 @@ object CorpusIngest {
         pmod(xxhash64(col("digest")), lit(nb.toLong)).cast("int"))
       .persist()
     var candidatesP: Option[DataFrame] = None
-    var deltaBcast: Option[Broadcast[Array[Long]]] = None
     try {
       val batchRows = withState.count()
 
@@ -533,16 +585,17 @@ object CorpusIngest {
       val bloomMeta = readBloomMeta(spark, corpusDir)
       val hasBands = threshold.isDefined
       val baseOpt = bloomMeta.flatMap(m => cachedBase(spark, corpusDir, m))
-      val (deltaKeys, deltaFiles) = readDeltaKeys(spark, corpusDir)
+      val (deltas, deltaFiles, deltaReads) = deltaState(spark, corpusDir)
+      val deltaTotal = deltas.map(_.n).sum
       val flagged = baseOpt match {
         case Some(base) =>
           val nsh = base.shards.length
           val baseB = base.bcast
-          val dB = spark.sparkContext.broadcast(deltaKeys)
-          deltaBcast = Some(dB)
+          val deltaBs = deltas.map(_.bcast)
           val maybe = udf((ks: Seq[Long]) => ks.exists { k =>
             baseB.value(shardOf(k, nsh)).mightContainLong(k) ||
-              java.util.Arrays.binarySearch(dB.value, k) >= 0
+              deltaBs.exists(d =>
+                java.util.Arrays.binarySearch(d.value, k) >= 0)
           })
           val keyArr: Column =
             if (hasBands) concat(array(xxhash64(col("digest"))), col("bands"))
@@ -564,46 +617,61 @@ object CorpusIngest {
       var indexFiles = 0L
       val screened: DataFrame =
         if (probed == 0) candidates
-        else existingParquet(spark, corpusDir) match {
-          case None => candidates
-          case Some(landedAll) =>
-            // exact screen: pruned digest anti-join — only the batch's
-            // own digest buckets are listed and read
-            val dbuckets = candidates.select("dbucket").distinct()
-              .collect().map(_.getInt(0)).toSeq // bounded by `nb`
-            landedFiles = filesInBuckets(spark, corpusDir, "dbucket", dbuckets)
-            val landed = landedAll
-              .filter(col("dbucket").isin(dbuckets: _*)).select("digest")
-            val freshExact = candidates.join(landed, Seq("digest"), "left_anti")
-            threshold match {
-              case Some(t) =>
-                val idxDir = s"$corpusDir/_graft_index"
-                existingParquet(spark, idxDir) match {
-                  case None => freshExact
-                  case Some(idxAll) =>
-                    val bb = freshExact
-                      .select(explode(col("bands")).as("band"))
-                      .select(pmod(col("band"), lit(nb.toLong)).cast("int")
-                        .as("bbucket"))
-                      .distinct().collect().map(_.getInt(0)).toSeq
-                    indexFiles = filesInBuckets(spark, idxDir, "bbucket", bb)
-                    val idx = idxAll.filter(col("bbucket").isin(bb: _*))
-                      .select(col("band"), col("digest").as("h_digest"),
-                        col("sig").as("h_sig"))
-                    // band hit = candidate; reject only on verified
-                    // agreement; digest-equal rows are a replay's own
-                    // phantom index entries, never a reject reason
-                    val colliding = freshExact
-                      .select(col("doc_id"), col("digest"), col("sig"),
-                        explode(col("bands")).as("band"))
-                      .join(idx, Seq("band"))
-                      .filter(col("h_digest") =!= col("digest"))
-                      .filter(Dedup.sigAgreement(col("sig"), col("h_sig")) >= t)
-                      .select("doc_id").distinct()
-                    freshExact.join(colliding, Seq("doc_id"), "left_anti")
-                }
-              case None => freshExact
+        else {
+          // exact screen: pruned digest anti-join — only the batch's
+          // own digest-bucket DIRECTORIES are listed and read (the
+          // scoped read keeps per-batch planning metadata O(touched
+          // buckets); a full `read.parquet(corpusDir)` would re-list
+          // the whole corpus every batch)
+          val dbuckets = candidates.select("dbucket").distinct()
+            .collect().map(_.getInt(0)).toSeq // bounded by `nb`
+          val dPresent = dbuckets
+            .filter(b => fs0.exists(new Path(corpusDir, s"dbucket=$b")))
+          landedFiles = filesInBuckets(spark, corpusDir, "dbucket", dbuckets)
+          val freshExact =
+            if (dPresent.isEmpty) candidates
+            else {
+              val landed = spark.read.option("basePath", corpusDir)
+                .parquet(dPresent.map(b => s"$corpusDir/dbucket=$b"): _*)
+                .filter(col("dbucket").isin(dbuckets: _*)).select("digest")
+              candidates.join(landed, Seq("digest"), "left_anti")
             }
+          // the near-dup screen runs regardless of the exact screen's
+          // bucket hits — index rows can exist in the batch's band
+          // buckets while no landed doc shares its digest buckets
+          // (e.g. a crash replayed before its docs append landed)
+          threshold match {
+            case Some(t) =>
+              val idxDir = s"$corpusDir/_graft_index"
+              val bb = freshExact
+                .select(explode(col("bands")).as("band"))
+                .select(pmod(col("band"), lit(nb.toLong)).cast("int")
+                  .as("bbucket"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              val bPresent = bb
+                .filter(b => fs0.exists(new Path(idxDir, s"bbucket=$b")))
+              indexFiles = filesInBuckets(spark, idxDir, "bbucket", bb)
+              if (bPresent.isEmpty) freshExact
+              else {
+                val idx = spark.read.option("basePath", idxDir)
+                  .parquet(bPresent.map(b => s"$idxDir/bbucket=$b"): _*)
+                  .filter(col("bbucket").isin(bb: _*))
+                  .select(col("band"), col("digest").as("h_digest"),
+                    col("sig").as("h_sig"))
+                // band hit = candidate; reject only on verified
+                // agreement; digest-equal rows are a replay's own
+                // phantom index entries, never a reject reason
+                val colliding = freshExact
+                  .select(col("doc_id"), col("digest"), col("sig"),
+                    explode(col("bands")).as("band"))
+                  .join(idx, Seq("band"))
+                  .filter(col("h_digest") =!= col("digest"))
+                  .filter(Dedup.sigAgreement(col("sig"), col("h_sig")) >= t)
+                  .select("doc_id").distinct()
+                freshExact.join(colliding, Seq("doc_id"), "left_anti")
+              }
+            case None => freshExact
+          }
         }
 
       val accepted = definiteFresh.unionByName(screened).persist()
@@ -617,29 +685,40 @@ object CorpusIngest {
           // they collect; no distributed work on the maintenance path
           import spark.implicits._
           val ks = bloomKeys(accepted, hasBands).as[Long].collect()
+          java.util.Arrays.sort(ks) // per-file sorted → per-file bsearch
           val nKeys = ks.length.toLong
           (bloomMeta, baseOpt) match {
             case (Some(m), Some(base)) if m.ins + nKeys <= m.cap =>
-              if (deltaKeys.length + nKeys > compactThreshold(m.cap)) {
+              if (deltaTotal + nKeys > compactThreshold(m.cap)) {
                 // COMPACT: fold deltas + batch keys into a CLONE of the
                 // base (the cached array is broadcast-shared — never
-                // mutated), write shards → meta(epoch+1) → drop deltas
+                // mutated), write shards → meta(epoch+1) → drop deltas.
+                // Delta keys come from the cached broadcast values —
+                // no FS re-read on the compaction path either.
                 compacted = true
                 val merged = base.shards.map(bf => bloomFromBytes(bloomToBytes(bf)))
                 val nsh = merged.length
-                deltaKeys.foreach(k => merged(shardOf(k, nsh)).putLong(k))
+                deltas.foreach(_.bcast.value.foreach(k =>
+                  merged(shardOf(k, nsh)).putLong(k)))
                 ks.foreach(k => merged(shardOf(k, nsh)).putLong(k))
                 bloomBytes += writeShards(spark, corpusDir, merged)
                 writeBloomMeta(spark, corpusDir,
                   m.copy(ins = m.ins + nKeys, epoch = m.epoch + 1))
-                val fs = fsOf(spark, corpusDir)
-                deltaFiles.foreach(p => fs.delete(p, false))
+                deltaFiles.foreach(p => fs0.delete(p, false))
                 dropCachedBase(corpusDir)
+                dropDeltaCache(corpusDir)
               } else {
-                // steady state: one batch-sized delta file + meta
-                bloomBytes += writeDeltaFile(spark, corpusDir,
-                  s"delta-${m.ins}.keys", ks)
+                // steady state: one batch-sized delta file + meta; the
+                // file's broadcast is cached HERE so no later batch
+                // ever re-reads or re-ships it
+                val name = s"delta-${m.ins}.keys"
+                bloomBytes += writeDeltaFile(spark, corpusDir, name, ks)
                 writeBloomMeta(spark, corpusDir, m.copy(ins = m.ins + nKeys))
+                val cached = DeltaFile(name, nKeys,
+                  spark.sparkContext.broadcast(ks))
+                deltaCache.put(corpusDir,
+                  cached :: Option(deltaCache.get(corpusDir)).getOrElse(Nil)
+                    .filterNot(_.name == name))
               }
             case other =>
               // absent (first batch / legacy bloom) or over capacity:
@@ -661,9 +740,9 @@ object CorpusIngest {
                 buildShards(all, cap1, nb))
               writeBloomMeta(spark, corpusDir,
                 BloomMeta(cap1, nLanded + nKeys, prevEpoch + 1, nb))
-              val fs = fsOf(spark, corpusDir)
-              deltaFiles.foreach(p => fs.delete(p, false))
+              deltaFiles.foreach(p => fs0.delete(p, false))
               dropCachedBase(corpusDir)
+              dropDeltaCache(corpusDir)
           }
 
           // ---- 2. index rows (near-dup state), pruned-layout append ----
@@ -682,14 +761,12 @@ object CorpusIngest {
             .write.partitionBy("dbucket").mode("append").parquet(corpusDir)
         }
         IngestStats(batchRows, acceptedRows, bloomNegative, probed,
-          landedFiles, indexFiles, bloomBytes, compacted)
+          landedFiles, indexFiles, bloomBytes, compacted, deltaReads)
       } finally { accepted.unpersist(); () }
     } finally {
       candidatesP.foreach(_.unpersist())
       withState.unpersist()
       sigRelease()
-      // retired, not destroyed: see retiredBcasts
-      deltaBcast.foreach(retiredBcasts.add)
     }
   }
 

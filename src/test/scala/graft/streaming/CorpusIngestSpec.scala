@@ -284,6 +284,14 @@ class CorpusIngestSpec extends SparkSpec {
         s"steady-state write must be far below the shard bytes " +
           s"($shardBytes): $st")
     }
+    // each delta file is broadcast once, by the batch that WROTE it:
+    // later batches list the files but re-read none, no matter how
+    // many deltas have accumulated — per-batch delta I/O and shipping
+    // track the batch, not the epoch
+    steady.foreach { st =>
+      assert(st.deltaFilesRead == 0L,
+        s"steady batch must not re-read prior delta files: $st")
+    }
     // a batch whose keys cross capacity/16 compacts: shards rewrite
     // ONCE and the delta files fold in and vanish — the amortized
     // boundary, not the steady state
