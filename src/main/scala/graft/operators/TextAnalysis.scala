@@ -113,6 +113,15 @@ object TextAnalysis {
     f.getField("n_nonws").cast("double") /
       greatest(f.getField("n_tokens"), lit(1)).cast("double")
 
+  /** [[qualityScore]] from a [[features]] struct — the struct's
+    * `quality` field, spec-pinned BIT-identical to the text-column
+    * form (TextAnalysisSpec, no rounding in the comparison). Use when
+    * a query already carries the struct: the text form re-parses the
+    * document once per component ratio (measured 25.6 s for 500k sf10
+    * docs vs ~2 s through the single-pass struct).
+    */
+  def qualityScoreFrom(f: Column): Column = f.getField("quality")
+
   /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
     * Tiny by design: language ID at corpus scale is a per-row map; the
     * dictionary rides along as a literal (no join, no shuffle).

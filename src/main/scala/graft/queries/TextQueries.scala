@@ -461,11 +461,17 @@ object TextQueries {
     // what SQL can express (the sim_lsh_recall move)
     "text_train_classifier" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val labeled = docs.select(col("doc_id"), col("text"),
-        (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.7)
-          .cast("int").as("y"),
-        when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, "train")
-          .otherwise("holdout").as("split"))
+      // label through the single-pass features struct: the text-column
+      // qualityScore re-parses the doc per component ratio (measured
+      // 25.6 s over 500k sf10 docs vs ~2 s through the struct), and
+      // qualityScoreFrom is the same IEEE ops over bit-identical counts
+      val labeled = graft.operators.TextAnalysis
+        .withFeatures(docs, "text")
+        .select(col("doc_id"), col("text"),
+          (graft.operators.TextAnalysis.qualityScoreFrom(col("f")) >= 0.7)
+            .cast("int").as("y"),
+          when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, "train")
+            .otherwise("holdout").as("split"))
       val model = graft.operators.QualityClassifier.train(
         labeled.filter(col("split") === "train"), "text", "y",
         graft.operators.QualityClassifier.TrainConfig(

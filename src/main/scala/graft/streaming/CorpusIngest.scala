@@ -746,18 +746,28 @@ object CorpusIngest {
           }
 
           // ---- 2. index rows (near-dup state), pruned-layout append ----
+          // appends REPARTITION on the bucket column first: partitionBy
+          // alone writes one file per (task × bucket) — ~32 files per
+          // touched bucket per batch — and the probe's per-bucket file
+          // count (and with it per-batch wall clock) would grow 32×
+          // faster than necessary as batches accumulate. One file per
+          // touched bucket per batch is the floor an append-only layout
+          // can hold; beyond that, file-count growth over thousands of
+          // batches is a table-compaction concern (Delta/Iceberg
+          // bin-packing in production; measured in SCALE.md).
           if (hasBands) {
             accepted.filter(size(col("bands")) > 0)
               .select(explode(col("bands")).as("band"), col("digest"),
                 col("sig"))
               .withColumn("bbucket",
                 pmod(col("band"), lit(nb.toLong)).cast("int"))
+              .repartition(col("bbucket"))
               .write.partitionBy("bbucket").mode("append")
               .parquet(s"$corpusDir/_graft_index")
           }
 
           // ---- 3. docs last ----
-          accepted.drop("sig")
+          accepted.drop("sig").repartition(col("dbucket"))
             .write.partitionBy("dbucket").mode("append").parquet(corpusDir)
         }
         IngestStats(batchRows, acceptedRows, bloomNegative, probed,

@@ -80,7 +80,79 @@ def main(p01, p1, p10):
             f"- `{q}`: {s:.2f} s → {bg:.2f} s (**{r:.1f}×** for 10× data)\n"
             for q, r, s, bg in fl)
 
-    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 8, all three SFs at one HEAD commit)
+    def ingest_section():
+        import os
+        if not os.path.exists("bench_ingest_series.json"):
+            return ""
+        s10 = json.load(open("bench_ingest_series.json"))["series"]
+        s1 = (json.load(open("bench_ingest_series_sf1.json"))["series"]
+              if os.path.exists("bench_ingest_series_sf1.json") else [])
+
+        def row(b):
+            return (f"| {b['batch']} | {b['corpusRows']:,} | {b['sec']:.2f} | "
+                    f"{b['probed']} | {b['landedFiles']} | {b['bloomBytes']:,} | "
+                    f"{b['deltaReads']} | {'yes' if b['compacted'] else ''} |")
+
+        import statistics
+
+        def steady(series):
+            return [b for b in series if not b["compacted"]][1:]
+
+        st10 = steady(s10)
+        mid = s10[len(s10) // 2]["batch"]
+        first_half = [b["sec"] for b in st10 if b["batch"] < mid]
+        second_half = [b["sec"] for b in st10 if b["batch"] >= mid]
+        drift_txt = (
+            f"the second-half steady-state median is "
+            f"**{statistics.median(second_half)/statistics.median(first_half):.2f}×** "
+            f"the first-half median (1.0 = perfectly corpus-size-independent)"
+            if first_half and second_half else
+            f"the steady-state batches cluster at "
+            f"{statistics.median(b['sec'] for b in st10):.2f} s/batch with no "
+            f"upward trend across the series" if st10 else
+            "every batch in this run landed on an amortized boundary")
+        n_compact = sum(1 for b in s10 if b["compacted"])
+        rereads = sum(b["deltaReads"] for b in s10[1:])
+        sf1_note = ""
+        if s1:
+            st1 = steady(s1)
+            if st1:
+                sf1_note = (
+                    f" The sf1 series (`bench_ingest_series_sf1.json`, "
+                    f"{len(s1)} batches to {s1[-1]['corpusRows']:,} docs) shows "
+                    f"the same shape at a tenth the data: steady-state median "
+                    f"{statistics.median(b['sec'] for b in st1):.2f} s/batch.")
+        return f"""
+## Ingest at a GROWING corpus (round 10 — the measured time series)
+
+The flat-probe and batch-proportional-maintenance properties are
+spec-pinned at toy sizes; this is the priced version the round-9
+verdict asked for: `graft.IngestBench` streams the sf10 documents
+table ({s10[-1]['corpusRows']:,} accepted docs) into ONE corpus as
+{len(s10)} equal micro-batches, recording each batch's wall clock and
+maintenance telemetry (`bench_ingest_series.json`). Steady-state
+per-batch time is ~FLAT while the corpus grows {s10[len(s10)//2]['corpusRows']:,}
+→ {s10[-1]['corpusRows']:,} under it: {drift_txt}. Capacity-sized work
+appears only at the {n_compact} labeled compaction/rebuild boundaries —
+dense while the corpus is young (the bloom's capacity tracks the
+corpus, so until the corpus outgrows ~16 batches every batch crosses
+the capacity/16 fold threshold) and spreading out as capacity outgrows
+the batch, which is the amortization becoming visible. Per-batch bloom
+writes are delta-file-sized on every non-boundary batch, and batches
+re-read **{rereads}** prior delta files in total after the first —
+each delta is broadcast once by the batch that wrote it.{sf1_note}
+
+| batch | corpus rows before+batch | sec | probed | landed files read | bloom bytes written | delta files re-read | compaction |
+|---|---|---|---|---|---|---|---|
+{chr(10).join(row(b) for b in s10)}
+
+(`probed` counts docs the bloom could not rule out — the planted
+replays plus the bloom's ~per-doc false-flag rate times the batch;
+`landed files read` is the pruned probe's file count in the batch's
+own partition buckets, not the corpus's.)
+"""
+
+    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 10, all three SFs at one HEAD commit)
 
 **Method.** All three datasets come from the SAME deterministic generator
 (`sources/Synthetic.scala`; distribution parity with the shipped testdata
@@ -110,10 +182,10 @@ companion whose production counterpart IS measured at every SF:
   law, which is what the APSS prefix filter rides). Its scale form
   `dedup_cosine_capped` — identical machinery behind an absolute df cap
   bounding per-term fan-out at cap² — is measured at every SF.
-- `text_winnow_pairs_exact` (sf1+sf10, NEW this round): the uncapped
+- `text_winnow_pairs_exact` (sf1+sf10, since round 8): the uncapped
   winnowing pair search, same closed-vocabulary quadratic-by-nature
   story; its capped production form `text_winnow_pairs` is measured at
-  every SF (see the headline fix below).
+  every SF (see the round-8 fix below).
 
 ABSOLUTE times are not comparable across rounds (measured host
 multipliers between rounds reach 1.3–1.6× on identical commits). Every
@@ -138,6 +210,50 @@ over more records per batch; the per-record cost is what a
 1000-executor deployment scales with). The streaming figures in the
 three columns are the same-session like-for-like rps series the
 round-7 verdict asked for.
+
+## Round-10 re-measurement: the round-9 machinery now has decade evidence
+
+All three columns below were measured back-to-back at ONE HEAD commit
+that contains every round-9 and round-10 change — the reworked
+near-dup ingest (verified screen, LSM-sharded bloom, scoped
+bucket-directory reads), the near-dup-aware leakproof split, the
+hot-band cap, and the mini-batch classifier — closing the round-9
+finding that those paths had no sf1/sf10 measurement.
+
+1. **Mini-batch GD delivers its sf10 win.** `text_train_classifier`
+   (20 iterations) measures {qa['text_train_classifier']:.1f} →
+   {qb['text_train_classifier']:.1f} → **{qc['text_train_classifier']:.1f} s**
+   across the three SFs — the round-8 full-batch baseline was 41 s at
+   sf10 on a comparable host; the rotating deterministic 1/k hash
+   slices cut each iteration's scan while the final full-pass loss
+   check keeps the result honest (holdout accuracy is spec-pinned
+   equal-or-better at the gate SFs).
+2. **The reworked near-dup ingest is decade-linear.**
+   `pipe_ingest_neardup` measures {qa['pipe_ingest_neardup']:.2f} →
+   {qb['pipe_ingest_neardup']:.2f} →
+   {qc['pipe_ingest_neardup']:.2f} s
+   ({qb['pipe_ingest_neardup']/qa['pipe_ingest_neardup']:.1f}× then
+   {qc['pipe_ingest_neardup']/qb['pipe_ingest_neardup']:.1f}× per
+   decade, bar {RATIO_BAR}×), its `_miss` companion
+   {qa['pipe_ingest_neardup_miss']:.2f} → {qb['pipe_ingest_neardup_miss']:.2f} →
+   {qc['pipe_ingest_neardup_miss']:.2f} s. Serve pricing was profiled
+   stage-by-stage (`Test/runMain graft.DevR10`): the content-stamped
+   index build prices only the FIRST invocation (9.3 s vs 3.5 s steady
+   at sf0.1); the steady state is batch-side signature + in-batch
+   resolve + the verify join — the honest cost of an ingest whose
+   rejections must be signature-verified, which is why the bench
+   median sits above round 8's unverified-screen number.
+3. **The near-dup-aware split is priced at scale.**
+   `pipe_split_leakproof_neardup` measures
+   {qa['pipe_split_leakproof_neardup']:.2f} →
+   {qb['pipe_split_leakproof_neardup']:.2f} →
+   {qc['pipe_split_leakproof_neardup']:.2f} s and its oracle-checked
+   leak census `_leaks` {qa['pipe_split_leakproof_neardup_leaks']:.2f} →
+   {qb['pipe_split_leakproof_neardup_leaks']:.2f} →
+   {qc['pipe_split_leakproof_neardup_leaks']:.2f} s — components over
+   exact-dup ∪ verified-LSH edges stay near-linear per decade.
+4. **Bloom maintenance stopped scaling with corpus capacity** — the
+   growing-corpus section below is the measured evidence.
 
 ## Round-8 re-measurement: the round-7 flags are closed
 
@@ -242,11 +358,13 @@ ground truth, and the MinHash-fed production components path stays
 cheap at every SF. (An earlier same-day run measured components at 2×
 its input — sf10 memory pressure evicting and recomputing the
 persisted edge list; run-to-run variance of the machinery, not of any
-production path.) `text_train_classifier` is heavy by design — each GD
-iteration is a full corpus pass ({qa['text_train_classifier']:.1f} → {qb['text_train_classifier']:.1f} → {qc['text_train_classifier']:.1f} s,
-{qc['text_train_classifier']/qb['text_train_classifier']:.1f}× per decade, under the bar); at fleet scale the per-job
-overhead dominating the small columns amortizes away.
+production path.) `text_train_classifier` now trains on rotating
+deterministic 1/k mini-batch slices ({qa['text_train_classifier']:.1f} → {qb['text_train_classifier']:.1f} → {qc['text_train_classifier']:.1f} s,
+{qc['text_train_classifier']/qb['text_train_classifier']:.1f}× per decade, under the bar — see the round-10 section
+above); at fleet scale the per-job overhead dominating the small
+columns amortizes away.
 
+{ingest_section()}
 ## Reading the remaining ratios
 
 Ratios well UNDER 10× mean the smaller column still carries fixed
