@@ -51,7 +51,8 @@ object IngestBench {
         s""","indexFiles":${st.indexFilesRead}""" +
         s""","bloomBytes":${st.bloomBytesWritten}""" +
         s""","deltaReads":${st.deltaFilesRead}""" +
-        s""","compacted":${st.bloomCompacted},"corpusRows":$cum}"""
+        s""","compacted":${st.bloomCompacted},"packed":${st.packedFiles}""" +
+        s""","corpusRows":$cum}"""
       // progress is visible batch by batch if the run is watched live
       println(s"INGEST_BENCH $line")
       line

@@ -275,13 +275,20 @@ object Dedup {
     // different numHashes would zip_with-null-pad the agreement (nulls
     // count as disagreement) and a different banding would shift every
     // band key — either way the near-dup screen silently degrades to
-    // admit-everything. One limit(1) probe of the index pins both.
+    // admit-everything. One limit(1) probe of the index pins both (a
+    // single row-group read per call; caching the verdict by plan
+    // identity would be unsound — the "same" index dir re-read after an
+    // append is a new plan over new files). A row with a signature but
+    // NULL bands (a hand-built or foreign index) surfaces as nb = -1 so
+    // the require below fires with its message instead of an NPE.
     index.filter(col("sig").isNotNull)
-      .select(size(col("sig")).as("nh"), size(col("bands")).as("nb"))
+      .select(size(col("sig")).as("nh"),
+        coalesce(size(col("bands")), lit(-1)).as("nb"))
       .limit(1).collect().headOption.foreach { r =>
         require(r.getInt(0) == numHashes && r.getInt(1) == bands,
           s"index was built with numHashes=${r.getInt(0)}, " +
-            s"bands=${r.getInt(1)}; caller passed numHashes=$numHashes, " +
+            s"bands=${r.getInt(1)} (-1 = null bands column); caller " +
+            s"passed numHashes=$numHashes, " +
             s"bands=$bands — signature screens across mismatched " +
             "parameters silently reject nothing, so this is an error")
       }
@@ -309,8 +316,22 @@ object Dedup {
       .join(freshExact.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, rpb)).as("band"))
-    val idxBands = index.filter(size(col("bands")) > 0)
+    val idxBands0 = index.filter(size(col("bands")) > 0)
       .select(col("sig").as("h_sig"), explode(col("bands")).as("band"))
+    // the SAME hot-band policy as in-batch pairing (pairsByAgreement):
+    // a band held by more than HotBandCap index rows is boilerplate-
+    // saturated — drop it from the candidate join, so (a) the in-batch
+    // and cross-batch screens share one measure (a pair whose only
+    // shared band is hot co-lands whether its docs arrive together or
+    // apart), and (b) per-band join fan-out is bounded by the cap no
+    // matter how large the history grows. Residual asymmetry: each
+    // screen caps on its OWN population (batch vs index), so a band can
+    // be cold in a small batch yet hot in the corpus — batch-boundary
+    // dependence is confined to the cap's saturation regime
+    val hotIdx = idxBands0.groupBy("band")
+      .agg(count(lit(1)).as("c")).filter(col("c") > HotBandCap)
+      .select("band")
+    val idxBands = idxBands0.join(hotIdx, Seq("band"), "left_anti")
     val colliding = batchBands.join(idxBands, Seq("band"))
       .filter(sigAgreement(col("sig"), col("h_sig")) >= threshold)
       .select(col("id").as(idCol)).distinct()
@@ -426,8 +447,17 @@ object Dedup {
     * whose ONLY collision is a >cap boilerplate band; candidate volume
     * drops from O(hot²) to ≤ bands·cap per doc.
     */
+  /** Boilerplate-saturation cap shared by BOTH band screens: in-batch
+    * pairing ([[pairsByAgreement]]) counts a band's batch membership,
+    * the cross-batch history screens ([[incrementalIngestNearDupManaged]]
+    * and the ingest's index screen) count its index membership — one
+    * constant, one policy, so the two decisions agree wherever the
+    * populations do.
+    */
+  private[graft] val HotBandCap = 256
+
   private[graft] def pairsByAgreement(sigs: DataFrame, threshold: Double,
-      bands: Int, rowsPerBand: Int, hotBandCap: Int = 256): DataFrame = {
+      bands: Int, rowsPerBand: Int, hotBandCap: Int = HotBandCap): DataFrame = {
     val buckets0 = sigs.select(col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
     val hot = buckets0.groupBy("band")
@@ -621,6 +651,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     (out, () => { t.unpersist(); () })
+  }
+
+  /** Materialize a (typically expensive) plan to scratch parquet ONCE,
+    * returning the read-back frame plus a release handle that deletes
+    * the scratch dir. Storage-level caching is the wrong tool for a
+    * plan that is both expensive and consumed by several actions (e.g.
+    * a PPJoin edge list feeding the components loop): cached blocks
+    * compete for the very executor memory the plan's own shuffles need,
+    * and an evicted block silently RE-EVALUATES the whole upstream plan
+    * at the next action (measured: sf10 `dedup_components` cost 2.5×
+    * its own edge input when the loop's actions fell out of cache).
+    * The round-trip pins the cost at exactly one evaluation plus one
+    * small columnar write; every later action is a plain scan. Scratch
+    * lives under the Spark checkpoint dir when one is configured (a
+    * shared filesystem on a real cluster), else local tmp (local mode).
+    */
+  def materializedManaged(df: DataFrame,
+      tag: String = "edges"): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val base = spark.sparkContext.getCheckpointDir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = new org.apache.hadoop.fs.Path(base,
+      s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.parquet(dir.toString)
+    (spark.read.parquet(dir.toString), () => { fs.delete(dir, true); () })
   }
 
   // --- near-dup cluster resolution --------------------------------------

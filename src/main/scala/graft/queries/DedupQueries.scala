@@ -77,10 +77,16 @@ object DedupQueries {
       val (pairs, releasePairs) = Dedup.ngramJaccardBlockedManaged(
         Tables.documents(s, d), "text", "doc_id",
         Seq("lang", "source"), threshold = 0.5)
-      // the component loop consumes the pairs eagerly (edge persist +
-      // per-round actions), so the shingle cache can be freed here
-      val comps = Dedup.connectedComponents(pairs)
+      // the exact PPJoin edge plan is this query's whole cost:
+      // materialize it to scratch parquet ONCE before the components
+      // loop, so no loop action can re-evaluate it (a storage-cache
+      // eviction did exactly that at sf10 — see materializedManaged),
+      // then free the shingle cache before the loop allocates
+      val (edges, releaseEdges) = Dedup.materializedManaged(
+        pairs.select("id_a", "id_b"), "cc_edges")
       releasePairs()
+      val comps = Dedup.connectedComponents(edges)
+      releaseEdges() // the loop consumed the edge scan eagerly
       comps.orderBy("id")}),
 
     // full near-dup resolution: pairs → clusters → one canonical doc
@@ -89,8 +95,13 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val (pairs, releasePairs) = Dedup.ngramJaccardBlockedManaged(
         docs, "text", "doc_id", Seq("lang", "source"), threshold = 0.5)
-      val kept = Dedup.resolveClusters(docs, "doc_id", pairs)
-      releasePairs() // cluster labels were materialized eagerly above
+      // same single-evaluation pin as dedup_components: the edge plan
+      // round-trips through scratch parquet before the components loop
+      val (edges, releaseEdges) = Dedup.materializedManaged(
+        pairs.select("id_a", "id_b"), "resolve_edges")
+      releasePairs()
+      val kept = Dedup.resolveClusters(docs, "doc_id", edges)
+      releaseEdges() // cluster labels were materialized eagerly above
       kept.groupBy("lang")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")}),

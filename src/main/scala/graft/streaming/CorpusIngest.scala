@@ -116,7 +116,33 @@ import org.apache.spark.util.sketch.BloomFilter
   * directories (never a full-corpus file listing), and the
   * bucketed-vs-legacy layout decision reads `_graft_meta`, not the
   * table. (On a real fleet the listing would come from a catalog; this
-  * keeps the same O(touched buckets) shape without one.)
+  * keeps the same O(touched buckets) shape without one.) The `buckets`
+  * sizing trades that listing fan-out against probe read amplification:
+  * more buckets = smaller pruned reads but more directories to stat per
+  * probing batch — size it to the fleet, once, at first write.
+  *
+  * ## Why per-bucket FILE COUNT stays bounded
+  *
+  * Appends add exactly one file per touched bucket per batch (the
+  * floor an append-only layout can hold), so over thousands of batches
+  * the per-batch probe's listing + parquet-footer cost would still
+  * grow with BATCH COUNT. At every bloom epoch bump — the existing
+  * amortized O(capacity) boundary — any doc or index bucket holding
+  * more than a handful of files is therefore BIN-PACKED back to
+  * ~target-size files (see [[packRoot]]), bounding per-bucket file
+  * count by a constant between boundaries. Steady-state per-batch cost
+  * is then genuinely flat in stream lifetime, not just corpus size.
+  *
+  * ## Single writer per corpus dir
+  *
+  * One ingest stream owns a corpus dir (the natural foreachBatch
+  * shape — Structured Streaming already serializes a query's batches).
+  * TWO CONCURRENT WRITERS to one corpus dir are not supported: delta
+  * writes, meta updates, and pack swaps could interleave. Concurrent
+  * READERS are always fine, and concurrent streams over DIFFERENT
+  * corpus dirs in one JVM are fine — all shared JVM state (base/delta
+  * broadcast caches, retired-broadcast queues) is scoped per corpus
+  * dir.
   */
 object CorpusIngest {
 
@@ -164,7 +190,8 @@ object CorpusIngest {
       indexFilesRead: Long,
       bloomBytesWritten: Long = 0L,
       bloomCompacted: Boolean = false,
-      deltaFilesRead: Long = 0L)
+      deltaFilesRead: Long = 0L,
+      packedFiles: Long = 0L)
 
   /** Default partition-bucket count for both digest and band buckets.
     * Sized to the shuffle parallelism here; a petabyte corpus wants
@@ -352,7 +379,7 @@ object CorpusIngest {
     val names = files.map(_.getName).toSet
     val prev = Option(deltaCache.get(corpusDir)).getOrElse(Nil)
     val (live, dead) = prev.partition(d => names.contains(d.name))
-    dead.foreach(d => retiredBcasts.add(d.bcast))
+    dead.foreach(d => retireBcast(corpusDir, d.bcast))
     val known = live.map(_.name).toSet
     var reads = 0L
     val fresh = files.filterNot(p => known.contains(p.getName)).map { p =>
@@ -373,9 +400,32 @@ object CorpusIngest {
     */
   private def dropDeltaCache(corpusDir: String): Unit = {
     Option(deltaCache.remove(corpusDir))
-      .foreach(_.foreach(d => retiredBcasts.add(d.bcast)))
+      .foreach(_.foreach(d => retireBcast(corpusDir, d.bcast)))
     ()
   }
+
+  /** Cache (and broadcast) a freshly written delta file's SORTED keys,
+    * retiring any same-name entry it replaces: a crash-replay of the
+    * delta-write window rewrites the same delta name, and the prior
+    * entry's broadcast — still referenced by the replay batch's probe
+    * lineage — must be retired (destroyed at the corpus's next batch),
+    * not silently dropped from the cache, which would leak it in
+    * executor and driver memory until session end.
+    */
+  private[streaming] def cacheDelta(spark: SparkSession, corpusDir: String,
+      name: String, sortedKeys: Array[Long]): Unit = {
+    val cached = DeltaFile(name, sortedKeys.length.toLong,
+      spark.sparkContext.broadcast(sortedKeys))
+    val prev = Option(deltaCache.get(corpusDir)).getOrElse(Nil)
+    prev.filter(_.name == name).foreach(d => retireBcast(corpusDir, d.bcast))
+    deltaCache.put(corpusDir, cached :: prev.filterNot(_.name == name))
+    ()
+  }
+
+  /** Test hook: the live delta broadcasts cached for a corpus dir. */
+  private[streaming] def deltaBroadcasts(
+      corpusDir: String): List[Broadcast[Array[Long]]] =
+    Option(deltaCache.get(corpusDir)).getOrElse(Nil).map(_.bcast)
 
   /** Per-corpus cache of the base-shard broadcast: shipped once per
     * epoch, reused across micro-batches, destroyed (and reloaded from
@@ -392,17 +442,35 @@ object CorpusIngest {
     * place: a compaction runs mid-batch, and the batch's later append
     * jobs still serialize the probe UDF's lineage, which references the
     * old broadcast — destroying it there fails task serialization.
-    * Retired broadcasts are destroyed at the START of the next
-    * [[ingestBatch]], when no live plan can reference them.
+    * Retired broadcasts are destroyed at the START of the corpus's OWN
+    * next [[ingestBatch]], when no live plan can reference them. The
+    * queue is scoped PER CORPUS DIR: two concurrent streams over
+    * different corpus dirs share this JVM-wide state, and a global
+    * drain at stream B's batch start would destroy a broadcast stream
+    * A's still-running batch retired mid-batch but whose append jobs
+    * still reference ("Broadcast ... destroyed" task failures).
+    * Within ONE corpus dir the ingest is single-writer (see the object
+    * doc); the retire-until-next-batch safety argument needs only that.
     */
   private val retiredBcasts =
-    new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]]()
 
-  private def drainRetiredBcasts(): Unit = {
-    var b = retiredBcasts.poll()
-    while (b != null) {
-      try b.destroy() catch { case _: Exception => () }
-      b = retiredBcasts.poll()
+  private def retireBcast(corpusDir: String, b: Broadcast[_]): Unit = {
+    retiredBcasts.computeIfAbsent(corpusDir,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]())
+      .add(b)
+    ()
+  }
+
+  private[streaming] def drainRetiredBcasts(corpusDir: String): Unit = {
+    val q = retiredBcasts.get(corpusDir)
+    if (q != null) {
+      var b = q.poll()
+      while (b != null) {
+        try b.destroy() catch { case _: Exception => () }
+        b = q.poll()
+      }
     }
   }
 
@@ -414,7 +482,8 @@ object CorpusIngest {
     val hit = Option(baseCache.get(corpusDir)).filter(_.epoch == meta.epoch)
     hit.orElse {
       loadShards(spark, corpusDir, meta.nshards).map { shards =>
-        Option(baseCache.get(corpusDir)).foreach(c => retiredBcasts.add(c.bcast))
+        Option(baseCache.get(corpusDir))
+          .foreach(c => retireBcast(corpusDir, c.bcast))
         val cached = CachedBase(meta.epoch,
           shards, spark.sparkContext.broadcast(shards))
         baseCache.put(corpusDir, cached)
@@ -428,7 +497,8 @@ object CorpusIngest {
     * files it just wrote; the old broadcast is retired (see above).
     */
   private def dropCachedBase(corpusDir: String): Unit = {
-    Option(baseCache.remove(corpusDir)).foreach(c => retiredBcasts.add(c.bcast))
+    Option(baseCache.remove(corpusDir))
+      .foreach(c => retireBcast(corpusDir, c.bcast))
     ()
   }
 
@@ -499,6 +569,149 @@ object CorpusIngest {
     try Some(spark.read.parquet(dir))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  // --- landed bin-pack (bounds per-bucket file count) --------------------
+
+  /** Batches at or below this row count append through `coalesce(1)`
+    * (one task, one file per touched bucket, no shuffle) instead of a
+    * bucket-column repartition — the exchange's fixed cost dominates a
+    * small batch, and both paths hold the same one-file-per-bucket
+    * floor. Sized so a text batch under it (≤ ~50 MB at 1 KB/doc)
+    * comfortably fits one write task.
+    */
+  private val CoalesceBatchRows = 50000L
+
+  /** A partition-bucket dir holding more than this many data files is
+    * bin-packed at the next epoch boundary. Low (2) because the pack
+    * rides an already-O(capacity) boundary and a packed bucket makes
+    * every later probe of it cheaper.
+    */
+  private val LandedPackMinFiles = 2
+
+  /** Bin-pack output target size: buckets larger than this split into
+    * ~target-sized files instead of one ever-growing file.
+    */
+  private val LandedPackTargetBytes = 256L << 20
+
+  /** Bin-pack one partitioned root at an epoch boundary: every
+    * `partCol=k` dir holding more than [[LandedPackMinFiles]] data
+    * files is rewritten — deduplicated on `dedupKeys`, which heals any
+    * crash-window duplicate rows — into ~[[LandedPackTargetBytes]]
+    * files, so per-bucket file count (and with it per-batch probe
+    * listing/footer cost) is bounded by a constant instead of growing
+    * one file per batch forever. Returns the net file-count reduction.
+    *
+    * Write order: staging (underscore dir, invisible to readers) →
+    * rename packed files in → delete the pre-pack snapshot → drop
+    * staging. A crash mid-swap leaves DUPLICATE rows, never missing
+    * ones: every screen is an anti-join that tolerates duplicate state
+    * rows, and the next pack's dropDuplicates removes them — the same
+    * bounded-by-crash-count idempotence class as the index-row contract
+    * on [[ingestBatch]]. I/O is O(bytes in packed buckets) per epoch,
+    * amortized O(1) per landed doc at the bloom's compaction cadence
+    * (an epoch every capacity/16 keys ⇒ ≤ ~16–32 rewrites per doc over
+    * the corpus lifetime — the standard LSM write-amplification trade).
+    */
+  private def packRoot(spark: SparkSession, root: String, partCol: String,
+      dedupKeys: Seq[String]): Long = {
+    val fs = fsOf(spark, root)
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) return 0L
+    def dataFiles(dir: Path) =
+      fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    val toPack = fs.listStatus(rootP)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partCol + "="))
+      .map(s => (s.getPath, dataFiles(s.getPath)))
+      .filter(_._2.length > LandedPackMinFiles)
+    if (toPack.isEmpty) return 0L
+    val staging = new Path(rootP, "_graft_pack_tmp")
+    if (fs.exists(staging)) fs.delete(staging, true) // stale crash leftover
+    val maxBytes = toPack.map(_._2.map(_.getLen).sum).max
+    val slices = math.max(1L,
+      (maxBytes + LandedPackTargetBytes - 1) / LandedPackTargetBytes)
+    spark.read.option("basePath", root)
+      .parquet(toPack.map(_._1.toString).toSeq: _*)
+      .dropDuplicates(dedupKeys)
+      .repartition(col(partCol),
+        pmod(xxhash64(dedupKeys.map(col): _*), lit(slices)).cast("int"))
+      .write.partitionBy(partCol).parquet(staging.toString)
+    var removed = 0L
+    toPack.foreach { case (bdir, oldFiles) =>
+      val staged = new Path(staging, bdir.getName)
+      // a staged dir can only be absent when the bucket's rows all
+      // vanished, which dedupKeys can never cause — keep the originals
+      // in that (never-expected) case rather than drop rows
+      if (fs.exists(staged)) {
+        val fresh = dataFiles(staged)
+        fresh.foreach(f =>
+          fs.rename(f.getPath, new Path(bdir, f.getPath.getName)))
+        oldFiles.foreach(f => fs.delete(f.getPath, false))
+        removed += oldFiles.length.toLong - fresh.length.toLong
+      }
+    }
+    fs.delete(staging, true)
+    removed
+  }
+
+  /** ONE-TIME migration of a retired FLAT-layout corpus dir into the
+    * bucketed layout at `targetDir` (which must be empty or absent):
+    * docs are rewritten partitioned by digest bucket, the band index
+    * and sharded bloom are rebuilt from the landed rows, and the layout
+    * meta is stamped — so a stream restarted over a pre-bucketed corpus
+    * pays the legacy fallback's O(corpus) screen ONCE here instead of
+    * on every future batch, forever. The near-dup variant is detected
+    * from the flat corpus's own `bands` column (signatures, which the
+    * flat layout never stored, are recomputed from text — the O(corpus)
+    * pass this migration exists to pay once). The flat dir is left
+    * untouched; point the restarted stream and every reader at
+    * `targetDir` once this returns. Crash mid-migration: delete
+    * `targetDir` and re-run — the target is not live until this
+    * returns.
+    */
+  def migrateCorpus(spark: SparkSession, flatDir: String,
+      targetDir: String, buckets: Int = DefaultBuckets): Unit = {
+    import graft.operators.Dedup
+    val flat = spark.read.parquet(flatDir)
+    require(!flat.columns.contains("dbucket"),
+      s"$flatDir already carries the bucketed layout's dbucket column")
+    val fs = fsOf(spark, targetDir)
+    val tp = new Path(targetDir)
+    require(!fs.exists(tp) || fs.listStatus(tp).isEmpty,
+      s"migration target $targetDir must be empty or absent")
+    val hasBands = flat.columns.contains("bands")
+    val withDigest =
+      if (flat.columns.contains("digest")) flat
+      else flat.withColumn("digest", sha2(col("text"), 256))
+    withDigest.withColumn("dbucket",
+        pmod(xxhash64(col("digest")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("dbucket"))
+      .write.partitionBy("dbucket").parquet(targetDir)
+    if (hasBands) {
+      Dedup.docSignatures(withDigest, "text", "digest")
+        .select(explode(Dedup.lshBands(col("sig"), Bands, RowsPerBand))
+            .as("band"),
+          col("id").as("digest"), col("sig"))
+        .withColumn("bbucket",
+          pmod(col("band"), lit(buckets.toLong)).cast("int"))
+        .repartition(col("bbucket"))
+        .write.partitionBy("bbucket").parquet(s"$targetDir/_graft_index")
+    }
+    // sharded bloom over every landed digest hash + band key, one
+    // shard per task; meta written LAST so a crash re-migrates cleanly
+    val landed = spark.read.parquet(targetDir)
+    val keys = bloomKeys(
+      if (hasBands) landed.select(col("digest"), col("bands"))
+      else landed.select(col("digest")), hasBands)
+    val nKeys = keys.count()
+    val cap = math.max(1L << 17, 2 * nKeys)
+    writeShards(spark, targetDir, buildShards(keys, cap, buckets))
+    writeBloomMeta(spark, targetDir, BloomMeta(cap, nKeys, 0L, buckets))
+    writeSmall(spark, new Path(targetDir, "_graft_meta"),
+      s"$buckets".getBytes("UTF-8"))
+  }
+
   // --- the per-batch stage ----------------------------------------------
 
   /** Resolve, screen, and append one micro-batch against the landed
@@ -537,7 +750,7 @@ object CorpusIngest {
       buckets: Int = DefaultBuckets): IngestStats = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    drainRetiredBcasts()
+    drainRetiredBcasts(corpusDir)
     // legacy detection must run BEFORE layoutBuckets, which would
     // otherwise stamp a flat corpus with a bucketed-layout meta. The
     // common (bucketed) path decides on `_graft_meta` alone — no
@@ -653,11 +866,26 @@ object CorpusIngest {
               indexFiles = filesInBuckets(spark, idxDir, "bbucket", bb)
               if (bPresent.isEmpty) freshExact
               else {
-                val idx = spark.read.option("basePath", idxDir)
+                val idx0 = spark.read.option("basePath", idxDir)
                   .parquet(bPresent.map(b => s"$idxDir/bbucket=$b"): _*)
                   .filter(col("bbucket").isin(bb: _*))
                   .select(col("band"), col("digest").as("h_digest"),
                     col("sig").as("h_sig"))
+                // the SAME hot-band policy as in-batch pairing
+                // (Dedup.pairsByAgreement): a band held by more than
+                // HotBandCap index rows is boilerplate-saturated — drop
+                // it from the candidate join so in-batch and cross-batch
+                // decisions share one measure (a pair whose only shared
+                // band is saturated co-lands whether its docs arrive
+                // together or apart) and per-band join fan-out stays
+                // bounded however large the corpus grows. Exact even on
+                // the pruned read: every index row of band b lives in
+                // bucket pmod(b, nb), so the touched buckets hold band
+                // b's FULL census
+                val hotIdx = idx0.groupBy("band")
+                  .agg(count(lit(1)).as("c"))
+                  .filter(col("c") > Dedup.HotBandCap).select("band")
+                val idx = idx0.join(hotIdx, Seq("band"), "left_anti")
                 // band hit = candidate; reject only on verified
                 // agreement; digest-equal rows are a replay's own
                 // phantom index entries, never a reject reason
@@ -679,6 +907,7 @@ object CorpusIngest {
         val acceptedRows = accepted.count()
         var bloomBytes = 0L
         var compacted = false
+        var packedFiles = 0L
         if (acceptedRows > 0) {
           // ---- 1. bloom (before any append — see write order) ----
           // batch keys are bounded (~1+bands per accepted doc), so
@@ -690,18 +919,32 @@ object CorpusIngest {
           (bloomMeta, baseOpt) match {
             case (Some(m), Some(base)) if m.ins + nKeys <= m.cap =>
               if (deltaTotal + nKeys > compactThreshold(m.cap)) {
-                // COMPACT: fold deltas + batch keys into a CLONE of the
-                // base (the cached array is broadcast-shared — never
-                // mutated), write shards → meta(epoch+1) → drop deltas.
-                // Delta keys come from the cached broadcast values —
-                // no FS re-read on the compaction path either.
+                // COMPACT: fold deltas + batch keys into the base and
+                // rewrite the shard files, shards → meta(epoch+1) →
+                // drop deltas. The fold clones/mutates/writes ONE shard
+                // at a time (the cached array is broadcast-shared —
+                // never mutated in place), so the driver's transient
+                // memory is one shard (capacity/nshards), never a
+                // second full-capacity copy of the base. Delta keys
+                // come from the cached broadcast values — no FS re-read
+                // on the compaction path either.
                 compacted = true
-                val merged = base.shards.map(bf => bloomFromBytes(bloomToBytes(bf)))
-                val nsh = merged.length
+                val nsh = base.shards.length
+                // bucket the folded keys by shard once: O(delta) driver
+                // memory, bounded by the compaction threshold
+                val byShard = Array.fill(nsh)(
+                  new scala.collection.mutable.ArrayBuffer[Long]())
                 deltas.foreach(_.bcast.value.foreach(k =>
-                  merged(shardOf(k, nsh)).putLong(k)))
-                ks.foreach(k => merged(shardOf(k, nsh)).putLong(k))
-                bloomBytes += writeShards(spark, corpusDir, merged)
+                  byShard(shardOf(k, nsh)) += k))
+                ks.foreach(k => byShard(shardOf(k, nsh)) += k)
+                val bloomDir = new Path(corpusDir, "_graft_bloom")
+                (0 until nsh).foreach { s =>
+                  val m1 = bloomFromBytes(bloomToBytes(base.shards(s)))
+                  byShard(s).foreach(m1.putLong)
+                  val bytes = bloomToBytes(m1)
+                  writeSmall(spark, new Path(bloomDir, s"shard-$s.bin"), bytes)
+                  bloomBytes += bytes.length
+                }
                 writeBloomMeta(spark, corpusDir,
                   m.copy(ins = m.ins + nKeys, epoch = m.epoch + 1))
                 deltaFiles.foreach(p => fs0.delete(p, false))
@@ -710,15 +953,12 @@ object CorpusIngest {
               } else {
                 // steady state: one batch-sized delta file + meta; the
                 // file's broadcast is cached HERE so no later batch
-                // ever re-reads or re-ships it
+                // ever re-reads or re-ships it (cacheDelta retires a
+                // same-name entry a crash-replay rewrote)
                 val name = s"delta-${m.ins}.keys"
                 bloomBytes += writeDeltaFile(spark, corpusDir, name, ks)
                 writeBloomMeta(spark, corpusDir, m.copy(ins = m.ins + nKeys))
-                val cached = DeltaFile(name, nKeys,
-                  spark.sparkContext.broadcast(ks))
-                deltaCache.put(corpusDir,
-                  cached :: Option(deltaCache.get(corpusDir)).getOrElse(Nil)
-                    .filterNot(_.name == name))
+                cacheDelta(spark, corpusDir, name, ks)
               }
             case other =>
               // absent (first batch / legacy bloom) or over capacity:
@@ -746,32 +986,51 @@ object CorpusIngest {
           }
 
           // ---- 2. index rows (near-dup state), pruned-layout append ----
-          // appends REPARTITION on the bucket column first: partitionBy
-          // alone writes one file per (task × bucket) — ~32 files per
-          // touched bucket per batch — and the probe's per-bucket file
-          // count (and with it per-batch wall clock) would grow 32×
-          // faster than necessary as batches accumulate. One file per
-          // touched bucket per batch is the floor an append-only layout
-          // can hold; beyond that, file-count growth over thousands of
-          // batches is a table-compaction concern (Delta/Iceberg
-          // bin-packing in production; measured in SCALE.md).
+          // append layout: ONE file per touched bucket per batch — the
+          // floor an append-only layout can hold (partitionBy alone
+          // writes one file per task × bucket, ~32× worse). A LARGE
+          // batch reaches the floor through a repartition on the bucket
+          // column; a SMALL batch reaches the same floor through
+          // coalesce(1) — one task, one file per bucket, no shuffle
+          // (the repartition's fixed exchange cost dominated tiny
+          // batches: ~0.7 s at sf0.1). Growth ACROSS batches is bounded
+          // by the epoch-boundary bin-pack below.
+          def bucketed(df: DataFrame): DataFrame =
+            if (acceptedRows <= CoalesceBatchRows) df.coalesce(1)
+            else df.repartition(col(if (df.columns.contains("bbucket"))
+              "bbucket" else "dbucket"))
           if (hasBands) {
-            accepted.filter(size(col("bands")) > 0)
+            bucketed(accepted.filter(size(col("bands")) > 0)
               .select(explode(col("bands")).as("band"), col("digest"),
                 col("sig"))
               .withColumn("bbucket",
-                pmod(col("band"), lit(nb.toLong)).cast("int"))
-              .repartition(col("bbucket"))
+                pmod(col("band"), lit(nb.toLong)).cast("int")))
               .write.partitionBy("bbucket").mode("append")
               .parquet(s"$corpusDir/_graft_index")
           }
 
           // ---- 3. docs last ----
-          accepted.drop("sig").repartition(col("dbucket"))
+          bucketed(accepted.drop("sig"))
             .write.partitionBy("dbucket").mode("append").parquet(corpusDir)
+
+          // ---- 4. landed bin-pack, at the epoch boundary only ----
+          // each batch appends one file per touched bucket, so without
+          // packing the per-batch probe cost (listing + footer reads)
+          // grows with BATCH COUNT — the last unbounded term in the
+          // ingest (measured: 1.12× wall-clock drift across a 25-batch
+          // sf10 series). The bloom's epoch bump is the existing
+          // amortized O(capacity) boundary; the pack rides it.
+          if (compacted) {
+            packedFiles += packRoot(spark, corpusDir, "dbucket",
+              Seq("digest"))
+            if (hasBands)
+              packedFiles += packRoot(spark, s"$corpusDir/_graft_index",
+                "bbucket", Seq("band", "digest"))
+          }
         }
         IngestStats(batchRows, acceptedRows, bloomNegative, probed,
-          landedFiles, indexFiles, bloomBytes, compacted, deltaReads)
+          landedFiles, indexFiles, bloomBytes, compacted, deltaReads,
+          packedFiles)
       } finally { accepted.unpersist(); () }
     } finally {
       candidatesP.foreach(_.unpersist())

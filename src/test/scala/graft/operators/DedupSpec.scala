@@ -522,6 +522,49 @@ class DedupSpec extends SparkSpec {
     assert(ok.toSeq == Seq(10L))
   }
 
+  test("index row with a signature but NULL bands is the loud guard error, not an NPE") {
+    // a hand-built or foreign index frame can carry sig without bands;
+    // the parameter guard must surface it as its own loud
+    // IllegalArgumentException (nb = -1) rather than die on getInt(null)
+    val idx = Seq(("d1", Seq.fill(64)(1L)))
+      .toDF("digest", "sig")
+      .withColumn("bands", lit(null).cast("array<bigint>"))
+    val batch = Seq((10L, "a totally different document body with words"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalIngestNearDup(idx, batch, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("bands=-1"), e.getMessage)
+  }
+
+  test("history screen drops boilerplate-saturated bands (the in-batch cap's measure)") {
+    // the in-batch pairing caps hot bands (test above); the history
+    // screen must apply the same policy to ITS candidate join, so a
+    // pair whose only shared band is saturated co-lands whether the
+    // docs arrive together or apart
+    val batch = Seq((50L, (0 until 12).map(j => s"hs w$j tok$j")
+      .mkString(" "))).toDF("doc_id", "text")
+    val row = Dedup.nearDupIndex(batch, "text", "doc_id")
+      .select(col("sig"), col("bands")).head
+    val sig = row.getSeq[Long](0)
+    val bands = row.getSeq[Long](1)
+    // a boilerplate cluster: every fake row carries the batch doc's own
+    // signature and band set (the guard pins 16-band arrays), so EVERY
+    // shared band saturates together past the cap
+    def idxOf(n: Int) = (0 until n)
+      .map(i => (s"fakedigest$i", sig, bands))
+      .toDF("digest", "sig", "bands")
+    // cold bands, agreement 1.0: the collision rejects
+    val cold = Dedup.incrementalIngestNearDup(idxOf(3), batch,
+      "text", "doc_id").select("doc_id").as[Long].collect()
+    assert(cold.isEmpty, s"cold-band agreement-1.0 collision must reject")
+    // saturated bands (> HotBandCap rows each): dropped from the screen
+    val hot = Dedup.incrementalIngestNearDup(idxOf(300), batch,
+      "text", "doc_id").select("doc_id").as[Long].collect()
+    assert(hot.toSeq == Seq(50L),
+      "saturated bands must be dropped from the history screen")
+  }
+
   test("the snapshot-diff carve modifies NULL-text docs too (concat_ws, ADVICE r7)") {
     // pins the pipe_snapshot_diff carving arithmetic: appending ' v2'
     // with plain concat on a NULL text yields NULL — the doc would then

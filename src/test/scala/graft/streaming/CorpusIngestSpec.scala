@@ -419,6 +419,184 @@ class CorpusIngestSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 5L))
   }
 
+  // --- round 11: landed bin-pack, migration, broadcast lifecycle --------
+
+  test("landed bin-pack bounds per-bucket file count across compaction cycles") {
+    // each batch appends one file per touched bucket; without the
+    // epoch-boundary pack, per-bucket file count (and with it the
+    // probe's listing + footer cost) grows one file per batch forever.
+    // Batches of 200 docs put ~3.4k keys per batch against the 8.2k
+    // compaction threshold, so the bloom compacts every ~3rd batch —
+    // three full compaction cycles inside ten batches.
+    val corpus = tmpDir("cind13_corp")
+    val nb = 8
+    def batchOf(b: Int) = (0 until 200).map { i =>
+      doc(b * 10000L + i,
+        (0 until 12).map(j => s"lp${b}x${i}w$j").mkString(" "))
+    }
+    def bucketFiles(root: String, prefix: String): Seq[Int] = {
+      val d = new java.io.File(root)
+      if (!d.exists) Nil
+      else d.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .map(_.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .toSeq
+    }
+    var maxEver = 0
+    val stats = (1 to 10).map { b =>
+      val st = CorpusIngest.ingestBatch(prep(batchOf(b)), corpus,
+        Some(0.5), buckets = nb)
+      val dFiles = bucketFiles(corpus, "dbucket=")
+      val iFiles = bucketFiles(s"$corpus/_graft_index", "bbucket=")
+      maxEver = math.max(maxEver, (dFiles ++ iFiles).max)
+      if (st.bloomCompacted) {
+        // the pack rides the epoch bump: every bucket back to one file
+        assert((dFiles ++ iFiles).forall(_ <= 2),
+          s"batch $b compacted but buckets hold ${dFiles ++ iFiles} files")
+      }
+      st
+    }
+    val compactions = stats.count(_.bloomCompacted)
+    assert(compactions >= 3,
+      s"fixture must cross >=3 compaction cycles (got $compactions)")
+    assert(stats.exists(_.packedFiles > 0L),
+      "at least one epoch boundary must actually bin-pack")
+    // bounded by a constant across the whole series — NOT by batch count
+    // (3 appends between epochs + the pre-pack append = 4)
+    assert(maxEver <= 5,
+      s"per-bucket file count must stay bounded (max seen: $maxEver)")
+    // packed state still screens: exact replay + near-dup of a doc from
+    // the FIRST batch (packed several times since) both reject
+    val replay = doc(90000L, (0 until 12).map(j => s"lp1x7w$j").mkString(" "))
+    val near = doc(90001L,
+      (0 until 12).map(j => if (j == 11) "SWAPPED" else s"lp1x7w$j")
+        .mkString(" "))
+    val st = CorpusIngest.ingestBatch(prep(Seq(replay, near)), corpus,
+      Some(0.5), buckets = nb)
+    assert(st.acceptedRows == 0L,
+      s"packed corpus must still reject exact + near dups: $st")
+    assert(spark.read.parquet(corpus).count() == 2000L,
+      "pack must preserve every landed row exactly once")
+  }
+
+  test("migrateCorpus: flat near-dup corpus becomes a pruned bucketed corpus") {
+    val flat = tmpDir("cind14_flat"); val target = tmpDir("cind14_tgt")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    prep(Seq(doc(2, base), doc(3, other)))
+      .withColumn("bands", Dedup.bandKeysCol(col("text")))
+      .write.mode("append").parquet(flat)
+    CorpusIngest.migrateCorpus(spark, flat, target, buckets = 8)
+    // the docs came across, bucketed
+    val landed = spark.read.parquet(target)
+    assert(landed.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    assert(landed.columns.contains("dbucket"))
+    // the rebuilt state screens WITHOUT the legacy fallback: exact
+    // replay + near-dup reject, novel doc lands, probes are PRUNED
+    val st = CorpusIngest.ingestBatch(prep(Seq(
+      doc(7, base),                            // exact dup -> reject
+      doc(8, base.replace("alpha", "OMEGA")),  // near-dup -> reject
+      doc(4, "eins zwei drei vier fuenf sechs sieben acht neun zehn " +
+        "elf zwoelf"))),
+      target, Some(0.5), buckets = 8)
+    assert(st.acceptedRows == 1L, s"$st")
+    val totalFiles = new java.io.File(target).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dbucket="))
+      .map(_.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))).sum
+    assert(st.landedFilesRead < totalFiles,
+      s"migrated probes must be pruned: read ${st.landedFilesRead} " +
+        s"of $totalFiles")
+    // the migrated bloom is live: an all-novel batch reads ZERO files
+    val st2 = CorpusIngest.ingestBatch(prep(Seq(
+      doc(11, "gamma delta words nobody used before in any batch here"))),
+      target, Some(0.5), buckets = 8)
+    assert(st2.landedFilesRead == 0L && st2.indexFilesRead == 0L,
+      s"migrated bloom must screen novel batches to zero reads: $st2")
+    // exact-layout variant (no bands column) migrates too
+    val flatE = tmpDir("cind14_fe"); val targetE = tmpDir("cind14_te")
+    prep(Seq(doc(1, "aa bb cc dd ee"))).write.mode("append").parquet(flatE)
+    CorpusIngest.migrateCorpus(spark, flatE, targetE, buckets = 8)
+    val stE = CorpusIngest.ingestBatch(prep(Seq(
+      doc(5, "aa bb cc dd ee"), doc(6, "ff gg hh ii jj"))),
+      targetE, None, buckets = 8)
+    assert(stE.acceptedRows == 1L, s"$stE")
+    // a bucketed source or a non-empty target are loud errors
+    intercept[IllegalArgumentException] {
+      CorpusIngest.migrateCorpus(spark, target, tmpDir("cind14_x"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusIngest.migrateCorpus(spark, flat, target)
+    }
+  }
+
+  test("delta broadcast lifecycle: same-name replay retires; drains are per-corpus") {
+    // a crash-replay of the delta-write window rewrites the same delta
+    // name: the replaced cache entry's broadcast must be retired (and
+    // destroyed at the corpus's own next batch) — not silently dropped,
+    // which leaks it until session end. And the retire queue is scoped
+    // per corpus dir: another corpus's batch start must not destroy a
+    // broadcast this corpus's in-flight batch may still reference.
+    val corpA = tmpDir("cind15_a"); val corpB = tmpDir("cind15_b")
+    val keys = Array(1L, 5L, 9L)
+    CorpusIngest.cacheDelta(spark, corpA, "delta-0.keys", keys)
+    val b1 = CorpusIngest.deltaBroadcasts(corpA).head
+    CorpusIngest.cacheDelta(spark, corpA, "delta-0.keys", keys) // replay
+    val b2 = CorpusIngest.deltaBroadcasts(corpA).head
+    assert(!(b1 eq b2))
+    assert(CorpusIngest.deltaBroadcasts(corpA).size == 1,
+      "the replayed name must replace, not accumulate")
+    // corpus B's batch start: A's retiree must survive it
+    CorpusIngest.drainRetiredBcasts(corpB)
+    assert(b1.value.toSeq == keys.toSeq,
+      "another corpus's drain must not destroy this corpus's retiree")
+    // A's own next batch start destroys exactly the retiree
+    CorpusIngest.drainRetiredBcasts(corpA)
+    intercept[org.apache.spark.SparkException] { b1.value }
+    assert(b2.value.toSeq == keys.toSeq,
+      "the live replacement must be untouched")
+  }
+
+  test("cross-batch index screen shares the in-batch hot-band policy") {
+    // a band held by more than HotBandCap index rows is boilerplate-
+    // saturated: the in-batch cap (Dedup.pairsByAgreement) would let a
+    // pair sharing ONLY that band co-land, so the cross-batch screen
+    // must admit the same doc arriving in a later batch — otherwise
+    // corpus contents depend on batch boundaries.
+    val text = (0 until 12).map(j => s"hb w$j tok$j").mkString(" ")
+    val batch = prep(Seq(doc(50, text)))
+    val row = Dedup.nearDupIndex(batch, "text", "doc_id")
+      .select(col("sig"), col("bands")).head
+    val sig = row.getSeq[Long](0)
+    val hotBand = row.getSeq[Long](1).head
+    val nb = 8
+    def corpusWithIndex(n: Int): String = {
+      val corpus = tmpDir(s"cind16_$n")
+      (0 until n).map(i => (hotBand, s"fakedigest$i", sig))
+        .toDF("band", "digest", "sig")
+        .withColumn("bbucket", pmod(col("band"), lit(nb.toLong)).cast("int"))
+        .coalesce(1).write.partitionBy("bbucket").mode("append")
+        .parquet(s"$corpus/_graft_index")
+      corpus
+    }
+    // COLD band (3 rows, agreement 1.0 >= t): the screen rejects
+    val stCold = CorpusIngest.ingestBatch(batch, corpusWithIndex(3),
+      Some(0.5), buckets = nb)
+    assert(stCold.acceptedRows == 0L,
+      s"cold-band agreement-1.0 collision must reject: $stCold")
+    // HOT band (300 rows > HotBandCap): dropped from the screen — the
+    // doc is admitted, matching the in-batch decision for co-arriving
+    // boilerplate whose only shared band is saturated
+    val stHot = CorpusIngest.ingestBatch(batch, corpusWithIndex(300),
+      Some(0.5), buckets = nb)
+    assert(stHot.acceptedRows == 1L,
+      s"saturated band must be dropped from the screen: $stHot")
+  }
+
   test("crash between index append and docs append: replay still lands the doc") {
     // the write-order contract (bloom → index → docs): a replay that
     // finds its OWN phantom index rows must exclude the digest-equal
