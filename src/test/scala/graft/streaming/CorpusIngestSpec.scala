@@ -480,6 +480,48 @@ class CorpusIngestSpec extends SparkSpec {
       "pack must preserve every landed row exactly once")
   }
 
+  test("pack heals crash-window duplicate rows at the next epoch") {
+    // a crash between the pack's rename-in and delete-old phases leaves
+    // DUPLICATE doc rows (never missing ones). Simulate it by copying a
+    // landed data file under a new name, then drive batches until the
+    // next epoch boundary: the pack's dropDuplicates must fold the
+    // duplicates away and every digest must hold exactly one row again.
+    val corpus = tmpDir("cind17_corp")
+    val nb = 8
+    def batchOf(b: Int) = (0 until 200).map { i =>
+      doc(b * 10000L + i,
+        (0 until 12).map(j => s"ph${b}x${i}w$j").mkString(" "))
+    }
+    CorpusIngest.ingestBatch(prep(batchOf(1)), corpus, Some(0.5), buckets = nb)
+    // duplicate one bucket's data file (the crash-window artifact)
+    val bucketDir = new java.io.File(corpus).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dbucket="))
+      .find(_.listFiles().exists(_.isFile)).get
+    val src = bucketDir.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(bucketDir, s"dup-${src.getName}").toPath)
+    val dupCount = spark.read.parquet(corpus).count()
+    assert(dupCount > 200L, "the simulated crash must duplicate rows")
+    // drive novel batches until the bloom next compacts (epoch bump)
+    var b = 2
+    var packed = false
+    while (!packed && b < 12) {
+      val st = CorpusIngest.ingestBatch(prep(batchOf(b)), corpus,
+        Some(0.5), buckets = nb)
+      packed = st.bloomCompacted
+      b += 1
+    }
+    assert(packed, "fixture must reach an epoch boundary")
+    val byDigest = spark.read.parquet(corpus)
+      .groupBy("digest").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(byDigest.isEmpty,
+      "the epoch pack must heal duplicate rows (one row per digest)")
+    assert(spark.read.parquet(corpus).count() == (b - 1) * 200L,
+      "healed corpus must hold each accepted doc exactly once")
+  }
+
   test("migrateCorpus: flat near-dup corpus becomes a pruned bucketed corpus") {
     val flat = tmpDir("cind14_flat"); val target = tmpDir("cind14_tgt")
     val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
