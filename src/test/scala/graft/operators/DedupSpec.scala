@@ -565,6 +565,29 @@ class DedupSpec extends SparkSpec {
       "saturated bands must be dropped from the history screen")
   }
 
+  test("materializedManaged evaluates its plan exactly once; release deletes the scratch") {
+    // the single-evaluation pin behind dedup_components/dedup_resolve:
+    // the upstream plan runs ONCE (at the parquet write), every later
+    // action on the returned frame is a scan — counted via an
+    // accumulator inside the plan
+    val acc = spark.sparkContext.longAccumulator("evals")
+    val bump = udf((x: Long) => { acc.add(1L); x })
+    val df = spark.range(7).select(bump(col("id")).as("id_a"),
+      (col("id") + 100L).as("id_b"))
+    val (mat, release) = Dedup.materializedManaged(df, "spec_once")
+    assert(acc.value == 7L, s"write must evaluate the plan once: ${acc.value}")
+    assert(mat.count() == 7L && mat.count() == 7L
+      && mat.select("id_a").as[Long].collect().sorted.toSeq == (0L to 6L))
+    assert(acc.value == 7L,
+      s"later actions must be scans, not re-evaluations: ${acc.value}")
+    // the scratch dir exists until released, then is gone
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def dirs = tmp.listFiles().filter(_.getName.startsWith("graft_spec_once_"))
+    assert(dirs.length == 1)
+    release()
+    assert(dirs.isEmpty, "release must delete the scratch dir")
+  }
+
   test("the snapshot-diff carve modifies NULL-text docs too (concat_ws, ADVICE r7)") {
     // pins the pipe_snapshot_diff carving arithmetic: appending ' v2'
     // with plain concat on a NULL text yields NULL — the doc would then

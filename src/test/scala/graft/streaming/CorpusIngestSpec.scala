@@ -576,6 +576,36 @@ class CorpusIngestSpec extends SparkSpec {
     }
   }
 
+  test("migrateCorpus carries sub-shingle docs: no index rows, digest screen still covers them") {
+    // a doc too short to shingle has no band keys in the flat layout
+    // (bands = []); migration must not index it (docSignatures filters
+    // empty shingle sets) but its digest must still reach the bloom and
+    // docs table so the exact screen rejects a replay
+    val flat = tmpDir("cind18_flat"); val target = tmpDir("cind18_tgt")
+    def prep1(docs: Seq[(Long, String, String, String, Long)]) =
+      CorpusIngest.prepared(
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"), 1)
+    val tiny = "one two" // 2 tokens < shingleN=3 -> empty shingle set
+    prep1(Seq(doc(1, tiny),
+      doc(2, "alpha bravo charlie delta echo foxtrot golf hotel india")))
+      .withColumn("bands", Dedup.bandKeysCol(col("text")))
+      .write.mode("append").parquet(flat)
+    CorpusIngest.migrateCorpus(spark, flat, target, buckets = 8)
+    assert(spark.read.parquet(target).count() == 2L)
+    // the sub-shingle doc produced no index rows...
+    val idx = spark.read.parquet(s"$target/_graft_index")
+    val tinySha = org.apache.commons.codec.digest.DigestUtils.sha256Hex(tiny)
+    assert(idx.filter(col("digest") === tinySha).isEmpty,
+      "a sub-shingle doc must not be indexed")
+    // ...but its digest still screens: exact replay rejects, novel lands
+    val st = CorpusIngest.ingestBatch(prep1(Seq(
+      doc(9, tiny), doc(4, "vier funf"))), target, Some(0.5),
+      buckets = 8)
+    assert(st.acceptedRows == 1L, s"$st")
+    assert(spark.read.parquet(target).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("delta broadcast lifecycle: same-name replay retires; drains are per-corpus") {
     // a crash-replay of the delta-write window rewrites the same delta
     // name: the replaced cache entry's broadcast must be retired (and
