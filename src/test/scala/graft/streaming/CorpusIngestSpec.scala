@@ -480,6 +480,31 @@ class CorpusIngestSpec extends SparkSpec {
       "pack must preserve every landed row exactly once")
   }
 
+  test("both append paths hold the one-file-per-touched-bucket floor") {
+    // a batch over CoalesceBatchRows (50k) takes the repartition path,
+    // a small batch the coalesce(1) path — each must write exactly ONE
+    // file per touched bucket (partitionBy alone would write one per
+    // task x bucket). Exact stream (no near-dup machinery) keeps the
+    // 50k-doc fixture fast.
+    val corpus = tmpDir("cind19_corp")
+    val nb = 8
+    def fileCounts = new java.io.File(corpus).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dbucket="))
+      .map(_.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))).toSeq
+    val big = (0 until 50001).map(i =>
+      doc(i.toLong, s"alpha$i beta$i gamma$i delta$i"))
+    val st1 = CorpusIngest.ingestBatch(prep(big), corpus, None, buckets = nb)
+    assert(st1.acceptedRows == 50001L, s"$st1")
+    assert(fileCounts.forall(_ == 1),
+      s"repartition path must write 1 file per bucket: $fileCounts")
+    val st2 = CorpusIngest.ingestBatch(prep(Seq(
+      doc(90001L, "epsilon zeta eta theta"))), corpus, None, buckets = nb)
+    assert(st2.acceptedRows == 1L, s"$st2")
+    assert(fileCounts.sum == nb + 1,
+      s"coalesce path must add exactly one file: $fileCounts")
+  }
+
   test("pack heals crash-window duplicate rows at the next epoch") {
     // a crash between the pack's rename-in and delete-old phases leaves
     // DUPLICATE doc rows (never missing ones). Simulate it by copying a
