@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to run after it (observed round 3: unchanged queries regressed up to
   * 13× purely from neighborhood). So each query is measured as the
   * MEDIAN OF `runs` BACK-TO-BACK EXECUTIONS, with the catalog cache
-  * cleared and a GC forced before each query's block. The median drops
+  * cleared and a GC forced before EVERY SAMPLE — uniform cold-cache
+  * warmth, so queries that manage their caches differently stay
+  * comparable. The median drops
   * the one-off costs (first-run codegen, a stray full GC) that a single
   * sample can't distinguish from plan cost.
   *
@@ -54,11 +56,18 @@ object Bench {
       : (Seq[(String, Option[Double])], Seq[(String, String)]) = {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = queries.map { case (name, fn) =>
-      // quiesce: drop caches left by prior queries, collect garbage so
-      // this query's heap pressure is its own, not its predecessor's
-      spark.catalog.clearCache()
-      System.gc()
       val samples = (1 to runs).map { _ =>
+        // quiesce before EVERY sample, not just the query's first:
+        // a query that leaves internal caches warm (an unmanaged
+        // shingle persist surviving samples 2..n) would otherwise
+        // bench warm while a managed query (releases per invocation)
+        // benches cold — suite medians must be comparable without
+        // per-query warmth adjudication (judge r11 #4). Cost: every
+        // sample prices the query COLD; disk-resident build-once
+        // indexes stay warm by design (that amortization is
+        // production-real, and uniform across samples).
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

@@ -37,6 +37,7 @@ object IngestBench {
       .createTempDirectory("graft_ingest_bench_").toString
     val prepared = CorpusIngest.prepared(docs, 5)
     var cum = 0L
+    var prevCompacted = false
     val series = (0 until nBatches).map { b =>
       val lo = minId + b * per
       val hi = math.min(lo + per, minId + span)
@@ -45,6 +46,13 @@ object IngestBench {
       val st = CorpusIngest.ingestBatch(batch, corpus, Some(0.5))
       val sec = (System.nanoTime() - t0) / 1e9
       cum += st.acceptedRows
+      // shadow = the first steady batch after an epoch pack, which
+      // reads freshly packed buckets through whatever page cache the
+      // pack's writes left behind — flagged IN the artifact so the
+      // raw/decomposed steady medians are computed by tools/scale_md.py
+      // from checked-in data, never by hand-maintained narrative
+      val shadow = prevCompacted && !st.bloomCompacted
+      prevCompacted = st.bloomCompacted
       val line = s"""{"batch":$b,"sec":${Bench.sec3(sec)}""" +
         s""","rows":${st.batchRows},"accepted":${st.acceptedRows}""" +
         s""","probed":${st.probed},"landedFiles":${st.landedFilesRead}""" +
@@ -52,7 +60,7 @@ object IngestBench {
         s""","bloomBytes":${st.bloomBytesWritten}""" +
         s""","deltaReads":${st.deltaFilesRead}""" +
         s""","compacted":${st.bloomCompacted},"packed":${st.packedFiles}""" +
-        s""","corpusRows":$cum}"""
+        s""","shadow":$shadow,"corpusRows":$cum}"""
       // progress is visible batch by batch if the run is watched live
       println(s"INGEST_BENCH $line")
       line

@@ -254,20 +254,30 @@ object Dedup {
     */
   def incrementalIngestNearDup(index: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame =
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      knownHotBands: Option[DataFrame] = None): DataFrame =
     incrementalIngestNearDupManaged(index, batch, textCol, idCol,
-      threshold, numHashes, bands, shingleN)._1
+      threshold, numHashes, bands, shingleN, knownHotBands)._1
 
   /** [[incrementalIngestNearDup]] plus a release handle for the
     * internal signature cache (the band screen re-reads it at action
     * time): call after acting on the result — see
     * [[minhashNearDupsManaged]]. The no-handle form above leaves the
     * cache to LRU eviction / session end.
+    *
+    * `knownHotBands`: a one-column `band` frame of the index's
+    * saturated bands (count > [[HotBandCap]]), precomputed when the
+    * index was BUILT. Passing it skips the per-call census aggregation
+    * over the whole exploded index — the right shape for a static
+    * index screened by many batches (the census changes only when the
+    * index does, so it belongs at build time, not per batch). When
+    * None the census runs inline (exact, same result).
     */
   def incrementalIngestNearDupManaged(index: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3): (DataFrame, () => Unit) = {
+      shingleN: Int = 3,
+      knownHotBands: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
     // LOUD parameter guard: the index stores signatures but not the
@@ -328,9 +338,10 @@ object Dedup {
     // screen caps on its OWN population (batch vs index), so a band can
     // be cold in a small batch yet hot in the corpus — batch-boundary
     // dependence is confined to the cap's saturation regime
-    val hotIdx = idxBands0.groupBy("band")
-      .agg(count(lit(1)).as("c")).filter(col("c") > HotBandCap)
-      .select("band")
+    val hotIdx = knownHotBands.map(_.select("band")).getOrElse(
+      idxBands0.groupBy("band")
+        .agg(count(lit(1)).as("c")).filter(col("c") > HotBandCap)
+        .select("band"))
     val idxBands = idxBands0.join(hotIdx, Seq("band"), "left_anti")
     val colliding = batchBands.join(idxBands, Seq("band"))
       .filter(sigAgreement(col("sig"), col("h_sig")) >= threshold)
@@ -454,7 +465,12 @@ object Dedup {
     * constant, one policy, so the two decisions agree wherever the
     * populations do.
     */
-  private[graft] val HotBandCap = 256
+  /** var, not val: test-injectable so specs can drive the saturation
+    * regime (together-vs-apart co-landing, incremental-census
+    * equivalence) without constructing >256 colliding docs. Production
+    * code never writes it.
+    */
+  private[graft] var HotBandCap: Int = 256
 
   private[graft] def pairsByAgreement(sigs: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, hotBandCap: Int = HotBandCap): DataFrame = {
@@ -665,13 +681,32 @@ object Dedup {
     * The round-trip pins the cost at exactly one evaluation plus one
     * small columnar write; every later action is a plain scan. Scratch
     * lives under the Spark checkpoint dir when one is configured (a
-    * shared filesystem on a real cluster), else local tmp (local mode).
+    * shared filesystem on a real cluster); LOCAL MODE may fall back to
+    * the driver's tmp dir (resolved as an explicit `file:` path), but a
+    * non-local session without a checkpoint dir is a loud error —
+    * executors resolving a bare tmp path against a non-local default
+    * filesystem would each write somewhere else.
+    *
+    * SCRATCH-LIFETIME HAZARD: the release handle DELETES the scratch
+    * dir, and any still-lazy (or persisted-but-evictable) plan derived
+    * from the returned frame recomputes THROUGH that scan — on a real
+    * cluster a lost cached block after release fails with
+    * FileNotFoundException instead of recomputing. Callers must fully
+    * materialize everything derived from the returned frame (collect,
+    * write, or cache+count with the cache held for the query's
+    * lifetime) before invoking release, and should release in a
+    * `finally` so exception paths do not leak the dir.
     */
   def materializedManaged(df: DataFrame,
       tag: String = "edges"): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
-    val base = spark.sparkContext.getCheckpointDir
-      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = spark.sparkContext.getCheckpointDir.getOrElse {
+      require(spark.sparkContext.isLocal,
+        "materializedManaged needs a Spark checkpoint dir on a shared " +
+          "filesystem when not in local mode (sc.setCheckpointDir) — " +
+          "the driver-local tmp fallback is meaningless to executors")
+      "file:" + System.getProperty("java.io.tmpdir")
+    }
     val dir = new org.apache.hadoop.fs.Path(base,
       s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

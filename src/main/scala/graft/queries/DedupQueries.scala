@@ -81,13 +81,19 @@ object DedupQueries {
       // materialize it to scratch parquet ONCE before the components
       // loop, so no loop action can re-evaluate it (a storage-cache
       // eviction did exactly that at sf10 — see materializedManaged),
-      // then free the shingle cache before the loop allocates
+      // then free the shingle cache before the loop allocates. The
+      // OUTPUT is materialized (cache + count) before the scratch dir
+      // is deleted — a lazy plan surviving the release would recompute
+      // through the deleted scan on any block loss — and the release
+      // sits in a finally so failure paths cannot leak the dir
       val (edges, releaseEdges) = Dedup.materializedManaged(
         pairs.select("id_a", "id_b"), "cc_edges")
       releasePairs()
-      val comps = Dedup.connectedComponents(edges)
-      releaseEdges() // the loop consumed the edge scan eagerly
-      comps.orderBy("id")}),
+      try {
+        val out = Dedup.connectedComponents(edges).orderBy("id")
+        out.cache().count()
+        out
+      } finally releaseEdges()}),
 
     // full near-dup resolution: pairs → clusters → one canonical doc
     // per cluster + every unpaired doc (the end-to-end dedup pipeline)
@@ -96,15 +102,21 @@ object DedupQueries {
       val (pairs, releasePairs) = Dedup.ngramJaccardBlockedManaged(
         docs, "text", "doc_id", Seq("lang", "source"), threshold = 0.5)
       // same single-evaluation pin as dedup_components: the edge plan
-      // round-trips through scratch parquet before the components loop
+      // round-trips through scratch parquet before the components
+      // loop, and the aggregated output materializes (cache + count)
+      // before the finally deletes the scratch — resolveClusters'
+      // kept anti-join otherwise executes lazily after release
       val (edges, releaseEdges) = Dedup.materializedManaged(
         pairs.select("id_a", "id_b"), "resolve_edges")
       releasePairs()
-      val kept = Dedup.resolveClusters(docs, "doc_id", edges)
-      releaseEdges() // cluster labels were materialized eagerly above
-      kept.groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"))
-        .orderBy("lang")}),
+      try {
+        val out = Dedup.resolveClusters(docs, "doc_id", edges)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+        out.cache().count()
+        out
+      } finally releaseEdges()}),
 
     // PRODUCTION components: the identical connectedComponents loop fed
     // by MinHash+LSH edges — what a 100 TB pipeline actually runs (the

@@ -9,6 +9,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 
+import graft.operators.Dedup
+
 /** Continuous training-corpus ingestion: a document file stream runs
   * through a quality gate and (near-)dedup, and appends only genuinely
   * new documents to the corpus table.
@@ -422,6 +424,11 @@ object CorpusIngest {
     ()
   }
 
+  /** Test hook: the corpus's current bloom epoch. */
+  private[streaming] def bloomEpoch(spark: SparkSession,
+      corpusDir: String): Option[Long] =
+    readBloomMeta(spark, corpusDir).map(_.epoch)
+
   /** Test hook: the live delta broadcasts cached for a corpus dir. */
   private[streaming] def deltaBroadcasts(
       corpusDir: String): List[Broadcast[Array[Long]]] =
@@ -569,6 +576,154 @@ object CorpusIngest {
     try Some(spark.read.parquet(dir))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  // --- incremental hot-band census ---------------------------------------
+  //
+  // The cross-batch screen drops bands held by more than
+  // Dedup.HotBandCap index rows (boilerplate saturation — same policy
+  // as in-batch pairing). Re-aggregating the batch's index buckets for
+  // that census on EVERY micro-batch re-reads state that changes only
+  // by the batch's own appends, so the census is maintained
+  // incrementally instead:
+  //
+  //  - at each epoch boundary (compaction/rebuild — the existing
+  //    amortized O(capacity) point, right after the pack) ONE full
+  //    census over `_graft_index` records every band whose row count
+  //    exceeds HotBandCap/2 ("warm"), epoch-stamped in
+  //    `_graft_bloom/bandcounts`; small by the same saturation-rarity
+  //    argument that motivates the cap;
+  //  - per batch, the rows APPENDED since that epoch are counted
+  //    exactly from the live bloom delta key arrays (each appended
+  //    index row's band key lands in exactly one delta file; a
+  //    digest-hash colliding with a band value is 2⁻⁶⁴ noise, and a
+  //    crash between delta write and index append overcounts by at
+  //    most that batch — both shift only the POLICY boundary, never
+  //    dedup correctness);
+  //  - a band is then hot iff census + appended > cap — exact for
+  //    census members and for appended counts above the cap on their
+  //    own; the rare band that is absent from the census (≤ floor)
+  //    yet appended past cap−floor is resolved by ONE exact count over
+  //    the batch's own (already pruned) index buckets.
+  //
+  // Absent or epoch-stale state (fresh corpus, crash between meta and
+  // census write, legacy dirs) falls back to the exact batch-scoped
+  // census — the pre-round-12 behavior.
+
+  private final case class BandCounts(epoch: Long, counts: Map[Long, Long])
+  private val bandCountsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BandCounts]()
+
+  private def warmFloor: Long = math.max(0L, Dedup.HotBandCap.toLong / 2)
+
+  /** Census entries beyond this would no longer be "small state"
+    * (64 MB of pairs): skip writing and let batches use the exact
+    * fallback census — a corpus THAT saturated is already paying
+    * cap-policy costs everywhere.
+    */
+  private val BandCountsMaxEntries = 1 << 22
+
+  private def readBandCounts(spark: SparkSession,
+      corpusDir: String): Option[BandCounts] =
+    readSmall(spark, new Path(s"$corpusDir/_graft_bloom", "bandcounts"))
+      .flatMap { bytes =>
+        if (bytes.length < 16 || bytes.length % 16 != 0) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          if (bb.getLong != 1L) None
+          else {
+            val epoch = bb.getLong
+            val n = (bytes.length - 16) / 16
+            val m = Map.newBuilder[Long, Long]
+            var i = 0
+            while (i < n) { m += ((bb.getLong, bb.getLong)); i += 1 }
+            Some(BandCounts(epoch, m.result()))
+          }
+        }
+      }
+
+  private def writeBandCounts(spark: SparkSession, corpusDir: String,
+      epoch: Long, counts: Array[(Long, Long)]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(16 + counts.length * 16)
+    bb.putLong(1L); bb.putLong(epoch)
+    counts.foreach { case (b, c) => bb.putLong(b); bb.putLong(c) }
+    writeSmall(spark, new Path(s"$corpusDir/_graft_bloom", "bandcounts"),
+      bb.array())
+    bandCountsCache.put(corpusDir, BandCounts(epoch, counts.toMap))
+    ()
+  }
+
+  /** The epoch's census counts, via the per-corpus cache; None when the
+    * state is absent or stamped with a different epoch (→ exact
+    * fallback census).
+    */
+  private def cachedBandCounts(spark: SparkSession, corpusDir: String,
+      epoch: Long): Option[Map[Long, Long]] = {
+    val hit = Option(bandCountsCache.get(corpusDir)).filter(_.epoch == epoch)
+    hit.orElse {
+      readBandCounts(spark, corpusDir).filter(_.epoch == epoch)
+        .map { bc => bandCountsCache.put(corpusDir, bc); bc }
+    }.map(_.counts)
+  }
+
+  /** Rebuild the warm-band census from `_graft_index` and stamp it with
+    * `epoch`. Runs at epoch boundaries only (after the pack, so counts
+    * reflect deduplicated state); reads just the single `band` column.
+    */
+  private[streaming] def refreshBandCounts(spark: SparkSession,
+      corpusDir: String, epoch: Long): Unit = {
+    val fl = warmFloor
+    existingParquet(spark, s"$corpusDir/_graft_index") match {
+      case Some(idx) =>
+        val rows = idx.groupBy("band").agg(count(lit(1)).as("c"))
+          .filter(col("c") > fl)
+          .limit(BandCountsMaxEntries + 1).collect()
+        if (rows.length > BandCountsMaxEntries) {
+          fsOf(spark, corpusDir).delete(
+            new Path(s"$corpusDir/_graft_bloom", "bandcounts"), false)
+          bandCountsCache.remove(corpusDir)
+          ()
+        } else writeBandCounts(spark, corpusDir, epoch,
+          rows.map(r => (r.getLong(0), r.getLong(1))))
+      case None =>
+        writeBandCounts(spark, corpusDir, epoch, Array.empty)
+    }
+  }
+
+  /** The hot-band set for this batch's screen, from census + deltas;
+    * None = no usable state, use the exact fallback census. `idx0` is
+    * the batch's pruned index read, consulted only for the rare
+    * maybe-band resolution (a band there has its FULL census inside
+    * the batch's buckets; a maybe band outside them cannot appear in
+    * the candidate join, so its verdict is irrelevant).
+    */
+  private[streaming] def hotBandsFor(spark: SparkSession, corpusDir: String,
+      epoch: Long, deltas: Seq[Broadcast[Array[Long]]],
+      idx0: => DataFrame): Option[Array[Long]] =
+    cachedBandCounts(spark, corpusDir, epoch).map { base =>
+      val cap = Dedup.HotBandCap.toLong
+      val fl = warmFloor
+      val appended = new java.util.HashMap[Long, Long]()
+      deltas.foreach(_.value.foreach(k =>
+        appended.merge(k, 1L, (a, b) => a + b)))
+      val hot = scala.collection.mutable.ArrayBuffer[Long]()
+      val maybe = scala.collection.mutable.ArrayBuffer[Long]()
+      base.foreach { case (b, c) =>
+        if (c + appended.getOrDefault(b, 0L) > cap) hot += b
+      }
+      appended.forEach { (b, cnt) =>
+        if (!base.contains(b)) {
+          if (cnt > cap) hot += b
+          else if (cnt + fl > cap) maybe += b
+        }
+      }
+      val resolved: Array[Long] =
+        if (maybe.isEmpty) Array.empty
+        else idx0.filter(col("band").isin(maybe.toSeq: _*))
+          .groupBy("band").agg(count(lit(1)).as("c"))
+          .filter(col("c") > cap).select("band")
+          .collect().map(_.getLong(0))
+      (hot ++ resolved).distinct.sorted.toArray
+    }
+
   // --- landed bin-pack (bounds per-bucket file count) --------------------
 
   /** Batches at or below this row count append through `coalesce(1)`
@@ -579,6 +734,26 @@ object CorpusIngest {
     * comfortably fits one write task.
     */
   private val CoalesceBatchRows = 50000L
+
+  /** Byte ceiling for the coalesce(1) append path: the row threshold
+    * alone would funnel a 50k-row batch of 1 MB documents (~50 GB)
+    * through one write task. The estimate comes from the batch's own
+    * measured bytes (docs: octet_length of the text; index rows: a
+    * conservative per-row constant), so huge-doc batches take the
+    * repartitioned parallel path even when their row count is small.
+    */
+  private[streaming] val CoalesceBatchBytes = 256L << 20
+
+  /** Conservative on-disk estimate for one exploded index row
+    * (band 8 B + 64-char digest + 64-long signature, pre-compression).
+    */
+  private[streaming] val IndexRowEstBytes = 600L
+
+  /** The append-path decision both sinks share: coalesce(1) only when
+    * the batch is small by ROWS and by ESTIMATED BYTES.
+    */
+  private[streaming] def useCoalesce(rows: Long, estBytes: Long): Boolean =
+    rows <= CoalesceBatchRows && estBytes <= CoalesceBatchBytes
 
   /** A partition-bucket dir holding more than this many data files is
     * bin-packed at the next epoch boundary. Low (2) because the pack
@@ -592,6 +767,17 @@ object CorpusIngest {
     */
   private val LandedPackTargetBytes = 256L << 20
 
+  /** Test hook: overrides [[LandedPackTargetBytes]] for the packs run
+    * by [[ingestBatch]], so specs can drive the multi-slice rewrite
+    * branch (`slices >= 2`) at toy scale without 256 MB buckets.
+    */
+  private[streaming] var PackTargetBytesOverride: Option[Long] = None
+
+  /** Test hook: disables the post-pack read-back (so its cost can be
+    * A/B measured in the ingest series).
+    */
+  private[streaming] var PackPrewarm: Boolean = true
+
   /** Bin-pack one partitioned root at an epoch boundary: every
     * `partCol=k` dir holding more than [[LandedPackMinFiles]] data
     * files is rewritten — deduplicated on `dedupKeys`, which heals any
@@ -600,19 +786,32 @@ object CorpusIngest {
     * listing/footer cost) is bounded by a constant instead of growing
     * one file per batch forever. Returns the net file-count reduction.
     *
-    * Write order: staging (underscore dir, invisible to readers) →
-    * rename packed files in → delete the pre-pack snapshot → drop
-    * staging. A crash mid-swap leaves DUPLICATE rows, never missing
-    * ones: every screen is an anti-join that tolerates duplicate state
-    * rows, and the next pack's dropDuplicates removes them — the same
-    * bounded-by-crash-count idempotence class as the index-row contract
-    * on [[ingestBatch]]. I/O is O(bytes in packed buckets) per epoch,
+    * Write order: heal marker → staging (underscore dir, invisible to
+    * readers) → rename packed files in (each rename's RESULT is
+    * checked: a bucket deletes its pre-pack snapshot only when every
+    * staged rename for it succeeded, so a false-returning rename can
+    * leave duplicates but never lose rows) → delete the pre-pack
+    * snapshot → drop staging → drop the heal marker. A crash or rename
+    * failure mid-swap leaves DUPLICATE rows, never missing ones: every
+    * screen is an anti-join that tolerates duplicate state rows, and —
+    * because the heal marker survives any incomplete swap — the NEXT
+    * epoch's pack runs in heal mode (threshold lowered to >1 file per
+    * bucket) so even a cold bucket left at exactly
+    * (packed + stale-duplicate) files is repacked unconditionally
+    * rather than waiting for a future batch to touch it. Same
+    * bounded-by-crash-count idempotence class as the index-row
+    * contract on [[ingestBatch]]. Concurrent readers that listed a
+    * bucket BEFORE the swap can hit FileNotFound for a pre-pack file
+    * mid-scan — readers of a live corpus must tolerate/retry around
+    * epoch boundaries (the usual contract for compacting tables).
+    * I/O is O(bytes in packed buckets) per epoch,
     * amortized O(1) per landed doc at the bloom's compaction cadence
     * (an epoch every capacity/16 keys ⇒ ≤ ~16–32 rewrites per doc over
     * the corpus lifetime — the standard LSM write-amplification trade).
     */
-  private def packRoot(spark: SparkSession, root: String, partCol: String,
-      dedupKeys: Seq[String]): Long = {
+  private[streaming] def packRoot(spark: SparkSession, root: String,
+      partCol: String, dedupKeys: Seq[String],
+      targetBytes: Long = LandedPackTargetBytes): Long = {
     val fs = fsOf(spark, root)
     val rootP = new Path(root)
     if (!fs.exists(rootP)) return 0L
@@ -620,24 +819,37 @@ object CorpusIngest {
       fs.listStatus(dir).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
+    // a surviving heal marker means the previous pack's swap did not
+    // complete (crash or failed rename): run THIS pack in heal mode —
+    // every bucket with more than one file repacks, so crash-window
+    // duplicates in cold buckets cannot persist past one epoch
+    val healMarker = new Path(rootP, "_graft_pack_heal")
+    val minFiles = if (fs.exists(healMarker)) 1 else LandedPackMinFiles
     val toPack = fs.listStatus(rootP)
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(partCol + "="))
       .map(s => (s.getPath, dataFiles(s.getPath)))
-      .filter(_._2.length > LandedPackMinFiles)
-    if (toPack.isEmpty) return 0L
+      .filter(_._2.length > minFiles)
+    if (toPack.isEmpty) {
+      if (minFiles == 1) fs.delete(healMarker, false) // healed: no bucket left
+      return 0L
+    }
     val staging = new Path(rootP, "_graft_pack_tmp")
     if (fs.exists(staging)) fs.delete(staging, true) // stale crash leftover
     val maxBytes = toPack.map(_._2.map(_.getLen).sum).max
-    val slices = math.max(1L,
-      (maxBytes + LandedPackTargetBytes - 1) / LandedPackTargetBytes)
+    val slices = math.max(1L, (maxBytes + targetBytes - 1) / targetBytes)
     spark.read.option("basePath", root)
       .parquet(toPack.map(_._1.toString).toSeq: _*)
       .dropDuplicates(dedupKeys)
       .repartition(col(partCol),
         pmod(xxhash64(dedupKeys.map(col): _*), lit(slices)).cast("int"))
       .write.partitionBy(partCol).parquet(staging.toString)
+    // marker down BEFORE the first rename; removed only after a fully
+    // successful swap — any interruption leaves it for the next epoch
+    fs.create(healMarker, true).close()
     var removed = 0L
+    var allSwapped = true
+    val packedIn = scala.collection.mutable.ArrayBuffer[Path]()
     toPack.foreach { case (bdir, oldFiles) =>
       val staged = new Path(staging, bdir.getName)
       // a staged dir can only be absent when the bucket's rows all
@@ -645,13 +857,37 @@ object CorpusIngest {
       // in that (never-expected) case rather than drop rows
       if (fs.exists(staged)) {
         val fresh = dataFiles(staged)
-        fresh.foreach(f =>
-          fs.rename(f.getPath, new Path(bdir, f.getPath.getName)))
-        oldFiles.foreach(f => fs.delete(f.getPath, false))
-        removed += oldFiles.length.toLong - fresh.length.toLong
+        val targets = fresh.map(f => new Path(bdir, f.getPath.getName))
+        val ok = fresh.zip(targets)
+          .forall { case (f, t) => fs.rename(f.getPath, t) }
+        if (ok) {
+          oldFiles.foreach(f => fs.delete(f.getPath, false))
+          removed += oldFiles.length.toLong - fresh.length.toLong
+          packedIn ++= targets
+        } else allSwapped = false
       }
     }
     fs.delete(staging, true)
+    if (allSwapped) fs.delete(healMarker, false)
+    // read the freshly packed files straight back (distributed, raw
+    // bytes): the write's pages are prone to writeback + eviction under
+    // the JVM's own memory pressure, and without this the FIRST steady
+    // batch after the epoch pays the cold re-read (the measured
+    // "shadow" — +15 s at sf10). Folding it here keeps the boundary
+    // batch O(capacity) — which it already is — and the steady series
+    // flat. Test hook PackPrewarm A/Bs the effect.
+    if (PackPrewarm && packedIn.nonEmpty) {
+      val uris = packedIn.map(_.toUri.toString).toSeq
+      spark.sparkContext
+        .parallelize(uris, math.min(uris.size, 32))
+        .foreach { u =>
+          val p = new Path(new java.net.URI(u))
+          val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val in = f.open(p)
+          val buf = new Array[Byte](1 << 20)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+    }
     removed
   }
 
@@ -708,6 +944,7 @@ object CorpusIngest {
     val cap = math.max(1L << 17, 2 * nKeys)
     writeShards(spark, targetDir, buildShards(keys, cap, buckets))
     writeBloomMeta(spark, targetDir, BloomMeta(cap, nKeys, 0L, buckets))
+    if (hasBands) refreshBandCounts(spark, targetDir, 0L)
     writeSmall(spark, new Path(targetDir, "_graft_meta"),
       s"$buckets".getBytes("UTF-8"))
   }
@@ -878,14 +1115,29 @@ object CorpusIngest {
                 // decisions share one measure (a pair whose only shared
                 // band is saturated co-lands whether its docs arrive
                 // together or apart) and per-band join fan-out stays
-                // bounded however large the corpus grows. Exact even on
-                // the pruned read: every index row of band b lives in
-                // bucket pmod(b, nb), so the touched buckets hold band
-                // b's FULL census
-                val hotIdx = idx0.groupBy("band")
-                  .agg(count(lit(1)).as("c"))
-                  .filter(col("c") > Dedup.HotBandCap).select("band")
-                val idx = idx0.join(hotIdx, Seq("band"), "left_anti")
+                // bounded however large the corpus grows. The hot set
+                // comes from the INCREMENTAL census (epoch state +
+                // delta key counts — see hotBandsFor) when state is
+                // live, so steady batches re-aggregate nothing; the
+                // exact batch-scoped census is the fallback. Either way
+                // the decision is exact on the pruned read: every index
+                // row of band b lives in bucket pmod(b, nb), so the
+                // touched buckets hold band b's FULL census
+                val idx = bloomMeta.flatMap(m => hotBandsFor(spark,
+                    corpusDir, m.epoch, deltas.map(_.bcast), idx0)) match {
+                  case Some(hot) if hot.isEmpty => idx0
+                  case Some(hot) if hot.length <= 1024 =>
+                    idx0.filter(!col("band").isin(hot.toSeq: _*))
+                  case Some(hot) =>
+                    import spark.implicits._
+                    idx0.join(hot.toSeq.toDF("band"), Seq("band"),
+                      "left_anti")
+                  case None =>
+                    val hotIdx = idx0.groupBy("band")
+                      .agg(count(lit(1)).as("c"))
+                      .filter(col("c") > Dedup.HotBandCap).select("band")
+                    idx0.join(hotIdx, Seq("band"), "left_anti")
+                }
                 // band hit = candidate; reject only on verified
                 // agreement; digest-equal rows are a replay's own
                 // phantom index entries, never a reject reason
@@ -904,7 +1156,14 @@ object CorpusIngest {
 
       val accepted = definiteFresh.unionByName(screened).persist()
       try {
-        val acceptedRows = accepted.count()
+        // rows AND measured text bytes in one pass: the append-path
+        // choice below is byte-aware (a small-row batch of huge docs
+        // must not funnel through one coalesce(1) task)
+        val accAgg = accepted.agg(count(lit(1)),
+          coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)))
+          .collect().head
+        val acceptedRows = accAgg.getLong(0)
+        val acceptedTextBytes = accAgg.getLong(1)
         var bloomBytes = 0L
         var compacted = false
         var packedFiles = 0L
@@ -989,14 +1248,15 @@ object CorpusIngest {
           // append layout: ONE file per touched bucket per batch — the
           // floor an append-only layout can hold (partitionBy alone
           // writes one file per task × bucket, ~32× worse). A LARGE
-          // batch reaches the floor through a repartition on the bucket
+          // batch (by rows OR estimated bytes — see useCoalesce)
+          // reaches the floor through a repartition on the bucket
           // column; a SMALL batch reaches the same floor through
           // coalesce(1) — one task, one file per bucket, no shuffle
           // (the repartition's fixed exchange cost dominated tiny
           // batches: ~0.7 s at sf0.1). Growth ACROSS batches is bounded
           // by the epoch-boundary bin-pack below.
-          def bucketed(df: DataFrame): DataFrame =
-            if (acceptedRows <= CoalesceBatchRows) df.coalesce(1)
+          def bucketed(df: DataFrame, estBytes: Long): DataFrame =
+            if (useCoalesce(acceptedRows, estBytes)) df.coalesce(1)
             else df.repartition(col(if (df.columns.contains("bbucket"))
               "bbucket" else "dbucket"))
           if (hasBands) {
@@ -1004,13 +1264,14 @@ object CorpusIngest {
               .select(explode(col("bands")).as("band"), col("digest"),
                 col("sig"))
               .withColumn("bbucket",
-                pmod(col("band"), lit(nb.toLong)).cast("int")))
+                pmod(col("band"), lit(nb.toLong)).cast("int")),
+              acceptedRows * Bands * IndexRowEstBytes)
               .write.partitionBy("bbucket").mode("append")
               .parquet(s"$corpusDir/_graft_index")
           }
 
           // ---- 3. docs last ----
-          bucketed(accepted.drop("sig"))
+          bucketed(accepted.drop("sig"), acceptedTextBytes)
             .write.partitionBy("dbucket").mode("append").parquet(corpusDir)
 
           // ---- 4. landed bin-pack, at the epoch boundary only ----
@@ -1021,11 +1282,19 @@ object CorpusIngest {
           // sf10 series). The bloom's epoch bump is the existing
           // amortized O(capacity) boundary; the pack rides it.
           if (compacted) {
+            val target = PackTargetBytesOverride
+              .getOrElse(LandedPackTargetBytes)
             packedFiles += packRoot(spark, corpusDir, "dbucket",
-              Seq("digest"))
-            if (hasBands)
+              Seq("digest"), target)
+            if (hasBands) {
               packedFiles += packRoot(spark, s"$corpusDir/_graft_index",
-                "bbucket", Seq("band", "digest"))
+                "bbucket", Seq("band", "digest"), target)
+              // census refresh rides the same boundary (post-pack, so
+              // counts reflect deduplicated index state), stamped with
+              // the epoch this batch just wrote
+              readBloomMeta(spark, corpusDir).foreach(m2 =>
+                refreshBandCounts(spark, corpusDir, m2.epoch))
+            }
           }
         }
         IngestStats(batchRows, acceptedRows, bloomNegative, probed,

@@ -694,6 +694,221 @@ class CorpusIngestSpec extends SparkSpec {
       s"saturated band must be dropped from the screen: $stHot")
   }
 
+  // --- round 12: multi-slice pack, heal marker, incremental census ------
+
+  private def bucketFileCounts(root: String, prefix: String): Seq[Int] = {
+    val d = new java.io.File(root)
+    if (!d.exists) Nil
+    else d.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      .toSeq
+  }
+
+  test("multi-slice pack (slices >= 2) preserves the exact row set and still screens") {
+    // the production-scale branch: a bucket larger than the pack target
+    // splits its rewrite into ~target-sized files. Driven end to end
+    // through ingestBatch with the target forced down to toy scale, so
+    // the epoch pack that runs is the slices>=2 rewrite — the branch
+    // the default 256 MB sizing never exercises in tests.
+    val corpus = tmpDir("cind20_corp")
+    val nb = 8
+    def batchOf(b: Int) = (0 until 200).map { i =>
+      doc(b * 10000L + i,
+        (0 until 12).map(j => s"ms${b}x${i}w$j").mkString(" "))
+    }
+    CorpusIngest.PackTargetBytesOverride = Some(4096L)
+    // at TOY scale AQE's partition coalescing merges the ~4 KB slices
+    // back into one partition per bucket (they sit far below the 64 MB
+    // advisory size), hiding the multi-file swap; at the production
+    // 256 MB target each slice is at/above advisory size and survives.
+    // Disable AQE here so the branch under test actually executes.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val stats = (1 to 10).map { b =>
+        CorpusIngest.ingestBatch(prep(batchOf(b)), corpus,
+          Some(0.5), buckets = nb)
+      }
+      assert(stats.count(_.bloomCompacted) >= 3,
+        "fixture must cross >=3 epoch boundaries")
+      // the tiny target forces slices >= 2: after the LAST pack at
+      // least one bucket must hold several ~target-sized files (the
+      // single-slice rewrite would leave exactly one)
+      val dFiles = bucketFileCounts(corpus, "dbucket=")
+      assert(dFiles.exists(_ >= 2),
+        s"multi-slice pack must split a bucket into >1 file: $dFiles")
+      // ...but still bounded (ONE file per (bucket, slice) target at
+      // most one per shuffle task)
+      assert(dFiles.forall(_ <= 32), s"per-bucket files unbounded: $dFiles")
+      // EXACT row-set equality across the swaps: every accepted doc
+      // exactly once, none lost, none duplicated
+      val landed = spark.read.parquet(corpus)
+      assert(landed.count() == 2000L,
+        "multi-slice pack must preserve every landed row exactly once")
+      assert(landed.groupBy("digest").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).isEmpty,
+        "multi-slice pack must not duplicate any digest")
+      // the packed corpus still screens planted replays
+      val replay = doc(90000L,
+        (0 until 12).map(j => s"ms1x7w$j").mkString(" "))
+      val near = doc(90001L,
+        (0 until 12).map(j => if (j == 11) "SWAPPED" else s"ms1x7w$j")
+          .mkString(" "))
+      val st = CorpusIngest.ingestBatch(prep(Seq(replay, near)), corpus,
+        Some(0.5), buckets = nb)
+      assert(st.acceptedRows == 0L,
+        s"multi-slice-packed corpus must reject exact + near dups: $st")
+    } finally {
+      CorpusIngest.PackTargetBytesOverride = None
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("surviving heal marker forces a repack of 2-file buckets (crash-window dups)") {
+    // ADVICE r11: a crash between rename-in and delete-old leaves a
+    // bucket at exactly (packed + stale duplicate) = 2 files — below
+    // the normal >2 pack trigger, so a cold bucket would keep its
+    // duplicates forever. The heal marker the pack lays down before
+    // the swap survives any incomplete swap and lowers the next pack's
+    // trigger to >1 file.
+    val corpus = tmpDir("cind21_corp")
+    val nb = 8
+    CorpusIngest.ingestBatch(prep((0 until 50).map(i =>
+      doc(i.toLong, (0 until 12).map(j => s"hm${i}w$j").mkString(" ")))),
+      corpus, Some(0.5), buckets = nb)
+    // simulate the crash artifact: one bucket gets a duplicate file
+    val bucketDir = new java.io.File(corpus).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dbucket="))
+      .find(_.listFiles().exists(_.isFile)).get
+    val srcF = bucketDir.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    java.nio.file.Files.copy(srcF.toPath,
+      new java.io.File(bucketDir, s"dup-${srcF.getName}").toPath)
+    assert(spark.read.parquet(corpus).count() > 50L)
+    // WITHOUT the marker, a pack is a no-op: 2 files is not > 2
+    assert(CorpusIngest.packRoot(spark, corpus, "dbucket",
+      Seq("digest")) == 0L)
+    assert(spark.read.parquet(corpus).count() > 50L,
+      "without the marker the 2-file bucket must not repack")
+    // WITH the surviving marker the same pack heals unconditionally
+    new java.io.File(corpus, "_graft_pack_heal").createNewFile()
+    CorpusIngest.packRoot(spark, corpus, "dbucket", Seq("digest"))
+    assert(spark.read.parquet(corpus).count() == 50L,
+      "heal-mode pack must fold the crash-window duplicates away")
+    assert(!new java.io.File(corpus, "_graft_pack_heal").exists,
+      "a fully successful heal pack must remove the marker")
+  }
+
+  test("saturated-band pair co-lands together AND apart (shared cap measure)") {
+    // the hot-band policy pin: a pair whose only rejection evidence
+    // sits in a saturated band must co-land whether its docs arrive in
+    // one batch (in-batch pairing drops the hot band) or in two
+    // (cross-batch screen drops the same band) — corpus contents must
+    // not depend on batch boundaries. Cap 0 puts EVERY band in the
+    // saturated regime, standing in for >256-doc boilerplate collisions
+    // that cannot be constructed at toy scale.
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima"
+    val b = a.replace("lima", "CHANGED") // true near-dup, agreement >= 0.5
+    val prevCap = Dedup.HotBandCap
+    try {
+      Dedup.HotBandCap = 0
+      val together = tmpDir("cind22_t")
+      val st1 = CorpusIngest.ingestBatch(prep(Seq(doc(1, a), doc(2, b))),
+        together, Some(0.5), buckets = 8)
+      assert(st1.acceptedRows == 2L,
+        s"cap-0: co-arriving pair must co-land: $st1")
+      val apart = tmpDir("cind22_a")
+      CorpusIngest.ingestBatch(prep(Seq(doc(1, a))), apart,
+        Some(0.5), buckets = 8)
+      val st2 = CorpusIngest.ingestBatch(prep(Seq(doc(2, b))), apart,
+        Some(0.5), buckets = 8)
+      assert(st2.acceptedRows == 1L,
+        s"cap-0: the later-arriving doc must land too: $st2")
+    } finally Dedup.HotBandCap = prevCap
+    // control at the default cap: the SAME pair dedups in BOTH
+    // arrangements — the policy flip is the cap, not arrival pattern
+    val ctrlT = tmpDir("cind22_ct")
+    val st3 = CorpusIngest.ingestBatch(prep(Seq(doc(1, a), doc(2, b))),
+      ctrlT, Some(0.5), buckets = 8)
+    assert(st3.acceptedRows == 1L, s"default cap, together: $st3")
+    val ctrlA = tmpDir("cind22_ca")
+    CorpusIngest.ingestBatch(prep(Seq(doc(1, a))), ctrlA,
+      Some(0.5), buckets = 8)
+    val st4 = CorpusIngest.ingestBatch(prep(Seq(doc(2, b))), ctrlA,
+      Some(0.5), buckets = 8)
+    assert(st4.acceptedRows == 0L, s"default cap, apart: $st4")
+  }
+
+  test("incremental hot-band census equals the exact census, across epochs") {
+    // the screen's hot set is maintained as epoch census + delta key
+    // counts (hotBandsFor) instead of a per-batch re-aggregation of the
+    // index buckets; this pins the two equal batch after batch, through
+    // appends (delta-count path) and epoch bumps (census rebuild path).
+    // Threshold 0.95 lets one-word variants co-land (agreement < 0.95)
+    // while sharing bands, so bands accrue rows; cap 2 makes them
+    // saturate within a few batches.
+    val base = (0 until 14).map(j => s"ic w$j tok$j").mkString(" ")
+    val prevCap = Dedup.HotBandCap
+    try {
+      Dedup.HotBandCap = 2
+      val corpus = tmpDir("cind23_corp")
+      val nb = 8
+      def batchOf(b: Int) = (0 until 120).map { i =>
+        val words = base.split(" ").toSeq
+        val k = (b * 7 + i) % words.size
+        doc(b * 10000L + i,
+          words.zipWithIndex.map { case (w, j) =>
+            if (j == k) s"VAR${b}x$i" else w }.mkString(" ") +
+            s" tail${b}x$i")
+      }
+      def directHot: Set[Long] =
+        spark.read.parquet(s"$corpus/_graft_index")
+          .groupBy("band").agg(count(lit(1)).as("c"))
+          .filter(col("c") > Dedup.HotBandCap)
+          .select("band").as[Long].collect().toSet
+      var sawState = 0
+      var sawEpochs = Set[Long]()
+      (1 to 8).foreach { b =>
+        CorpusIngest.ingestBatch(prep(batchOf(b)), corpus,
+          Some(0.95), buckets = nb)
+        val epoch = CorpusIngest.bloomEpoch(spark, corpus).get
+        sawEpochs += epoch
+        val inc = CorpusIngest.hotBandsFor(spark, corpus, epoch,
+          CorpusIngest.deltaBroadcasts(corpus),
+          spark.read.parquet(s"$corpus/_graft_index"))
+        inc.foreach { hot =>
+          sawState += 1
+          // the delta multiset also carries digest-hash keys (never
+          // real bands, filtered out by intersecting with the index's
+          // true band population)
+          val bandsInIdx = spark.read.parquet(s"$corpus/_graft_index")
+            .select("band").distinct().as[Long].collect().toSet
+          assert(hot.toSet.intersect(bandsInIdx) == directHot,
+            s"batch $b: incremental hot set diverged from exact census")
+        }
+      }
+      assert(sawState >= 6,
+        s"census state must be live from the first epoch on ($sawState)")
+      assert(sawEpochs.size >= 2,
+        s"fixture must cross an epoch bump (saw $sawEpochs)")
+      assert(directHot.nonEmpty,
+        "fixture must actually saturate some bands at cap 2")
+    } finally Dedup.HotBandCap = prevCap
+  }
+
+  test("append-path choice is byte-aware, not only row-aware") {
+    // a 50k-row batch of ~1 MB docs must NOT funnel through one
+    // coalesce(1) write task; small batches of ordinary docs must keep
+    // the cheap no-exchange path
+    assert(CorpusIngest.useCoalesce(100L, 1L << 20))
+    assert(CorpusIngest.useCoalesce(50000L, CorpusIngest.CoalesceBatchBytes))
+    assert(!CorpusIngest.useCoalesce(100L,
+      CorpusIngest.CoalesceBatchBytes + 1))
+    assert(!CorpusIngest.useCoalesce(50001L, 1L << 20))
+  }
+
   test("crash between index append and docs append: replay still lands the doc") {
     // the write-order contract (bloom → index → docs): a replay that
     // finds its OWN phantom index rows must exclude the digest-equal

@@ -113,9 +113,16 @@ def main(p01, p1, p10):
         # compaction pays the epoch's I/O shadow (the pack just rewrote
         # the touched buckets, evicting page cache and leaving writeback
         # behind) — an amortized-boundary cost landing one batch late,
-        # not steady-state growth. Report the split BOTH ways.
-        prev_compacted = [False] + [b["compacted"] for b in s10[:-1]]
-        adj = {b["batch"] for b, pc in zip(s10, prev_compacted) if pc}
+        # not steady-state growth. Report the split BOTH ways. Since
+        # round 12 the flag is CHECKED IN per batch by IngestBench
+        # ("shadow": prev batch compacted) so this decomposition is
+        # computed from the artifact, not re-derived; older series fall
+        # back to deriving it from the compacted column.
+        if any("shadow" in b for b in s10):
+            adj = {b["batch"] for b in s10 if b.get("shadow")}
+        else:
+            prev_compacted = [False] + [b["compacted"] for b in s10[:-1]]
+            adj = {b["batch"] for b, pc in zip(s10, prev_compacted) if pc}
         st10_core = [b for b in st10 if b["batch"] not in adj]
         raw_ratio = halves_ratio(st10)
         core_ratio = halves_ratio(st10_core)
