@@ -26,6 +26,10 @@ object IngestBench {
     val outPath = args.lift(1).getOrElse("bench_ingest_series.json")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(20)
     val spark = GraftSession.get(GraftSession.envCpus)
+    // dev A/B hook: SPARK_GRAFT_NO_PREWARM=1 disables the post-pack
+    // read-back so its effect on the shadow batches can be isolated
+    if (sys.env.contains("SPARK_GRAFT_NO_PREWARM"))
+      CorpusIngest.PackPrewarm = false
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (minId, maxId) = {
       val r = docs.agg(min("doc_id"), max("doc_id")).collect().head

@@ -776,7 +776,7 @@ object CorpusIngest {
   /** Test hook: disables the post-pack read-back (so its cost can be
     * A/B measured in the ingest series).
     */
-  private[streaming] var PackPrewarm: Boolean = true
+  private[graft] var PackPrewarm: Boolean = true
 
   /** Bin-pack one partitioned root at an epoch boundary: every
     * `partCol=k` dir holding more than [[LandedPackMinFiles]] data
