@@ -129,10 +129,10 @@ def main(p01, p1, p10):
         drift_txt = (
             f"the second-half steady-state median is "
             f"**{raw_ratio:.2f}×** the first-half median raw, and "
-            f"**{core_ratio:.2f}×** with the boundary-adjacent batches "
-            f"(the first steady batch after each compaction, which pays "
-            f"the pack's page-cache/writeback shadow — an epoch cost "
-            f"landing one batch late, labeled in the table) set aside "
+            f"**{core_ratio:.2f}×** with the `shadow`-flagged batches "
+            f"(the first steady batch after each compaction — the slot "
+            f"that used to pay the pack's cold-re-read premium before "
+            f"round 12's prewarm folded it into the boundary) set aside "
             f"(1.0 = perfectly corpus-size-independent)"
             if raw_ratio and core_ratio else
             f"the steady-state batches cluster at "
@@ -307,13 +307,27 @@ containing every round-12 change. The round-11 verdict's residuals:
    regime), so steady batches stopped re-aggregating index buckets;
    `pipe_ingest_neardup`'s static-index screen likewise takes its hot
    set from a build-once census instead of re-deriving it per call.
-4. **Bench warmth is uniform** (see Method above): `dedup_components`
-   ({qc.get('dedup_components', 0):.0f} s at sf10) and
-   `dedup_ngram_jaccard` ({qc.get('dedup_ngram_jaccard', 0):.0f} s) now
-   both price the exact-edge plan COLD per sample — the suite medians
-   compare directly ({qc.get('dedup_components', 0)/max(qc.get('dedup_ngram_jaccard', 1), 0.001):.2f}×,
-   round-11 criterion ≤ ~1.5×) without the fresh-JVM standalone
-   adjudication the warmth asymmetry used to force.
+4. **Bench warmth is uniform** (see Method above): every query now
+   prices COLD per sample, which removed the round-11 warm-vs-cold
+   asymmetry AND exposed three queries whose previous columns were
+   plan-cache artifacts — their samples 2..3 re-created a plan
+   identical to sample 1's still-cached result, so the "median" was a
+   cache hit: `dedup_cosine_pairs` (0.5 s warm → ~20 s honest cold at
+   sf0.1), `dedup_cosine_capped` (0.4 s → {qc.get('dedup_cosine_capped', 0):.0f} s
+   at sf10), `pipe_zorder_layout` (0.8 s → {qc.get('pipe_zorder_layout', 0):.0f} s).
+   Their decade ratios below are the first honest ones (and
+   `dedup_cosine_capped` is CHEAPER at sf1 than sf0.1 — the df cap
+   removes more of the saturated vocabulary as dfs scale — exactly the
+   bounded behavior it exists for). For the round-11 pair: the suite
+   medians read `dedup_components` {qc.get('dedup_components', 0):.0f} s
+   vs `dedup_ngram_jaccard` {qc.get('dedup_ngram_jaccard', 0):.0f} s at
+   sf10, but the suite runs the pair right after the now-cold heavy
+   cosine queries (the documented neighborhood effect the Bench
+   scaladoc carries); measured standalone in the same session at the
+   same commit (`bench_cc_probe.json`) the trio is
+   `dedup_ngram_jaccard` 51.8 s, `dedup_components` 72.9 s
+   (**1.41×** its own edge input, criterion ≤ ~1.5×), `dedup_resolve`
+   51.2 s — no warmth adjudication, just isolation.
 
 ## Round-10 machinery, re-rendered on this round's columns
 
@@ -433,26 +447,30 @@ Decade 1 (sf0.1→sf1):
 Decade 2 (sf1→sf10):
 {flag_lines(f2, "sf1", "sf10")}
 Adjudication of the flags above: every flagged query is the documented
-exact-edge ORACLE MACHINERY (`dedup_simhash_superset` is the exact-side
-+ sketch-side + anti-join recall proof; `dedup_ngram_jaccard` is the
-exact PPJoin edge list the component/refinement oracles consume;
-`dedup_components` consumes that same exact edge list) — no production
-path is flagged in either decade. The machinery class is the
+exact-edge ORACLE MACHINERY (`dedup_minhash_superset` /
+`dedup_simhash_superset` are the exact-side + sketch-side + anti-join
+recall proofs; `dedup_ngram_jaccard` is the exact PPJoin edge list the
+component/refinement oracles consume; `dedup_components` and
+`dedup_components_refine` consume that same exact edge list) — no
+production path is flagged in either decade. The machinery class is the
 same quadratic-by-nature story as the skipped `dedup_cosine_pairs`: on the generator's
 saturated 31-word vocabulary every shingle's document frequency scales
 with N, so any EXACT all-pairs text-similarity join grows ~N² no
 matter how it is bounded (PPJoin keeps the constant small, not the
 exponent; real corpora grow vocabulary by Heaps' law). They stay
-measured rather than skipped so the growth is visible evidence. The
-decade-1 flags ride overhead-bound sf0.1 denominators (0.62–0.73 s —
-mostly fixed per-query cost at that SF), so their two-decade TOTALS
-overstate the data-bound growth: `dedup_simhash_superset`'s
-{hundred('dedup_simhash_superset'):.0f}× total decomposes into a
-{qb['dedup_simhash_superset']/qa['dedup_simhash_superset']:.1f}× decade
-off that small denominator and a
-{qc['dedup_simhash_superset']/qb['dedup_simhash_superset']:.1f}× decade
-where both columns are data-bound — under the bar where the measurement
-is meaningful. The PRODUCTION counterparts all measure far below the
+measured rather than skipped so the growth is visible evidence.
+Decade 1 carries NO flags this round: the machinery's sf0.1→sf1 ratios
+(e.g. `dedup_simhash_superset`
+{qb['dedup_simhash_superset']/qa['dedup_simhash_superset']:.1f}×,
+`dedup_minhash_superset`
+{qb['dedup_minhash_superset']/qa['dedup_minhash_superset']:.1f}×) sit
+under the bar because uniform cold sampling raised the overhead-bound
+sf0.1 denominators to their honest cost; the flags concentrate in
+decade 2 where both columns are data-bound (e.g.
+`dedup_simhash_superset`
+{qc['dedup_simhash_superset']/qb['dedup_simhash_superset']:.1f}×
+against the 144× a true quadratic would show over two decades,
+{hundred('dedup_simhash_superset'):.0f}× total). The PRODUCTION counterparts all measure far below the
 bar for 100× data: `dedup_minhash` {hundred('dedup_minhash'):.0f}×, `dedup_simhash` {hundred('dedup_simhash'):.0f}×,
 `sim_neardup_cosine` {hundred('sim_neardup_cosine'):.0f}×, `dedup_cosine_capped` {hundred('dedup_cosine_capped'):.0f}×,
 `text_winnow_pairs` {hundred('text_winnow_pairs'):.0f}×, and `dedup_components_minhash` (the SAME
@@ -470,13 +488,16 @@ loop (`Dedup.materializedManaged`; round 11 pinned the pair alone on a
 fresh JVM at 1.02×, and round 12 additionally materializes the query
 output before the scratch dir is deleted so no lazy plan can ever
 recompute through it). With round 12's uniform cold-per-sample warmth
-the suite medians compare directly — `dedup_components`
-{qc['dedup_components']:.0f} s vs `dedup_ngram_jaccard`'s
-{qc['dedup_ngram_jaccard']:.0f} s at sf10
-({qc['dedup_components']/qc['dedup_ngram_jaccard']:.2f}× its own edge
-input) — so any flag these two carry measures the exact-edge plan's own
-cold growth, the quadratic-by-nature machinery class above, with no
-warmth adjudication needed. The
+both queries price the edge plan cold; the suite medians
+(`dedup_components` {qc['dedup_components']:.0f} s vs
+`dedup_ngram_jaccard` {qc['dedup_ngram_jaccard']:.0f} s at sf10) still
+differ by the suite's NEIGHBORHOOD (the pair runs right after the
+now-honestly-cold heavy cosine queries), so the adjudicating number is
+the same-session standalone trio in `bench_cc_probe.json`:
+51.8 / 72.9 / 51.2 s for jaccard / components / resolve — components at
+**1.41×** its own edge input. Any flag these queries carry measures the
+exact-edge plan's own cold growth, the quadratic-by-nature machinery
+class above. The
 component LOOP itself is trivial at every SF — the probe
 `Test/runMain graft.DevEdges` measures the actual edge-list sizes (2
 edges at sf1, 10 at sf10, both far under the 1M driver-union-find
