@@ -141,7 +141,12 @@ import graft.operators.Dedup
   * shape — Structured Streaming already serializes a query's batches).
   * TWO CONCURRENT WRITERS to one corpus dir are not supported: delta
   * writes, meta updates, and pack swaps could interleave. Concurrent
-  * READERS are always fine, and concurrent streams over DIFFERENT
+  * READERS see correct row sets but must tolerate (retry on)
+  * FileNotFound around epoch boundaries: the bin-pack deletes pre-pack
+  * data files after renaming packed files in, so a reader that listed
+  * a bucket before the swap can lose a file mid-scan — the standard
+  * contract for compacting tables without a snapshot log. Concurrent
+  * streams over DIFFERENT
   * corpus dirs in one JVM are fine — all shared JVM state (base/delta
   * broadcast caches, retired-broadcast queues) is scoped per corpus
   * dir.
