@@ -25,6 +25,23 @@ class BenchSpec extends SparkSpec {
     assert(errors.head._2.contains("deliberately broken"))
   }
 
+  test("every sample runs against a cleared cache (uniform cold warmth)") {
+    // round-12 pin: a query whose internal caches would survive
+    // samples 2..n must NOT bench warm while managed queries bench
+    // cold — measure() clears the catalog cache before EVERY sample,
+    // so a plan cached by one sample is never visible to the next
+    val sawWarm = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val q: (SparkSession, String) => DataFrame = (s, _) => {
+      sawWarm += !s.sharedState.cacheManager.isEmpty
+      val df = s.range(7).toDF("id")
+      df.cache()
+      df
+    }
+    Bench.measure(spark, sf0001, runs = 3, Seq("cacher" -> q))
+    assert(sawWarm.toSeq == Seq(false, false, false),
+      s"each sample must start with an empty cache, saw: $sawWarm")
+  }
+
   test("the rendered line is one parseable JSON object with null for the error") {
     val (results, errors) = Bench.measure(spark, sf0001, runs = 1, fakeQueries)
     val line = Bench.renderLine(results, errors, skip = Set("skipped_one"),
