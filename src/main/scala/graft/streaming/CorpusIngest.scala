@@ -700,10 +700,17 @@ object CorpusIngest {
     * the batch's buckets; a maybe band outside them cannot appear in
     * the candidate join, so its verdict is irrelevant).
     */
+  /** Maybe-bands beyond this fall back to the exact census for the
+    * whole batch rather than an isin over an unbounded literal list
+    * (only reachable when a single epoch's appends hold thousands of
+    * distinct bands each appended past cap−floor — boilerplate storms).
+    */
+  private val MaybeBandsMax = 4096
+
   private[streaming] def hotBandsFor(spark: SparkSession, corpusDir: String,
       epoch: Long, deltas: Seq[Broadcast[Array[Long]]],
       idx0: => DataFrame): Option[Array[Long]] =
-    cachedBandCounts(spark, corpusDir, epoch).map { base =>
+    cachedBandCounts(spark, corpusDir, epoch).flatMap { base =>
       val cap = Dedup.HotBandCap.toLong
       val fl = warmFloor
       val appended = new java.util.HashMap[Long, Long]()
@@ -720,13 +727,16 @@ object CorpusIngest {
           else if (cnt + fl > cap) maybe += b
         }
       }
-      val resolved: Array[Long] =
-        if (maybe.isEmpty) Array.empty
-        else idx0.filter(col("band").isin(maybe.toSeq: _*))
-          .groupBy("band").agg(count(lit(1)).as("c"))
-          .filter(col("c") > cap).select("band")
-          .collect().map(_.getLong(0))
-      (hot ++ resolved).distinct.sorted.toArray
+      if (maybe.size > MaybeBandsMax) None // exact fallback census
+      else {
+        val resolved: Array[Long] =
+          if (maybe.isEmpty) Array.empty
+          else idx0.filter(col("band").isin(maybe.toSeq: _*))
+            .groupBy("band").agg(count(lit(1)).as("c"))
+            .filter(col("c") > cap).select("band")
+            .collect().map(_.getLong(0))
+        Some((hot ++ resolved).distinct.sorted.toArray)
+      }
     }
 
   // --- landed bin-pack (bounds per-bucket file count) --------------------
