@@ -131,8 +131,8 @@ def main(p01, p1, p10):
             f"**{raw_ratio:.2f}×** the first-half median raw, and "
             f"**{core_ratio:.2f}×** with the `shadow`-flagged batches "
             f"(the first steady batch after each compaction — the slot "
-            f"that used to pay the pack's cold-re-read premium before "
-            f"round 12's prewarm folded it into the boundary) set aside "
+            f"that pays whatever residual cold-re-read premium the "
+            f"pack's round-12 read-back did not absorb) set aside "
             f"(1.0 = perfectly corpus-size-independent)"
             if raw_ratio and core_ratio else
             f"the steady-state batches cluster at "
@@ -176,7 +176,10 @@ buckets cold (a post-`drop_caches` read of the packed 2.4 GB corpus
 measured 15.5 s vs 0.4 s warm, exactly the premium those batches
 carried) — is handled two ways since round 12: the pack READS ITS
 PACKED FILES STRAIGHT BACK inside the boundary batch (folding the
-re-read into the already-O(capacity) epoch spike), and `IngestBench`
+re-read into the already-O(capacity) epoch spike; it absorbs most of
+the premium, but page-cache writeback timing makes the absorption
+run-to-run variable — an identical-code run of this series measured
+raw 0.99×), and `IngestBench`
 stamps every batch with a `shadow` flag so the raw/decomposed split
 above is computed from the checked-in artifact, never adjudicated by
 hand. Capacity-sized work
