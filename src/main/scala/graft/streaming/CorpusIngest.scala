@@ -613,7 +613,8 @@ object CorpusIngest {
   // census write, legacy dirs) falls back to the exact batch-scoped
   // census — the pre-round-12 behavior.
 
-  private final case class BandCounts(epoch: Long, counts: Map[Long, Long])
+  private[streaming] final case class BandCounts(
+      epoch: Long, counts: Map[Long, Long])
   private val bandCountsCache =
     new java.util.concurrent.ConcurrentHashMap[String, BandCounts]()
 
@@ -626,9 +627,16 @@ object CorpusIngest {
     */
   private val BandCountsMaxEntries = 1 << 22
 
-  private def readBandCounts(spark: SparkSession,
+  /** Fail-soft on ANY read problem (checksum mismatch, truncation,
+    * bad version): this state is ADVISORY — the exact fallback census
+    * gives the same screen decisions at per-batch cost — so a corrupt
+    * file must degrade, never fail the batch.
+    */
+  private[streaming] def readBandCounts(spark: SparkSession,
       corpusDir: String): Option[BandCounts] =
-    readSmall(spark, new Path(s"$corpusDir/_graft_bloom", "bandcounts"))
+    (try readSmall(spark,
+      new Path(s"$corpusDir/_graft_bloom", "bandcounts"))
+    catch { case _: java.io.IOException => None })
       .flatMap { bytes =>
         if (bytes.length < 16 || bytes.length % 16 != 0) None
         else {

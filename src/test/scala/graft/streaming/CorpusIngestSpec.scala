@@ -898,6 +898,38 @@ class CorpusIngestSpec extends SparkSpec {
     } finally Dedup.HotBandCap = prevCap
   }
 
+  test("band-counts state survives a restart: the FILE round-trips, not just the cache") {
+    // in-JVM reads always hit the driver cache populated at write
+    // time, so a broken binary format would only surface after a JVM
+    // restart (silent perf fallback). Pin the file round-trip
+    // directly, plus the corrupt/garbage fallbacks.
+    val corpus = tmpDir("cind24_corp")
+    new java.io.File(s"$corpus/_graft_bloom").mkdirs()
+    // a fresh dir has no state
+    assert(CorpusIngest.readBandCounts(spark, corpus).isEmpty)
+    // write → read back: the raw file written by refreshBandCounts on
+    // an empty index carries the epoch and an empty census
+    CorpusIngest.refreshBandCounts(spark, corpus, epoch = 5L)
+    assert(CorpusIngest.readBandCounts(spark, corpus)
+      .contains(CorpusIngest.BandCounts(5L, Map.empty)))
+    // a REAL epoch's file: drive one near-dup batch (rebuild = epoch
+    // bump + census) and read the file back cold
+    val base = (0 until 14).map(j => s"bc w$j tok$j").mkString(" ")
+    CorpusIngest.ingestBatch(prep(Seq(doc(1, base))), corpus,
+      Some(0.5), buckets = 8)
+    val bc = CorpusIngest.readBandCounts(spark, corpus)
+    assert(bc.isDefined, "an epoch bump must persist readable state")
+    assert(bc.get.epoch ==
+      CorpusIngest.bloomEpoch(spark, corpus).get,
+      "the state must carry the bloom's epoch stamp")
+    // garbage content degrades to None (conservative fallback), never
+    // throws
+    val p = new java.io.File(s"$corpus/_graft_bloom/bandcounts")
+    java.nio.file.Files.write(p.toPath, "not a bandcounts".getBytes)
+    assert(CorpusIngest.readBandCounts(spark, corpus).isEmpty,
+      "corrupt state must read as absent")
+  }
+
   test("append-path choice is byte-aware, not only row-aware") {
     // a 50k-row batch of ~1 MB docs must NOT funnel through one
     // coalesce(1) write task; small batches of ordinary docs must keep
