@@ -141,12 +141,19 @@ import graft.operators.Dedup
   * shape — Structured Streaming already serializes a query's batches).
   * TWO CONCURRENT WRITERS to one corpus dir are not supported: delta
   * writes, meta updates, and pack swaps could interleave. Concurrent
-  * READERS see correct row sets but must tolerate (retry on)
-  * FileNotFound around epoch boundaries: the bin-pack deletes pre-pack
-  * data files after renaming packed files in, so a reader that listed
-  * a bucket before the swap can lose a file mid-scan — the standard
-  * contract for compacting tables without a snapshot log. Concurrent
-  * streams over DIFFERENT
+  * READERS of a LIVE corpus should go through [[snapshotRead]]: every
+  * batch publishes an atomic `_graft_snapshot` manifest after its
+  * appends (and any epoch pack) have fully committed, so a snapshot
+  * read sees whole batches only — never a mid-commit torn append, and
+  * never the pack swap's transient (packed + not-yet-deleted pre-pack)
+  * double count — and a pack racing the read is detected and
+  * re-resolved, never a silent partial scan. A PLAIN directory read
+  * (`spark.read.parquet(corpusDir)`) of a live corpus keeps the weaker
+  * contract: correct row sets between boundaries, but it must tolerate
+  * (retry on) FileNotFound around epoch packs and can observe a
+  * concurrently committing batch's files mid-commit — the standard
+  * caveat for compacting tables read without their snapshot log.
+  * Concurrent streams over DIFFERENT
   * corpus dirs in one JVM are fine — all shared JVM state (base/delta
   * broadcast caches, retired-broadcast queues) is scoped per corpus
   * dir.
@@ -825,8 +832,10 @@ object CorpusIngest {
     * bounded-by-crash-count idempotence class as the index-row
     * contract on [[ingestBatch]]. Concurrent readers that listed a
     * bucket BEFORE the swap can hit FileNotFound for a pre-pack file
-    * mid-scan — readers of a live corpus must tolerate/retry around
-    * epoch boundaries (the usual contract for compacting tables).
+    * mid-scan — plain directory readers of a live corpus must
+    * tolerate/retry around epoch boundaries (the usual contract for
+    * compacting tables); [[snapshotRead]] narrows that window to
+    * resolve-vs-action and detects it instead of partially scanning.
     * I/O is O(bytes in packed buckets) per epoch,
     * amortized O(1) per landed doc at the bloom's compaction cadence
     * (an epoch every capacity/16 keys ⇒ ≤ ~16–32 rewrites per doc over
@@ -914,6 +923,147 @@ object CorpusIngest {
     removed
   }
 
+  // --- reader snapshots ---------------------------------------------------
+
+  /** Reader-facing snapshot manifest at the corpus root: one text file
+    * (write-then-rename, so its replacement is atomic) holding a
+    * monotonically increasing sequence number plus the root-relative
+    * path of every LIVE doc data file.
+    */
+  private[streaming] val SnapshotFile = "_graft_snapshot"
+  private val SnapshotHeader = "graft-snapshot v1 seq="
+
+  /** Parse the snapshot manifest into (sequence, relative paths).
+    * Fail-soft: an absent, truncated, unreadable (checksum-failed), or
+    * foreign-format file reads as None and readers fall back to a
+    * plain directory read — corrupt snapshot state must degrade the
+    * read contract, never fail it (same policy as [[readBandCounts]]).
+    */
+  private[streaming] def readSnapshot(spark: SparkSession,
+      corpusDir: String): Option[(Long, Seq[String])] =
+    scala.util.Try(readSmall(spark, new Path(corpusDir, SnapshotFile)))
+      .getOrElse(None).flatMap { bytes =>
+      val lines = new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+      lines.headOption.filter(_.startsWith(SnapshotHeader)).flatMap { h =>
+        scala.util.Try(h.stripPrefix(SnapshotHeader).toLong).toOption
+          .map(seq => (seq, lines.tail.filter(_.nonEmpty)))
+      }
+    }
+
+  /** The corpus's live doc data files as sorted root-relative paths —
+    * bucketed layouts under `dbucket=*`, flat (legacy) layouts at the
+    * root; underscore/dot names (state files, pack staging, in-flight
+    * parquet commits) excluded. Called only AFTER this writer's own
+    * appends have returned (= committed), so the listing is a whole
+    * number of batches by construction.
+    */
+  private def liveDocFiles(spark: SparkSession, corpusDir: String): Seq[String] = {
+    val fs = fsOf(spark, corpusDir)
+    val rootP = new Path(corpusDir)
+    if (!fs.exists(rootP)) return Seq.empty
+    def isData(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    val entries = fs.listStatus(rootP)
+    val rootFiles = entries
+      .filter(s => s.isFile && isData(s.getPath.getName))
+      .map(_.getPath.getName)
+    val bucketFiles = entries
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dbucket="))
+      .flatMap { d =>
+        val dn = d.getPath.getName
+        fs.listStatus(d.getPath)
+          .filter(s => s.isFile && isData(s.getPath.getName))
+          .map(s => s"$dn/${s.getPath.getName}")
+      }
+    (rootFiles ++ bucketFiles).toSeq.sorted
+  }
+
+  /** Publish the reader snapshot when the live file set differs from
+    * the manifest's. Runs at the END of every batch — after appends
+    * and any epoch pack committed — INCLUDING batches that accept
+    * nothing: a crash between a batch's docs append and its snapshot
+    * write leaves the manifest one batch stale, and the replay (which
+    * accepts 0 rows — every doc digest-screens out) is what heals it.
+    * Cost: one listStatus per bucket dir, O(live files) — the same
+    * bound the probe's listing already rides (the epoch bin-pack keeps
+    * it constant in batch count). Unchanged file sets skip the write,
+    * so seq bumps exactly when the visible corpus changes.
+    */
+  private[streaming] def writeSnapshot(spark: SparkSession,
+      corpusDir: String): Unit = {
+    val files = liveDocFiles(spark, corpusDir)
+    if (files.isEmpty) return // nothing committed yet
+    val prior = readSnapshot(spark, corpusDir)
+    if (prior.exists(_._2 == files)) return
+    val seq = prior.map(_._1 + 1).getOrElse(0L)
+    val body = ((SnapshotHeader + seq) +: files).mkString("\n")
+    writeSmall(spark, new Path(corpusDir, SnapshotFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read the landed documents table through the snapshot manifest —
+    * the supported way to read a corpus a LIVE ingest stream is
+    * writing into. A plain `spark.read.parquet(corpusDir)` on a live
+    * corpus has two windows this read closes: the directory listing
+    * can catch a concurrently committing batch mid-commit (parquet's
+    * job commit renames task files in one by one — a TORN batch), and
+    * inside an epoch pack's swap it can list both a bucket's packed
+    * files and its not-yet-deleted pre-pack files (DUPLICATE rows).
+    * The manifest is written only after a batch has fully committed
+    * and is replaced atomically, so the resolved file set is always a
+    * whole number of batches with exactly one generation per bucket.
+    *
+    * The set is validated against the filesystem (one listStatus per
+    * referenced directory) before the frame is returned; a pack that
+    * swapped files away since the manifest was written re-resolves,
+    * bounded by `maxAttempts`, then fails LOUDLY — never a silent
+    * partial read. An action on the returned frame that runs long
+    * after this call can still hit FileNotFound if a pack lands in
+    * between (re-invoke [[snapshotRead]]); the failure mode is an
+    * exception, never wrong rows. A dir without a manifest (pre-
+    * snapshot corpus, or any external parquet table) falls back to
+    * the plain directory read. An incremental consumer pairs this
+    * with [[graft.operators.Dedup.snapshotDiff]]: two snapshot reads
+    * are two committed corpus versions to diff row-level.
+    */
+  def snapshotRead(spark: SparkSession, corpusDir: String,
+      maxAttempts: Int = 5): DataFrame = {
+    val fs = fsOf(spark, corpusDir)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      readSnapshot(spark, corpusDir) match {
+        case Some((_, files)) if files.nonEmpty =>
+          val byDir = files.groupBy { f =>
+            val i = f.lastIndexOf('/')
+            if (i < 0) "" else f.substring(0, i)
+          }
+          val allPresent = byDir.forall { case (d, inDir) =>
+            val dir = if (d.isEmpty) new Path(corpusDir)
+              else new Path(corpusDir, d)
+            fs.exists(dir) && {
+              val present = fs.listStatus(dir).filter(_.isFile)
+                .map(_.getPath.getName).toSet
+              inDir.forall(f =>
+                present.contains(f.substring(f.lastIndexOf('/') + 1)))
+            }
+          }
+          if (allPresent)
+            return spark.read.option("basePath", corpusDir)
+              .parquet(files.map(f => s"$corpusDir/$f"): _*)
+          attempt += 1 // a pack swapped underneath — re-resolve
+        case _ =>
+          return spark.read.parquet(corpusDir)
+      }
+    }
+    throw new IllegalStateException(
+      s"snapshotRead: the manifest at $corpusDir/$SnapshotFile kept " +
+        s"referencing files absent from the filesystem after " +
+        s"$maxAttempts attempts — either packs are landing faster " +
+        "than the reader re-resolves (retry), or the manifest went " +
+        "stale through outside interference (quiesce the writer and " +
+        "use a plain directory read)")
+  }
+
   /** ONE-TIME migration of a retired FLAT-layout corpus dir into the
     * bucketed layout at `targetDir` (which must be empty or absent):
     * docs are rewritten partitioned by digest bucket, the band index
@@ -970,6 +1120,7 @@ object CorpusIngest {
     if (hasBands) refreshBandCounts(spark, targetDir, 0L)
     writeSmall(spark, new Path(targetDir, "_graft_meta"),
       s"$buckets".getBytes("UTF-8"))
+    writeSnapshot(spark, targetDir) // migrated corpus is snapshot-readable
   }
 
   // --- the per-batch stage ----------------------------------------------
@@ -1320,6 +1471,11 @@ object CorpusIngest {
             }
           }
         }
+        // reader snapshot LAST — published only over fully committed
+        // appends/packs; runs on 0-accepted batches too (that replay
+        // is what heals a manifest left stale by a crash between the
+        // docs append and this write)
+        writeSnapshot(spark, corpusDir)
         IngestStats(batchRows, acceptedRows, bloomNegative, probed,
           landedFiles, indexFiles, bloomBytes, compacted, deltaReads,
           packedFiles)
@@ -1400,6 +1556,9 @@ object CorpusIngest {
         val acceptedRows = persisted.count()
         if (acceptedRows > 0)
           persisted.write.mode("append").parquet(corpusDir)
+        // same committed-batches-only reader snapshot as the bucketed
+        // path (liveDocFiles lists a flat layout's root files)
+        writeSnapshot(spark, corpusDir)
         IngestStats(batchRows, acceptedRows, 0L, batchRows, landedFiles, 0L)
       } finally { persisted.unpersist(); () }
     } finally sigRelease()

@@ -55,4 +55,38 @@ class FileFormatsSpec extends SparkSpec {
     val back = spark.read.option("header", "true").schema(schema).csv(dir)
     assert(back.count() == docs.count())
   }
+
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val dir = tmpDir("orc_rt")
+    docs.write.orc(dir)
+    val back = spark.read.schema(schema).orc(dir)
+    assert(back.schema == schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // ORC scans take predicate pushdown like parquet — pin it, so a
+    // 100 TB ORC-resident corpus filters at the stripe level, not in
+    // a Spark Filter over full rows
+    val filtered = back.filter($"n_chars" > 100)
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PushedFilters").contains("n_chars"),
+      scan.metadata("PushedFilters"))
+    assert(filtered.count() == docs.filter($"n_chars" > 100).count())
+  }
+
+  test("partitioned ORC write prunes partitions at read") {
+    val dir = tmpDir("orc_part")
+    docs.write.partitionBy("lang").orc(dir)
+    val one = spark.read
+      .schema(StructType(schema.filterNot(_.name == "lang"))
+        .add("lang", StringType))
+      .orc(dir)
+      .filter($"lang" === "en")
+    assert(one.count() == docs.filter($"lang" === "en").count())
+    val scan = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata.get("PartitionFilters")
+      .exists(_.contains("lang")), scan.metadata.get("PartitionFilters"))
+  }
 }

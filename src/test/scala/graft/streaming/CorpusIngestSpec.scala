@@ -977,4 +977,120 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(1L, 5L))
   }
+
+  // --- round 13: reader snapshot manifest --------------------------------
+
+  private def docIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").as[Long].collect().sorted.toSeq
+
+  /** Forge the manifest directly (bypassing writeSmall), dropping the
+    * Hadoop LocalFileSystem CRC sidecar the real write left behind so
+    * the forged content is READ, not rejected as a checksum failure.
+    */
+  private def forgeManifest(corpus: String, content: String): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(corpus, CorpusIngest.SnapshotFile),
+      content.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      corpus, "." + CorpusIngest.SnapshotFile + ".crc"))
+  }
+
+  test("snapshot read equals the landed table across appends and epoch packs") {
+    val corpus = tmpDir("cisnap_corp")
+    val nb = 4
+    def batchOf(b: Int) = (0 until 200).map { i =>
+      doc(b * 10000L + i,
+        (0 until 12).map(j => s"sn${b}x${i}w$j").mkString(" "))
+    }
+    var lastSeq = -1L
+    var packed = 0L
+    (1 to 6).foreach { b =>
+      val st = CorpusIngest.ingestBatch(prep(batchOf(b)), corpus,
+        Some(0.5), buckets = nb)
+      packed += st.packedFiles
+      // the manifest view and the plain directory view agree after
+      // every committed batch — including the epoch-pack boundaries
+      val snap = CorpusIngest.snapshotRead(spark, corpus)
+      assert(docIds(snap) == docIds(spark.read.parquet(corpus)),
+        s"snapshot read diverged from the landed table at batch $b")
+      // the partition column survives the exact-file read path
+      assert(snap.columns.contains("dbucket"))
+      val seq = CorpusIngest.readSnapshot(spark, corpus).map(_._1)
+        .getOrElse(fail("manifest must exist after an accepting batch"))
+      assert(seq > lastSeq, s"seq must advance when files change: $seq")
+      lastSeq = seq
+    }
+    assert(packed > 0L, "fixture must cross at least one pack boundary")
+    // a full replay accepts nothing and changes no files: the manifest
+    // is NOT rewritten (seq bumps exactly when the visible set changes)
+    val st = CorpusIngest.ingestBatch(prep(batchOf(1)), corpus,
+      Some(0.5), buckets = nb)
+    assert(st.acceptedRows == 0L)
+    assert(CorpusIngest.readSnapshot(spark, corpus).map(_._1)
+      .contains(lastSeq), "an unchanged file set must not bump seq")
+  }
+
+  test("snapshot read hides a torn (uncommitted) file a plain read counts") {
+    val corpus = tmpDir("cisnap2_corp")
+    CorpusIngest.ingestBatch(prep(Seq(
+      doc(1, (0 until 12).map(j => s"ta w$j").mkString(" ")),
+      doc(2, (0 until 12).map(j => s"tb w$j").mkString(" ")))),
+      corpus, Some(0.5), buckets = 4)
+    val committed = spark.read.parquet(corpus).count()
+    // simulate a concurrent batch caught mid-commit: one of its task
+    // files already renamed into a bucket dir, the rest (and the
+    // snapshot that would follow) not yet — by duplicating a live data
+    // file under a fresh part name
+    val bucket = new java.io.File(corpus).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dbucket="))
+      .maxBy(_.listFiles().count(_.getName.endsWith(".parquet")))
+    val src = bucket.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      bucket.toPath.resolve("part-torn-00000.parquet"))
+    assert(spark.read.parquet(corpus).count() > committed,
+      "a plain directory read sees the torn file")
+    assert(CorpusIngest.snapshotRead(spark, corpus).count() == committed,
+      "the snapshot read must see committed batches only")
+  }
+
+  test("snapshotRead fails loud on a stale manifest; the next batch heals it") {
+    val corpus = tmpDir("cisnap3_corp")
+    val batch = Seq(
+      doc(3, (0 until 12).map(j => s"ha w$j").mkString(" ")),
+      doc(4, (0 until 12).map(j => s"hb w$j").mkString(" ")))
+    CorpusIngest.ingestBatch(prep(batch), corpus, Some(0.5), buckets = 4)
+    // a manifest referencing files the filesystem no longer holds (a
+    // reader racing a pack resolves this transiently; here it is
+    // pinned stale) must exhaust its re-resolves and throw — never
+    // silently scan the subset that still exists
+    forgeManifest(corpus,
+      "graft-snapshot v1 seq=99\ndbucket=0/part-phantom.parquet")
+    val e = intercept[IllegalStateException] {
+      CorpusIngest.snapshotRead(spark, corpus, maxAttempts = 2)
+    }
+    assert(e.getMessage.contains("_graft_snapshot"))
+    // the crash-heal contract: ANY later batch — here a replay that
+    // accepts nothing — republishes a manifest over the live file set
+    val st = CorpusIngest.ingestBatch(prep(batch), corpus,
+      Some(0.5), buckets = 4)
+    assert(st.acceptedRows == 0L)
+    assert(CorpusIngest.readSnapshot(spark, corpus).exists(_._1 == 100L),
+      "heal must bump past the stale manifest's seq")
+    assert(docIds(CorpusIngest.snapshotRead(spark, corpus)) ==
+      docIds(spark.read.parquet(corpus)))
+  }
+
+  test("corrupt or foreign manifest degrades to the plain directory read") {
+    val corpus = tmpDir("cisnap4_corp")
+    CorpusIngest.ingestBatch(prep(Seq(
+      doc(7, (0 until 12).map(j => s"fa w$j").mkString(" ")))),
+      corpus, Some(0.5), buckets = 4)
+    forgeManifest(corpus, "not a snapshot")
+    assert(docIds(CorpusIngest.snapshotRead(spark, corpus)) == Seq(7L),
+      "fail-soft: unparseable state weakens the contract, never the read")
+    // and a plain parquet dir that never had a manifest reads plainly
+    val plain = tmpDir("cisnap5_plain")
+    Seq((1L, "x")).toDF("doc_id", "v").write.parquet(plain)
+    assert(docIds(CorpusIngest.snapshotRead(spark, plain)) == Seq(1L))
+  }
 }
