@@ -140,7 +140,15 @@ import graft.operators.Dedup
   * One ingest stream owns a corpus dir (the natural foreachBatch
   * shape — Structured Streaming already serializes a query's batches).
   * TWO CONCURRENT WRITERS to one corpus dir are not supported: delta
-  * writes, meta updates, and pack swaps could interleave. Concurrent
+  * writes, meta updates, and pack swaps could interleave. Since round
+  * 13 that rule is ENFORCED, not just documented: stream starts claim
+  * the corpus through a generation-numbered `_graft_writer.lock`, and
+  * every micro-batch re-verifies the claim before writing, so a
+  * superseded writer fails loudly at its next batch instead of
+  * interleaving forever (clock-free advisory fencing — sequential
+  * restarts, including fresh-checkpoint replays, claim the next
+  * generation and proceed; see [[claimWriter]]/[[assertWriter]]).
+  * Concurrent
   * READERS of a LIVE corpus should go through [[snapshotRead]]: every
   * batch publishes an atomic `_graft_snapshot` manifest after its
   * appends (and any epoch pack) have fully committed, so a snapshot
@@ -923,6 +931,96 @@ object CorpusIngest {
     removed
   }
 
+  // --- writer fencing -----------------------------------------------------
+
+  /** Advisory writer-fencing lock at the corpus root. The object doc's
+    * "single writer per corpus dir" rule was previously convention
+    * only — a second stream accidentally pointed at a live corpus
+    * would interleave delta writes, meta updates, and pack swaps
+    * silently, forever. The lock makes that loud: every stream START
+    * claims the corpus by bumping a GENERATION number (with a fresh
+    * random token), and every micro-batch re-reads the lock before
+    * writing — a batch whose claim is no longer the lock's current
+    * record fails with a fencing error instead of writing.
+    *
+    * Deliberately clock-free (no heartbeat staleness): sequential
+    * restarts — including the worst-case fresh-checkpoint replay —
+    * just claim the next generation and proceed, while a superseded
+    * concurrent writer fails at its NEXT batch. That bounds a true
+    * split-brain to at most one overlapping batch (detected, loud),
+    * rather than preventing it outright — advisory fencing, not
+    * isolation; the batch-level screens tolerate the duplicate rows
+    * such an overlap can land. Direct [[ingestBatch]] callers (tests,
+    * benches, embedding APIs) bypass the lock by design; the fencing
+    * guards the [[start]]/[[startNearDup]] stream entry points.
+    */
+  private[streaming] val WriterLockFile = "_graft_writer.lock"
+  private val WriterLockHeader = "graft-writer v1 "
+
+  private[streaming] final case class WriterClaim(gen: Long, token: String)
+
+  private def parseClaim(bytes: Array[Byte]): Option[WriterClaim] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    if (!s.startsWith(WriterLockHeader)) None
+    else s.stripPrefix(WriterLockHeader).trim.split(" ") match {
+      case Array(g, t) if g.startsWith("gen=") && t.startsWith("token=") =>
+        scala.util.Try(WriterClaim(g.stripPrefix("gen=").toLong,
+          t.stripPrefix("token="))).toOption
+      case _ => None
+    }
+  }
+
+  private def writeClaim(spark: SparkSession, corpusDir: String,
+      c: WriterClaim): Unit =
+    writeSmall(spark, new Path(corpusDir, WriterLockFile),
+      s"${WriterLockHeader}gen=${c.gen} token=${c.token}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Claim the corpus for a new writer: bump the generation, fresh
+    * token. An unreadable/absent lock claims generation 0's successor
+    * (fail-soft — the lock must never brick a corpus).
+    */
+  private[streaming] def claimWriter(spark: SparkSession,
+      corpusDir: String): WriterClaim = {
+    val fs = fsOf(spark, corpusDir)
+    if (!fs.exists(new Path(corpusDir))) fs.mkdirs(new Path(corpusDir))
+    val prev = scala.util.Try(
+      readSmall(spark, new Path(corpusDir, WriterLockFile)))
+      .getOrElse(None).flatMap(parseClaim)
+    val next = WriterClaim(prev.map(_.gen + 1).getOrElse(1L),
+      java.util.UUID.randomUUID().toString)
+    writeClaim(spark, corpusDir, next)
+    next
+  }
+
+  /** Fencing check, run by the stream before EVERY batch writes: the
+    * lock must still carry this writer's exact claim. A newer claim
+    * means another stream took the corpus over — fail loudly before
+    * touching state. A missing or corrupt lock is re-asserted with the
+    * caller's claim (advisory: outside deletion must not kill the
+    * stream that legitimately owns the dir). In the unlikely
+    * interleaving where a batch's re-assert races a concurrent claim's
+    * write-then-rename window, WHICH of the two writers survives is
+    * arbitrary — but exactly one does, which is the fencing invariant.
+    */
+  private[streaming] def assertWriter(spark: SparkSession,
+      corpusDir: String, claim: WriterClaim): Unit = {
+    val cur = scala.util.Try(
+      readSmall(spark, new Path(corpusDir, WriterLockFile)))
+      .getOrElse(None).flatMap(parseClaim)
+    cur match {
+      case Some(c) if c == claim => ()
+      case Some(c) =>
+        throw new IllegalStateException(
+          s"writer fenced: corpus $corpusDir was claimed by another " +
+            s"ingest stream (lock generation ${c.gen}, this stream held " +
+            s"${claim.gen}). Two concurrent writers to one corpus dir " +
+            "are not supported — stop one of them; the superseding " +
+            "stream continues from the committed state.")
+      case None => writeClaim(spark, corpusDir, claim) // re-assert
+    }
+  }
+
   // --- reader snapshots ---------------------------------------------------
 
   /** Reader-facing snapshot manifest at the corpus root: one text file
@@ -1580,12 +1678,15 @@ object CorpusIngest {
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      buckets: Int = DefaultBuckets): StreamingQuery =
+      buckets: Int = DefaultBuckets): StreamingQuery = {
+    val claim = claimWriter(spark, corpusDir)
     startStream(spark, sourceDir, checkpointDir, minTokens,
       maxFilesPerTrigger, trigger) { batch =>
+      assertWriter(spark, corpusDir, claim) // fence BEFORE writing
       ingestBatch(batch, corpusDir, Some(threshold), buckets)
       ()
     }
+  }
 
   /** Start the checkpointed EXACT-dedup ingest over `sourceDir`. */
   def start(
@@ -1596,12 +1697,15 @@ object CorpusIngest {
       minTokens: Int = 5,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      buckets: Int = DefaultBuckets): StreamingQuery =
+      buckets: Int = DefaultBuckets): StreamingQuery = {
+    val claim = claimWriter(spark, corpusDir)
     startStream(spark, sourceDir, checkpointDir, minTokens,
       maxFilesPerTrigger, trigger) { batch =>
+      assertWriter(spark, corpusDir, claim) // fence BEFORE writing
       ingestBatch(batch, corpusDir, None, buckets)
       ()
     }
+  }
 
   /** Shared reader/writer scaffolding of both starters: schema-declared
     * file stream → quality gate → checkpointed foreachBatch running

@@ -1080,6 +1080,49 @@ class CorpusIngestSpec extends SparkSpec {
       docIds(spark.read.parquet(corpus)))
   }
 
+  // --- round 13: writer fencing ------------------------------------------
+
+  test("a superseding claim fences the earlier writer at its next batch") {
+    val corpus = tmpDir("cifence_corp")
+    val first = CorpusIngest.claimWriter(spark, corpus)
+    CorpusIngest.assertWriter(spark, corpus, first) // own claim: fine
+    // a second stream pointed at the same corpus claims the next
+    // generation — from that instant the FIRST writer must fail loudly
+    // before writing, bounding a split-brain to one detected batch
+    val second = CorpusIngest.claimWriter(spark, corpus)
+    assert(second.gen == first.gen + 1)
+    val e = intercept[IllegalStateException] {
+      CorpusIngest.assertWriter(spark, corpus, first)
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    // the superseding stream keeps writing
+    CorpusIngest.assertWriter(spark, corpus, second)
+    // outside deletion of the advisory lock must not kill the owner
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(corpus, CorpusIngest.WriterLockFile))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      corpus, "." + CorpusIngest.WriterLockFile + ".crc"))
+    CorpusIngest.assertWriter(spark, corpus, second) // re-asserts
+    assert(CorpusIngest.claimWriter(spark, corpus).gen == second.gen + 1)
+  }
+
+  test("sequential restarts (kept AND fresh checkpoints) stay legal under fencing") {
+    // the fencing must not tax the supported lifecycle: the same
+    // corpus drained by three successive streams — kept checkpoint,
+    // then the worst-case fresh-checkpoint full replay — just claims
+    // successive generations (this is the crash-replay contract the
+    // earlier specs pin, re-run here through the LOCKED entry points)
+    val src = tmpDir("cifence2_src"); val corpus = tmpDir("cifence2_corp")
+    val ckpt = tmpDir("cifence2_ckpt")
+    writeArrival(src, Seq(doc(1, "one two three four")))
+    drainNd(src, corpus, ckpt)
+    writeArrival(src, Seq(doc(6, "five six seven eight nine")))
+    drainNd(src, corpus, ckpt)                     // kept checkpoint
+    drainNd(src, corpus, tmpDir("cifence2_ckpt2")) // fresh: full replay
+    assert(docIds(spark.read.parquet(corpus)) == Seq(1L, 6L))
+    assert(CorpusIngest.readSnapshot(spark, corpus).nonEmpty)
+  }
+
   test("corrupt or foreign manifest degrades to the plain directory read") {
     val corpus = tmpDir("cisnap4_corp")
     CorpusIngest.ingestBatch(prep(Seq(
