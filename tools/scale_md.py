@@ -35,9 +35,17 @@ def flags(small, big):
 
 
 def main(p01, p1, p10):
+    import os
     a = json.load(open(p01))
     b = json.load(open(p1))
     c = json.load(open(p10))
+    # standalone jaccard/components/resolve probe (same session, same
+    # commit, no suite neighborhood) — numbers rendered mechanically,
+    # never hand-maintained (the round-10 stale-narrative lesson)
+    probe = (json.load(open("bench_cc_probe.json")).get("queries", {})
+             if os.path.exists("bench_cc_probe.json") else {})
+    probe_ratio = (probe["dedup_components"] / probe["dedup_ngram_jaccard"]
+                   if probe.get("dedup_ngram_jaccard") else 0.0)
 
     def timed(d):
         # errored queries bench as JSON null (Bench's error contract).
@@ -152,7 +160,7 @@ def main(p01, p1, p10):
                     f"{statistics.median(b['sec'] for b in st1):.2f} s/batch.")
         packs = sum(1 for b in s10 if b.get("packed", 0) > 0)
         return f"""
-## Ingest at a GROWING corpus (round 12 — the measured time series)
+## Ingest at a GROWING corpus (round 13 — the measured time series)
 
 The flat-probe and batch-proportional-maintenance properties are
 spec-pinned at toy sizes; this is the priced version:
@@ -193,7 +201,11 @@ per-batch screen reads small state instead of re-aggregating index
 buckets). Per-batch bloom
 writes are delta-file-sized on every non-boundary batch, and batches
 re-read **{rereads}** prior delta files in total after the first —
-each delta is broadcast once by the batch that wrote it.{sf1_note}
+each delta is broadcast once by the batch that wrote it. Since round
+13 every batch's `sec` also contains the reader-snapshot publication
+(bounded listing + small atomic write, inside `ingestBatch`); the
+writer-fencing verification lives in the STREAM wrapper the series
+bypasses, and is one small state-file read per batch.{sf1_note}
 
 | batch | corpus rows before+batch | sec | probed | landed files read | bloom bytes written | delta files re-read | compaction | packed files |
 |---|---|---|---|---|---|---|---|---|
@@ -206,7 +218,7 @@ own partition buckets, not the corpus's; `packed files` is the net
 file-count reduction of the epoch-boundary bin-pack.)
 """
 
-    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 12, all three SFs at one HEAD commit)
+    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 13, all three SFs at one HEAD commit)
 
 **Method.** All three datasets come from the SAME deterministic generator
 (`sources/Synthetic.scala`; distribution parity with the shipped testdata
@@ -273,10 +285,43 @@ over more records per batch; the per-record cost is what a
 three columns are the same-session like-for-like rps series the
 round-7 verdict asked for.
 
+## Round 13: consistency machinery priced inside the same series
+
+Round 13 added two pieces of corpus-state machinery; the first's cost
+sits INSIDE every measured batch of the ingest series below, the
+second's is one small state-file read per stream batch:
+
+1. **Reader snapshots.** Every committed batch publishes an atomic
+   `_graft_snapshot` manifest (one bounded listing + one small
+   write-then-rename per batch); `CorpusIngest.snapshotRead` resolves
+   through it, so a concurrent reader of a LIVE corpus sees committed
+   whole batches only — never a mid-commit torn append, never the
+   epoch pack's transient (packed + pre-pack) double count — and a
+   pack racing the read re-resolves bounded times, then fails loudly
+   rather than partially scanning. Crash-stale manifests heal on the
+   next batch (including zero-accept replays); corrupt manifests
+   degrade to the plain directory read. All spec-pinned in
+   CorpusIngestSpec, including manifest/directory row-set equality
+   across pack boundaries.
+2. **Writer fencing.** The "single writer per corpus dir" rule is now
+   enforced: stream starts claim the corpus through a
+   generation-numbered `_graft_writer.lock` and every micro-batch
+   re-verifies the claim (one small read) before writing, so a
+   superseded writer fails loudly at its next batch — clock-free, so
+   sequential restarts including fresh-checkpoint replays stay legal
+   (spec-pinned through the locked entry points).
+
+Beyond the ingest, round 13 pinned dynamic partition pruning (a
+filtered-dim star join must prune a partitioned fact at runtime —
+DppSpec, beside BucketingSpec's shuffle-elimination pin) and ORC
+round-trip/pushdown/partition-pruning coverage (FileFormatsSpec).
+
 ## Round-12 re-measurement: the round-11 residuals are closed
 
 All three columns below were measured back-to-back at ONE HEAD commit
-containing every round-12 change. The round-11 verdict's residuals:
+containing every round-12 change (round 13 re-measured all columns at
+its own final HEAD — the numbers in this file). The round-11 verdict's
+residuals:
 
 1. **The multi-slice pack branch is exercised** (the one `weak`): the
    `slices >= 2` rewrite — the branch every epoch runs at production
@@ -497,8 +542,8 @@ both queries price the edge plan cold; the suite medians
 differ by the suite's NEIGHBORHOOD (the pair runs right after the
 now-honestly-cold heavy cosine queries), so the adjudicating number is
 the same-session standalone trio in `bench_cc_probe.json`:
-51.8 / 72.9 / 51.2 s for jaccard / components / resolve — components at
-**1.41×** its own edge input. Any flag these queries carry measures the
+{probe.get('dedup_ngram_jaccard', 0):.1f} / {probe.get('dedup_components', 0):.1f} / {probe.get('dedup_resolve', 0):.1f} s for jaccard / components / resolve — components at
+**{probe_ratio:.2f}×** its own edge input. Any flag these queries carry measures the
 exact-edge plan's own cold growth, the quadratic-by-nature machinery
 class above. The
 component LOOP itself is trivial at every SF — the probe
