@@ -1080,6 +1080,26 @@ class CorpusIngestSpec extends SparkSpec {
       docIds(spark.read.parquet(corpus)))
   }
 
+  test("legacy FLAT corpus publishes the same reader snapshot contract") {
+    // the snapshot manifest is layout-independent: a flat (root-file)
+    // corpus served by the legacy fallback publishes it too, and a
+    // torn file is hidden the same way
+    val corpus = tmpDir("cisnap6_flat")
+    prep(Seq(doc(1, "aa bb cc dd ee"))).write.mode("append").parquet(corpus)
+    CorpusIngest.ingestBatch(prep(Seq(
+      doc(3, "aa bb cc dd ee"), doc(5, "ff gg hh ii jj"))), corpusDir = corpus,
+      threshold = None)
+    assert(CorpusIngest.readSnapshot(spark, corpus).nonEmpty,
+      "legacy path must publish the manifest")
+    assert(docIds(CorpusIngest.snapshotRead(spark, corpus)) == Seq(1L, 5L))
+    val src = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      src.toPath.resolveSibling("part-torn-00000.parquet"))
+    assert(CorpusIngest.snapshotRead(spark, corpus).count() == 2L,
+      "flat-layout snapshot read must also see committed batches only")
+  }
+
   // --- round 13: writer fencing ------------------------------------------
 
   test("a superseding claim fences the earlier writer at its next batch") {
