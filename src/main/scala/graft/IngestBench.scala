@@ -28,7 +28,7 @@ object IngestBench {
     val spark = GraftSession.get(GraftSession.envCpus)
     // dev A/B hook: SPARK_GRAFT_NO_PREWARM=1 disables the post-pack
     // read-back so its effect on the shadow batches can be isolated
-    if (sys.env.contains("SPARK_GRAFT_NO_PREWARM"))
+    if (sys.env.get("SPARK_GRAFT_NO_PREWARM").contains("1"))
       CorpusIngest.PackPrewarm = false
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (minId, maxId) = {

@@ -629,7 +629,7 @@ object CorpusIngest {
   // census — the pre-round-12 behavior.
 
   private[streaming] final case class BandCounts(
-      epoch: Long, counts: Map[Long, Long])
+      epoch: Long, floor: Long, counts: Map[Long, Long])
   private val bandCountsCache =
     new java.util.concurrent.ConcurrentHashMap[String, BandCounts]()
 
@@ -643,51 +643,59 @@ object CorpusIngest {
   private val BandCountsMaxEntries = 1 << 22
 
   /** Fail-soft on ANY read problem (checksum mismatch, truncation,
-    * bad version): this state is ADVISORY — the exact fallback census
-    * gives the same screen decisions at per-batch cost — so a corrupt
-    * file must degrade, never fail the batch.
+    * bad version, an FS client surfacing errors as RuntimeExceptions):
+    * this state is ADVISORY — the exact fallback census gives the same
+    * screen decisions at per-batch cost — so a corrupt or unreadable
+    * file must degrade, never fail the batch. The file also records
+    * the WARM FLOOR it was computed under (census-absent ⇒ epoch count
+    * ≤ floor is the invariant hotBandsFor leans on), so state written
+    * under a different HotBandCap — a config change across restarts —
+    * reads as absent instead of silently diverging from the exact
+    * census until the next epoch.
     */
   private[streaming] def readBandCounts(spark: SparkSession,
       corpusDir: String): Option[BandCounts] =
-    (try readSmall(spark,
-      new Path(s"$corpusDir/_graft_bloom", "bandcounts"))
-    catch { case _: java.io.IOException => None })
+    scala.util.Try(readSmall(spark,
+      new Path(s"$corpusDir/_graft_bloom", "bandcounts")))
+      .getOrElse(None)
       .flatMap { bytes =>
-        if (bytes.length < 16 || bytes.length % 16 != 0) None
+        if (bytes.length < 24 || (bytes.length - 24) % 16 != 0) None
         else {
           val bb = java.nio.ByteBuffer.wrap(bytes)
-          if (bb.getLong != 1L) None
+          if (bb.getLong != 2L) None
           else {
             val epoch = bb.getLong
-            val n = (bytes.length - 16) / 16
+            val floor = bb.getLong
+            val n = (bytes.length - 24) / 16
             val m = Map.newBuilder[Long, Long]
             var i = 0
             while (i < n) { m += ((bb.getLong, bb.getLong)); i += 1 }
-            Some(BandCounts(epoch, m.result()))
+            Some(BandCounts(epoch, floor, m.result()))
           }
         }
       }
 
   private def writeBandCounts(spark: SparkSession, corpusDir: String,
       epoch: Long, counts: Array[(Long, Long)]): Unit = {
-    val bb = java.nio.ByteBuffer.allocate(16 + counts.length * 16)
-    bb.putLong(1L); bb.putLong(epoch)
+    val bb = java.nio.ByteBuffer.allocate(24 + counts.length * 16)
+    bb.putLong(2L); bb.putLong(epoch); bb.putLong(warmFloor)
     counts.foreach { case (b, c) => bb.putLong(b); bb.putLong(c) }
     writeSmall(spark, new Path(s"$corpusDir/_graft_bloom", "bandcounts"),
       bb.array())
-    bandCountsCache.put(corpusDir, BandCounts(epoch, counts.toMap))
+    bandCountsCache.put(corpusDir, BandCounts(epoch, warmFloor, counts.toMap))
     ()
   }
 
   /** The epoch's census counts, via the per-corpus cache; None when the
-    * state is absent or stamped with a different epoch (→ exact
-    * fallback census).
+    * state is absent, stamped with a different epoch, or computed under
+    * a different warm floor (→ exact fallback census).
     */
   private def cachedBandCounts(spark: SparkSession, corpusDir: String,
       epoch: Long): Option[Map[Long, Long]] = {
-    val hit = Option(bandCountsCache.get(corpusDir)).filter(_.epoch == epoch)
+    def live(bc: BandCounts) = bc.epoch == epoch && bc.floor == warmFloor
+    val hit = Option(bandCountsCache.get(corpusDir)).filter(live)
     hit.orElse {
-      readBandCounts(spark, corpusDir).filter(_.epoch == epoch)
+      readBandCounts(spark, corpusDir).filter(live)
         .map { bc => bandCountsCache.put(corpusDir, bc); bc }
     }.map(_.counts)
   }
@@ -851,7 +859,8 @@ object CorpusIngest {
     */
   private[streaming] def packRoot(spark: SparkSession, root: String,
       partCol: String, dedupKeys: Seq[String],
-      targetBytes: Long = LandedPackTargetBytes): Long = {
+      targetBytes: Long = LandedPackTargetBytes,
+      afterSwap: () => Unit = () => ()): Long = {
     val fs = fsOf(spark, root)
     val rootP = new Path(root)
     if (!fs.exists(rootP)) return 0L
@@ -909,6 +918,12 @@ object CorpusIngest {
     }
     fs.delete(staging, true)
     if (allSwapped) fs.delete(healMarker, false)
+    // the swap is complete HERE: run the caller's post-swap hook (the
+    // docs pack republishes the reader-snapshot manifest) BEFORE the
+    // prewarm below, so a concurrent snapshot reader's re-resolve
+    // window is the swap itself, not the boundary batch's remaining
+    // O(capacity) work
+    afterSwap()
     // read the freshly packed files straight back (distributed, raw
     // bytes): the write's pages are prone to writeback + eviction under
     // the JVM's own memory pressure, and without this the FIRST steady
@@ -918,11 +933,25 @@ object CorpusIngest {
     // flat. Test hook PackPrewarm A/Bs the effect.
     if (PackPrewarm && packedIn.nonEmpty) {
       val uris = packedIn.map(_.toUri.toString).toSeq
+      // ship the SESSION's hadoop conf entries to the tasks: resolving
+      // the filesystem from a default Configuration() would drop every
+      // spark.hadoop.* setting (object-store credentials, endpoints) —
+      // invisible on LocalFileSystem, fatal at the first epoch pack on
+      // a configured filesystem
+      val confKV: Seq[(String, String)] = {
+        val c = spark.sparkContext.hadoopConfiguration
+        val it = c.iterator()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+        b.result()
+      }
       spark.sparkContext
         .parallelize(uris, math.min(uris.size, 32))
         .foreach { u =>
+          val hc = new org.apache.hadoop.conf.Configuration(false)
+          confKV.foreach { case (k, v) => hc.set(k, v) }
           val p = new Path(new java.net.URI(u))
-          val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val f = p.getFileSystem(hc)
           val in = f.open(p)
           val buf = new Array[Byte](1 << 20)
           try { while (in.read(buf) >= 0) () } finally in.close()
@@ -1149,6 +1178,11 @@ object CorpusIngest {
             return spark.read.option("basePath", corpusDir)
               .parquet(files.map(f => s"$corpusDir/$f"): _*)
           attempt += 1 // a pack swapped underneath — re-resolve
+          // brief backoff: the writer republishes the manifest right
+          // after the swap completes (packRoot's afterSwap hook), so
+          // the stale window is the swap itself — give it a beat
+          // instead of burning every attempt back-to-back
+          Thread.sleep(math.min(1000L, 25L << attempt))
         case _ =>
           return spark.read.parquet(corpusDir)
       }
@@ -1556,8 +1590,13 @@ object CorpusIngest {
           if (compacted) {
             val target = PackTargetBytesOverride
               .getOrElse(LandedPackTargetBytes)
+            // the docs pack republishes the reader manifest the moment
+            // its swap completes (afterSwap) — a reader re-resolving
+            // against the pre-pack manifest must not have to wait out
+            // the boundary batch's remaining prewarm/index/census work
             packedFiles += packRoot(spark, corpusDir, "dbucket",
-              Seq("digest"), target)
+              Seq("digest"), target,
+              afterSwap = () => writeSnapshot(spark, corpusDir))
             if (hasBands) {
               packedFiles += packRoot(spark, s"$corpusDir/_graft_index",
                 "bbucket", Seq("band", "digest"), target)

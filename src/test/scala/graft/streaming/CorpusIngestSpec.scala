@@ -910,8 +910,9 @@ class CorpusIngestSpec extends SparkSpec {
     // write → read back: the raw file written by refreshBandCounts on
     // an empty index carries the epoch and an empty census
     CorpusIngest.refreshBandCounts(spark, corpus, epoch = 5L)
+    val floor = math.max(0L, Dedup.HotBandCap.toLong / 2)
     assert(CorpusIngest.readBandCounts(spark, corpus)
-      .contains(CorpusIngest.BandCounts(5L, Map.empty)))
+      .contains(CorpusIngest.BandCounts(5L, floor, Map.empty)))
     // a REAL epoch's file: drive one near-dup batch (rebuild = epoch
     // bump + census) and read the file back cold
     val base = (0 until 14).map(j => s"bc w$j tok$j").mkString(" ")
@@ -922,6 +923,21 @@ class CorpusIngestSpec extends SparkSpec {
     assert(bc.get.epoch ==
       CorpusIngest.bloomEpoch(spark, corpus).get,
       "the state must carry the bloom's epoch stamp")
+    // cap-change safety: the census only records bands ABOVE the warm
+    // floor, so state computed under one HotBandCap must read as
+    // absent (exact-fallback) after the cap changes — a band between
+    // the two floors would otherwise be silently classified cold
+    val prevCap = Dedup.HotBandCap
+    try {
+      val ep = bc.get.epoch
+      assert(CorpusIngest.hotBandsFor(spark, corpus, ep, Seq.empty,
+        sys.error("no maybe-bands to resolve")).isDefined,
+        "matching floor: the incremental census must serve")
+      Dedup.HotBandCap = prevCap * 2
+      assert(CorpusIngest.hotBandsFor(spark, corpus, ep, Seq.empty,
+        sys.error("stale-floor state must not be consulted")).isEmpty,
+        "a cap change must invalidate the persisted census")
+    } finally Dedup.HotBandCap = prevCap
     // garbage content degrades to None (conservative fallback), never
     // throws
     val p = new java.io.File(s"$corpus/_graft_bloom/bandcounts")

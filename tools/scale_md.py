@@ -42,10 +42,23 @@ def main(p01, p1, p10):
     # standalone jaccard/components/resolve probe (same session, same
     # commit, no suite neighborhood) — numbers rendered mechanically,
     # never hand-maintained (the round-10 stale-narrative lesson)
-    probe = (json.load(open("bench_cc_probe.json")).get("queries", {})
-             if os.path.exists("bench_cc_probe.json") else {})
-    probe_ratio = (probe["dedup_components"] / probe["dedup_ngram_jaccard"]
-                   if probe.get("dedup_ngram_jaccard") else 0.0)
+    if not os.path.exists("bench_cc_probe.json"):
+        raise SystemExit(
+            "ERROR: bench_cc_probe.json missing — the adjudication "
+            "section renders from it; re-run the standalone trio "
+            "(SPARK_GRAFT_BENCH_ONLY=dedup_ngram_jaccard,"
+            "dedup_components,dedup_resolve) in the same session as "
+            "the three suite benches")
+    probe = json.load(open("bench_cc_probe.json")).get("queries", {})
+    trio = ["dedup_ngram_jaccard", "dedup_components", "dedup_resolve"]
+    probe_bad = [q for q in trio
+                 if not isinstance(probe.get(q), (int, float))]
+    if probe_bad:
+        raise SystemExit(
+            "ERROR: bench_cc_probe.json has missing or errored (null) "
+            f"timings for {', '.join(probe_bad)}; re-run the probe — "
+            "SCALE.md only regenerates from clean runs")
+    probe_ratio = probe["dedup_components"] / probe["dedup_ngram_jaccard"]
 
     def timed(d):
         # errored queries bench as JSON null (Bench's error contract).
@@ -373,9 +386,9 @@ residuals:
    cosine queries (the documented neighborhood effect the Bench
    scaladoc carries); measured standalone in the same session at the
    same commit (`bench_cc_probe.json`) the trio is
-   `dedup_ngram_jaccard` 51.8 s, `dedup_components` 72.9 s
-   (**1.41×** its own edge input, criterion ≤ ~1.5×), `dedup_resolve`
-   51.2 s — no warmth adjudication, just isolation.
+   `dedup_ngram_jaccard` {probe['dedup_ngram_jaccard']:.1f} s, `dedup_components` {probe['dedup_components']:.1f} s
+   (**{probe_ratio:.2f}×** its own edge input, criterion ≤ ~1.5×), `dedup_resolve`
+   {probe['dedup_resolve']:.1f} s — no warmth adjudication, just isolation.
 
 ## Round-10 machinery, re-rendered on this round's columns
 
