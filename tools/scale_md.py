@@ -310,12 +310,15 @@ second's is one small state-file read per stream batch:
    through it, so a concurrent reader of a LIVE corpus sees committed
    whole batches only — never a mid-commit torn append, never the
    epoch pack's transient (packed + pre-pack) double count — and a
-   pack racing the read re-resolves bounded times, then fails loudly
-   rather than partially scanning. Crash-stale manifests heal on the
+   pack racing the read re-resolves bounded times (with backoff), then
+   fails loudly rather than partially scanning — and the docs pack
+   republishes the manifest the moment its swap completes, so the
+   reader's stale window is the swap itself, not the boundary batch's
+   remaining prewarm/census work. Crash-stale manifests heal on the
    next batch (including zero-accept replays); corrupt manifests
    degrade to the plain directory read. All spec-pinned in
    CorpusIngestSpec, including manifest/directory row-set equality
-   across pack boundaries.
+   across pack boundaries and the legacy flat layout.
 2. **Writer fencing.** The "single writer per corpus dir" rule is now
    enforced: stream starts claim the corpus through a
    generation-numbered `_graft_writer.lock` and every micro-batch
@@ -328,6 +331,16 @@ Beyond the ingest, round 13 pinned dynamic partition pruning (a
 filtered-dim star join must prune a partitioned fact at runtime —
 DppSpec, beside BucketingSpec's shuffle-elimination pin) and ORC
 round-trip/pushdown/partition-pruning coverage (FileFormatsSpec).
+
+Measurement provenance this round: the three suite columns and the
+standalone probe were measured back-to-back in one session at 06b78f1;
+a later self-review commit (7690bdc) hardened ONLY ingest-internal
+paths (pack-prewarm filesystem config, pack-swap manifest republish,
+census floor stamping) plus bench/tooling hygiene — no suite query
+path changes (verifiable by `git diff 06b78f1..7690bdc --stat`: no
+file under queries/, operators/, plans/, pipeline/, sources/, sink/ is
+touched) — so the suite columns remain code-identical; the two ingest
+series, which DO run the changed code, were re-measured at 7690bdc.
 
 ## Round-12 re-measurement: the round-11 residuals are closed
 
