@@ -257,19 +257,38 @@ object CorpusIngest {
   }
 
   /** Write-then-rename (delete + rename on filesystems without
-    * overwriting rename). A crash in the tiny delete/rename window
-    * leaves the file ABSENT, which every reader treats conservatively
-    * (no bloom state → probe everything; no meta → adopt caller's
-    * buckets).
+    * overwriting rename), tmp name unique per write so concurrent
+    * writers to one path (an advisory-lock re-assert racing a fresh
+    * claim) cannot overwrite each other's in-flight tmp. The rename
+    * RESULT is checked: a false return (the target reappeared between
+    * delete and rename — a concurrent writer won the window) retries
+    * the delete+rename, then fails LOUDLY rather than dropping the
+    * write silently — which concurrent writer survives stays
+    * arbitrary, but every writer that RETURNS really recorded its
+    * content. A crash in the tiny delete/rename window leaves the
+    * file ABSENT, which every reader treats conservatively (no bloom
+    * state → probe everything; no meta → adopt caller's buckets).
     */
   private def writeSmall(spark: SparkSession, p: Path, bytes: Array[Byte]): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val tmp = new Path(p.getParent, p.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
-    ()
+    var attempt = 0
+    var renamed = false
+    while (!renamed && attempt < 3) {
+      if (fs.exists(p)) fs.delete(p, false)
+      renamed = fs.rename(tmp, p)
+      attempt += 1
+    }
+    if (!renamed) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"writeSmall: rename to $p failed $attempt times — a concurrent " +
+          "writer keeps recreating the target or the filesystem refuses " +
+          "the swap; this write was NOT recorded")
+    }
   }
 
   /** Bucket count the corpus was laid out with: pinned to `requested`
@@ -873,6 +892,28 @@ object CorpusIngest {
     // every bucket with more than one file repacks, so crash-window
     // duplicates in cold buckets cannot persist past one epoch
     val healMarker = new Path(rootP, "_graft_pack_heal")
+    // claim-unique staging: a FIXED staging path would let two packs —
+    // possible only inside the advisory fence's one-overlapping-batch
+    // window, or after outside interference — delete each other's
+    // in-flight rewrite mid-job and then interleave files in one dir.
+    // Each invocation stages under its own suffix; any OTHER staging
+    // dir found at pack start is a crash leftover or that overlap's
+    // in-flight pack. Deleting it is row-safe either way (the victim's
+    // absent-staged-dir guard below keeps its originals, and its
+    // per-file rename results are checked), but the victim may already
+    // have swapped SOME buckets — so the heal marker goes down and
+    // STAYS down whenever a foreign dir is removed: this pack runs in
+    // heal mode and the NEXT epoch repacks >1-file buckets again,
+    // folding any duplicates the interrupted pack still lands.
+    val staging = new Path(rootP,
+      "_graft_pack_tmp." + java.util.UUID.randomUUID().toString.take(8))
+    val foreignStaging = fs.listStatus(rootP).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("_graft_pack_tmp"))
+    val sawForeign = foreignStaging.nonEmpty
+    if (sawForeign) {
+      fs.create(healMarker, true).close()
+      foreignStaging.foreach(s => fs.delete(s.getPath, true))
+    }
     val minFiles = if (fs.exists(healMarker)) 1 else LandedPackMinFiles
     val toPack = fs.listStatus(rootP)
       .filter(s => s.isDirectory &&
@@ -880,11 +921,11 @@ object CorpusIngest {
       .map(s => (s.getPath, dataFiles(s.getPath)))
       .filter(_._2.length > minFiles)
     if (toPack.isEmpty) {
-      if (minFiles == 1) fs.delete(healMarker, false) // healed: no bucket left
+      // healed: no bucket left — unless a foreign pack may still be
+      // landing files, in which case the marker must survive this epoch
+      if (minFiles == 1 && !sawForeign) fs.delete(healMarker, false)
       return 0L
     }
-    val staging = new Path(rootP, "_graft_pack_tmp")
-    if (fs.exists(staging)) fs.delete(staging, true) // stale crash leftover
     val maxBytes = toPack.map(_._2.map(_.getLen).sum).max
     val slices = math.max(1L, (maxBytes + targetBytes - 1) / targetBytes)
     spark.read.option("basePath", root)
@@ -902,8 +943,9 @@ object CorpusIngest {
     toPack.foreach { case (bdir, oldFiles) =>
       val staged = new Path(staging, bdir.getName)
       // a staged dir can only be absent when the bucket's rows all
-      // vanished, which dedupKeys can never cause — keep the originals
-      // in that (never-expected) case rather than drop rows
+      // vanished — which dedupKeys can never cause — or when a foreign
+      // pack deleted this staging mid-swap: keep the originals (never
+      // drop rows) and leave the heal marker down via allSwapped
       if (fs.exists(staged)) {
         val fresh = dataFiles(staged)
         val targets = fresh.map(f => new Path(bdir, f.getPath.getName))
@@ -914,16 +956,21 @@ object CorpusIngest {
           removed += oldFiles.length.toLong - fresh.length.toLong
           packedIn ++= targets
         } else allSwapped = false
-      }
+      } else allSwapped = false
     }
     fs.delete(staging, true)
-    if (allSwapped) fs.delete(healMarker, false)
+    if (allSwapped && !sawForeign) fs.delete(healMarker, false)
     // the swap is complete HERE: run the caller's post-swap hook (the
     // docs pack republishes the reader-snapshot manifest) BEFORE the
     // prewarm below, so a concurrent snapshot reader's re-resolve
     // window is the swap itself, not the boundary batch's remaining
-    // O(capacity) work
-    afterSwap()
+    // O(capacity) work. Only after a FULLY successful swap: a partial
+    // swap leaves (packed + pre-pack) duplicate rows in the failed
+    // buckets until the heal epoch, and a manifest republished here
+    // would endorse them mid-batch — the batch-end snapshot (which
+    // reflects the corpus as it actually is, per the documented
+    // failed-swap/heal-window exception) publishes instead.
+    if (allSwapped) afterSwap()
     // read the freshly packed files straight back (distributed, raw
     // bytes): the write's pages are prone to writeback + eviction under
     // the JVM's own memory pressure, and without this the FIRST steady
@@ -1060,6 +1107,23 @@ object CorpusIngest {
   private[streaming] val SnapshotFile = "_graft_snapshot"
   private val SnapshotHeader = "graft-snapshot v1 seq="
 
+  /** Monotonic floor for the snapshot sequence, persisted beside the
+    * manifest: [[readSnapshot]] fail-softs an unparseable manifest to
+    * None, and without the floor the next [[writeSnapshot]] would
+    * restart seq at 0 after a one-off corruption — a consumer ordering
+    * two snapshot reads by seq could then mis-order them. The floor
+    * file itself fail-softs the same way (absent/corrupt reads as
+    * None; the manifest's own seq then rules), so the pair can only
+    * regress if BOTH files are corrupted together.
+    */
+  private[streaming] val SnapshotSeqFile = "_graft_snapshot_seq"
+
+  private def readSeqFloor(spark: SparkSession, corpusDir: String): Option[Long] =
+    scala.util.Try(readSmall(spark, new Path(corpusDir, SnapshotSeqFile)))
+      .getOrElse(None)
+      .flatMap(b => scala.util.Try(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption)
+
   /** Parse the snapshot manifest into (sequence, relative paths).
     * Fail-soft: an absent, truncated, unreadable (checksum-failed), or
     * foreign-format file reads as None and readers fall back to a
@@ -1122,7 +1186,14 @@ object CorpusIngest {
     if (files.isEmpty) return // nothing committed yet
     val prior = readSnapshot(spark, corpusDir)
     if (prior.exists(_._2 == files)) return
-    val seq = prior.map(_._1 + 1).getOrElse(0L)
+    val seq = math.max(
+      prior.map(_._1 + 1).getOrElse(0L),
+      readSeqFloor(spark, corpusDir).map(_ + 1).getOrElse(0L))
+    // floor FIRST: a crash between the two writes leaves the floor one
+    // AHEAD of the published manifest, which the max above tolerates —
+    // the contract is strictly increasing, not dense (gaps are legal)
+    writeSmall(spark, new Path(corpusDir, SnapshotSeqFile),
+      seq.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val body = ((SnapshotHeader + seq) +: files).mkString("\n")
     writeSmall(spark, new Path(corpusDir, SnapshotFile),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1138,7 +1209,15 @@ object CorpusIngest {
     * files and its not-yet-deleted pre-pack files (DUPLICATE rows).
     * The manifest is written only after a batch has fully committed
     * and is replaced atomically, so the resolved file set is always a
-    * whole number of batches with exactly one generation per bucket.
+    * whole number of batches with exactly one generation per bucket —
+    * with one documented exception: after a FAILED pack swap (crash or
+    * mid-bucket rename failure) the corpus itself holds (packed +
+    * pre-pack) duplicate rows in the failed buckets until the next
+    * heal epoch, and the batch-end manifest faithfully reflects that
+    * corpus. The no-double-count guarantee covers the transient swap
+    * window of a SUCCESSFUL pack (the hook republishing the manifest
+    * runs only then), not the crash/heal window — whose duplicates
+    * every screen tolerates and the heal-mode pack folds away.
     *
     * The set is validated against the filesystem (one listStatus per
     * referenced directory) before the frame is returned; a pack that

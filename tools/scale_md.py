@@ -39,17 +39,27 @@ def main(p01, p1, p10):
     a = json.load(open(p01))
     b = json.load(open(p1))
     c = json.load(open(p10))
+    # sibling artifacts (probe, ingest series) resolve relative to the
+    # first argv path, NOT the process CWD — invoking the tool from
+    # another directory with absolute args must not abort or silently
+    # render from a stale file found in that CWD (round-13 advice)
+    artifact_dir = os.path.dirname(os.path.abspath(p01))
+
+    def sibling(name):
+        return os.path.join(artifact_dir, name)
+
     # standalone jaccard/components/resolve probe (same session, same
     # commit, no suite neighborhood) — numbers rendered mechanically,
     # never hand-maintained (the round-10 stale-narrative lesson)
-    if not os.path.exists("bench_cc_probe.json"):
+    if not os.path.exists(sibling("bench_cc_probe.json")):
         raise SystemExit(
-            "ERROR: bench_cc_probe.json missing — the adjudication "
-            "section renders from it; re-run the standalone trio "
+            "ERROR: bench_cc_probe.json missing beside the suite "
+            "artifacts — the adjudication section renders from it; "
+            "re-run the standalone trio "
             "(SPARK_GRAFT_BENCH_ONLY=dedup_ngram_jaccard,"
             "dedup_components,dedup_resolve) in the same session as "
             "the three suite benches")
-    probe = json.load(open("bench_cc_probe.json")).get("queries", {})
+    probe = json.load(open(sibling("bench_cc_probe.json"))).get("queries", {})
     trio = ["dedup_ngram_jaccard", "dedup_components", "dedup_resolve"]
     probe_bad = [q for q in trio
                  if not isinstance(probe.get(q), (int, float))]
@@ -103,19 +113,25 @@ def main(p01, p1, p10):
 
     def ingest_section():
         import os
-        if not os.path.exists("bench_ingest_series.json"):
+        if not os.path.exists(sibling("bench_ingest_series.json")):
             return ""
-        s10 = json.load(open("bench_ingest_series.json"))["series"]
-        s1 = (json.load(open("bench_ingest_series_sf1.json"))["series"]
-              if os.path.exists("bench_ingest_series_sf1.json") else [])
+        ing10 = json.load(open(sibling("bench_ingest_series.json")))
+        s10 = ing10["series"]
+        s1 = (json.load(open(sibling("bench_ingest_series_sf1.json")))["series"]
+              if os.path.exists(sibling("bench_ingest_series_sf1.json"))
+              else [])
+
+        has_fsread = any("fsReadBytes" in b for b in s10)
 
         def row(b, adj=frozenset()):
             boundary = ("yes" if b["compacted"]
                         else "(shadow)" if b["batch"] in adj else "")
+            fsread = (f" {b['fsReadBytes'] / (1 << 20):,.0f} |"
+                      if has_fsread else "")
             return (f"| {b['batch']} | {b['corpusRows']:,} | {b['sec']:.2f} | "
                     f"{b['probed']} | {b['landedFiles']} | {b['bloomBytes']:,} | "
                     f"{b['deltaReads']} | {boundary} | "
-                    f"{b.get('packed', 0)} |")
+                    f"{b.get('packed', 0)} |" + fsread)
 
         import statistics
 
@@ -134,32 +150,64 @@ def main(p01, p1, p10):
         # compaction pays the epoch's I/O shadow (the pack just rewrote
         # the touched buckets, evicting page cache and leaving writeback
         # behind) — an amortized-boundary cost landing one batch late,
-        # not steady-state growth. Report the split BOTH ways. Since
-        # round 12 the flag is CHECKED IN per batch by IngestBench
-        # ("shadow": prev batch compacted) so this decomposition is
-        # computed from the artifact, not re-derived; older series fall
-        # back to deriving it from the compacted column.
+        # not steady-state growth. Since round 12 the flag is CHECKED IN
+        # per batch by IngestBench ("shadow": prev batch compacted) so
+        # this decomposition is computed from the artifact, not
+        # re-derived; older series fall back to deriving it from the
+        # compacted column. Since round 14 the decomposition is
+        # SUPPRESSED when the shadow slots measure no slower than the
+        # core steady batches (the round-12 prewarm absorbed the
+        # premium; excluding the fastest batches from a half would
+        # invert the split's meaning — the round-13 verdict's finding).
         if any("shadow" in b for b in s10):
             adj = {b["batch"] for b in s10 if b.get("shadow")}
         else:
             prev_compacted = [False] + [b["compacted"] for b in s10[:-1]]
             adj = {b["batch"] for b, pc in zip(s10, prev_compacted) if pc}
         st10_core = [b for b in st10 if b["batch"] not in adj]
+        st10_shadow = [b for b in st10 if b["batch"] in adj]
         raw_ratio = halves_ratio(st10)
         core_ratio = halves_ratio(st10_core)
-        drift_txt = (
-            f"the second-half steady-state median is "
-            f"**{raw_ratio:.2f}×** the first-half median raw, and "
-            f"**{core_ratio:.2f}×** with the `shadow`-flagged batches "
-            f"(the first steady batch after each compaction — the slot "
-            f"that pays whatever residual cold-re-read premium the "
-            f"pack's round-12 read-back did not absorb) set aside "
-            f"(1.0 = perfectly corpus-size-independent)"
-            if raw_ratio and core_ratio else
-            f"the steady-state batches cluster at "
-            f"{statistics.median(b['sec'] for b in st10):.2f} s/batch with no "
-            f"upward trend across the series" if st10 else
-            "every batch in this run landed on an amortized boundary")
+        shadow_slower = (
+            bool(st10_shadow) and bool(st10_core)
+            and statistics.median(b["sec"] for b in st10_shadow)
+            > statistics.median(b["sec"] for b in st10_core))
+        n_half = len(st10) // 2
+        n_core_half = len(st10_core) // 2
+        if raw_ratio and core_ratio and shadow_slower:
+            drift_txt = (
+                f"the second-half steady-state median is "
+                f"**{raw_ratio:.2f}×** the first-half median raw "
+                f"(n = {n_half} steady batches per half), and "
+                f"**{core_ratio:.2f}×** with the `shadow`-flagged batches "
+                f"(the first steady batch after each compaction — the slot "
+                f"that pays whatever residual cold-re-read premium the "
+                f"pack's round-12 read-back did not absorb) set aside "
+                f"(n = {n_core_half} per half; "
+                f"1.0 = perfectly corpus-size-independent)")
+        elif raw_ratio:
+            drift_txt = (
+                f"the second-half steady-state median is "
+                f"**{raw_ratio:.2f}×** the first-half median "
+                f"(n = {n_half} steady batches per half; 1.0 = perfectly "
+                f"corpus-size-independent). The shadow decomposition is "
+                f"suppressed for this series: the {len(st10_shadow)} "
+                f"`shadow`-flagged slots measure no slower than the core "
+                f"steady batches (median "
+                f"{statistics.median(b['sec'] for b in st10_shadow):.2f} s vs "
+                f"{statistics.median(b['sec'] for b in st10_core):.2f} s)"
+                if st10_shadow and st10_core else
+                f"the second-half steady-state median is "
+                f"**{raw_ratio:.2f}×** the first-half median "
+                f"(n = {n_half} steady batches per half; no shadow/core "
+                f"split available in this series)")
+        elif st10:
+            drift_txt = (
+                f"the steady-state batches cluster at "
+                f"{statistics.median(b['sec'] for b in st10):.2f} s/batch "
+                f"with no upward trend across the series")
+        else:
+            drift_txt = "every batch in this run landed on an amortized boundary"
         n_compact = sum(1 for b in s10 if b["compacted"])
         rereads = sum(b["deltaReads"] for b in s10[1:])
         sf1_note = ""
@@ -172,15 +220,36 @@ def main(p01, p1, p10):
                     f"the same shape at a tenth the data: steady-state median "
                     f"{statistics.median(b['sec'] for b in st1):.2f} s/batch.")
         packs = sum(1 for b in s10 if b.get("packed", 0) > 0)
+        pregrow = ing10.get("pregrowRows", 0)
+        pregrow_txt = (
+            f" The series starts from a PRE-GROWN corpus "
+            f"({pregrow:,} docs ingested as one untimed batch before "
+            f"batch 0 — new in round 14), so the bloom's capacity "
+            f"already dwarfs a series batch, compaction boundaries are "
+            f"sparse, and the drift statistic rests on "
+            f"{len(st10)} steady batches instead of the handful the "
+            f"young-corpus warm-up left (16 of the round-13 series' 25 "
+            f"batches were boundaries)." if pregrow else "")
+        fsread_txt = (
+            " Each batch also records its Hadoop filesystem-level read "
+            "volume (`fsReadBytes` — local[*] runs tasks in-JVM, so the "
+            "global `file`-scheme counter attributes it exactly): when "
+            "two batches read similar bytes at different speeds, the "
+            "difference is page-cache state, attributed mechanically "
+            "rather than narratively (round-13 verdict item #6)."
+            if has_fsread else "")
+        fsread_hdr = " fs read (MB) |" if has_fsread else ""
+        fsread_sep = "---|" if has_fsread else ""
         return f"""
-## Ingest at a GROWING corpus (round 13 — the measured time series)
+## Ingest at a GROWING corpus (round 14 — the measured time series)
 
 The flat-probe and batch-proportional-maintenance properties are
 spec-pinned at toy sizes; this is the priced version:
 `graft.IngestBench` streams the sf10 documents
 table ({s10[-1]['corpusRows']:,} accepted docs) into ONE corpus as
 {len(s10)} equal micro-batches, recording each batch's wall clock and
-maintenance telemetry (`bench_ingest_series.json`). Steady-state
+maintenance telemetry (`bench_ingest_series.json`).{pregrow_txt}{fsread_txt}
+Steady-state
 per-batch time is ~FLAT while the corpus grows {s10[len(s10)//2]['corpusRows']:,}
 → {s10[-1]['corpusRows']:,} under it: {drift_txt}. The round-10
 residual (per-bucket landed FILE count growing one file per batch)
@@ -220,8 +289,8 @@ each delta is broadcast once by the batch that wrote it. Since round
 writer-fencing verification lives in the STREAM wrapper the series
 bypasses, and is one small state-file read per batch.{sf1_note}
 
-| batch | corpus rows before+batch | sec | probed | landed files read | bloom bytes written | delta files re-read | compaction | packed files |
-|---|---|---|---|---|---|---|---|---|
+| batch | corpus rows before+batch | sec | probed | landed files read | bloom bytes written | delta files re-read | compaction | packed files |{fsread_hdr}
+|---|---|---|---|---|---|---|---|---|{fsread_sep}
 {chr(10).join(row(b, adj) for b in s10)}
 
 (`probed` counts docs the bloom could not rule out — the planted
@@ -231,7 +300,7 @@ own partition buckets, not the corpus's; `packed files` is the net
 file-count reduction of the epoch-boundary bin-pack.)
 """
 
-    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 13, all three SFs at one HEAD commit)
+    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 14, all three SFs at one HEAD commit)
 
 **Method.** All three datasets come from the SAME deterministic generator
 (`sources/Synthetic.scala`; distribution parity with the shipped testdata
@@ -332,22 +401,48 @@ filtered-dim star join must prune a partitioned fact at runtime —
 DppSpec, beside BucketingSpec's shuffle-elimination pin) and ORC
 round-trip/pushdown/partition-pruning coverage (FileFormatsSpec).
 
-Measurement provenance this round: the three suite columns and the
-standalone probe were measured back-to-back in one session at 06b78f1;
-a later self-review commit (7690bdc) hardened ONLY ingest-internal
-paths (pack-prewarm filesystem config, pack-swap manifest republish,
-census floor stamping) plus bench/tooling hygiene — no suite query
-path changes (verifiable by `git diff 06b78f1..7690bdc --stat`: no
-file under queries/, operators/, plans/, pipeline/, sources/, sink/ is
-touched) — so the suite columns remain code-identical; the two ingest
-series, which DO run the changed code, were re-measured at 7690bdc.
+Measurement provenance this round: all artifacts — the three suite
+columns, the standalone probe, and both ingest series — were measured
+back-to-back in one session at the round's final product HEAD; only
+doc/artifact commits follow it.
+
+## Round 14: race hardening priced inside the same series
+
+Round 14 closed the round-13 verdict's robustness findings; everything
+that costs anything sits inside the measured batches below:
+
+1. **Claim-unique pack staging.** Each epoch pack stages its rewrite
+   under a per-invocation directory suffix, so two packs — possible
+   only inside the advisory fence's one-overlapping-batch window — can
+   no longer delete each other's FIXED staging path mid-job; a foreign
+   staging dir found at pack start is removed (the victim keeps its
+   originals — its per-file rename results are checked) and the heal
+   marker stays down so any duplicates the interrupted pack lands are
+   folded next epoch. Spec-pinned by racing concurrent packs and a
+   superseded writer's pack against a claimant's batch, with row-set
+   superset-then-heal asserted (CorpusIngestSpec).
+2. **Monotonic snapshot sequence.** A `_graft_snapshot_seq` floor file
+   (one extra small write per manifest PUBLICATION, not per batch)
+   guarantees the reader-snapshot sequence never regresses after a
+   one-off manifest corruption; spec corrupts the manifest and asserts
+   the next published seq still advances.
+3. **Checked small-state writes.** Every state-file write-then-rename
+   now uses a per-write unique tmp and verifies the rename result
+   (retry, then loud) — a racing claim/re-assert pair can no longer
+   silently drop a lock write; exactly one writer survives AND every
+   writer that returns really recorded its content.
+4. **Manifest-after-failed-swap.** The pack's post-swap manifest
+   republish runs only after a FULLY successful swap; the documented
+   no-double-count guarantee now states the failed-swap/heal-window
+   exception explicitly (the batch-end manifest faithfully reflects
+   the corpus, duplicates and all, until the heal epoch folds them).
 
 ## Round-12 re-measurement: the round-11 residuals are closed
 
 All three columns below were measured back-to-back at ONE HEAD commit
-containing every round-12 change (round 13 re-measured all columns at
-its own final HEAD — the numbers in this file). The round-11 verdict's
-residuals:
+containing every round-12 change (each later round re-measures every
+column at its own final HEAD — the numbers in this file are this
+round's). The round-11 verdict's residuals:
 
 1. **The multi-slice pack branch is exercised** (the one `weak`): the
    `slices >= 2` rewrite — the branch every epoch runs at production
