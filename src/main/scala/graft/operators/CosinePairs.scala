@@ -3,21 +3,30 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.{SortedTermDot, SuffixSqMass}
+
 /** Exact all-pairs cosine similarity join over term-frequency vectors
   * (Bayardo/Ramakrishnan/Tumkur "Scaling Up All Pairs Similarity
-  * Search", WWW'07 — the weighted-cosine sibling of the PPJoin
-  * prefix-filter family in [[Dedup.ngramJaccardBlockedManaged]]).
+  * Search", WWW'07, with the L2 residual candidate bound from L2AP —
+  * Anastasiu & Karypis, ICDE'14 — the weighted-cosine sibling of the
+  * PPJoin prefix-filter family in [[Dedup.ngramJaccardBlockedManaged]]).
   *
   * Documents become sparse integer tf vectors over word n-gram shingles
   * (shingles, not unigrams: the synthetic corpus has a ~31-word
   * vocabulary, so unigram vectors are dense and every pair is similar;
   * 3-gram space decorrelates unrelated documents while near-duplicates
-  * keep cosine ≈ 1). All arithmetic that decides the answer is
-  * integer-exact — dot products and squared norms are BIGINT sums of
-  * BIGINT products — and the only floating point is the final
+  * keep cosine ≈ 1). Shingles are hashed to 64-bit terms at the
+  * tokenizer — the same rotate-XOR-mixed token-hash identity contract
+  * as the Jaccard/MinHash shingle family
+  * ([[graft.plans.HashedShingleListExpr]], the multiplicity-keeping tf
+  * form), so everything past the tokenizer shuffles and compares
+  * longs, never strings. All arithmetic that decides the answer is integer-exact —
+  * dot products and squared norms are BIGINT sums of BIGINT products —
+  * and the only floating point is the final
   * `dot / (sqrt(n2_a)·sqrt(n2_b))`, identical correctly-rounded IEEE
   * ops on identical integers in any engine, so a SQL oracle replays
-  * bit-for-bit.
+  * bit-for-bit modulo 64-bit shingle-hash collisions (~n²/2⁶⁵ — the
+  * accepted contract everywhere the engine hashes shingles).
   *
   * Scale shape (the reason this is not a naive inverted-index
   * self-join): terms are globally ordered by (document frequency ASC,
@@ -31,8 +40,25 @@ import org.apache.spark.sql.functions._
   * equi-join on the term loses no pairs. Hot shingles (large df) sort
   * LAST, so they land in suffixes and never generate candidates — the
   * candidate volume is Σ df² over RARE terms only, which is what makes
-  * the join survive a corpus-scale document table. Candidates are then
-  * verified exactly against the full tf maps.
+  * the join survive a corpus-scale document table.
+  *
+  * Two more exactness-preserving cuts keep the per-candidate cost flat:
+  *
+  *  - POSITIONAL L2 filter (L2AP): each exploded prefix token carries
+  *    the suffix squared mass `rsq` from its position on. For a
+  *    qualifying pair, the FIRST shared term (positions p in a, q in b)
+  *    has every shared term at/after it on both sides, so
+  *    dot ≤ ‖a[p:]‖·‖b[q:]‖ (Cauchy–Schwarz) and
+  *    `rsq_a(p)·rsq_b(q) ≥ t²·n2_a·n2_b` must hold at that row — join
+  *    rows failing it can be dropped with no false negatives (the
+  *    pair's first-shared-term row always survives to the pair-dedup).
+  *    A relative 1e-9 slack absorbs the double rounding; erring low
+  *    only admits extra candidates for the exact verify to reject.
+  *  - MERGE verification: survivors are verified by
+  *    [[graft.plans.SortedTermDot]] — a codegen'd O(|a|+|b|) linear
+  *    merge over term-sorted parallel arrays (the earlier map-probe
+  *    fold was O(|a|·|b|) interpreted work per candidate, the dominant
+  *    cost of the whole join).
   */
 object CosinePairs {
 
@@ -54,7 +80,7 @@ object CosinePairs {
     * vectors: `(id_a, id_b, cosine)` with id_a < id_b, cosine exact and
     * rounded to 6 for cross-engine output stability. The returned
     * release handle unpersists the per-document vector cache (read by
-    * the df join, the prefix explode and the verify join).
+    * the prefix explode and both verify joins).
     *
     * `dfCap`: with it set, terms appearing in more than `dfCap`
     * documents are removed from the VECTORS (stop-shingle removal —
@@ -75,10 +101,20 @@ object CosinePairs {
       dfCap: Option[Int] = None): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, "0 < threshold <= 1")
     require(dfCap.forall(_ >= 2), "dfCap >= 2 (df=1 terms never pair)")
-    // (id, term, tf) — integer term frequencies per document
+    // (id, term, tf) — integer term frequencies per document. Terms are
+    // the native per-position rotate-XOR shingle hashes over the
+    // LOWERCASED text (lowercasing is this operator's normalization
+    // contract; the Jaccard family hashes case-sensitively): one O(len)
+    // scan per document, and only (id, long) rows reach the groupBy.
+    // The Column-HOF [[shingleList]] form is retained as the executable
+    // string-semantics reference the specs replay — it re-evaluates the
+    // tokenizer per ELEMENT (no let-binding in Catalyst lambdas), which
+    // is O(len²) per document and was the dominant cost of the whole
+    // join before the native form.
     val dt = df
       .select(col(idCol).as("id"),
-        explode(shingleList(col(textCol), shingleN)).as("term"))
+        explode(graft.plans.TextHashExprs.hashedShingleList(
+          lower(col(textCol)), shingleN)).as("term"))
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
     // global term order key: document frequency. The join is by term —
@@ -90,6 +126,9 @@ object CosinePairs {
     // order because terms are unique within a document. With dfCap the
     // inner join here IS the stop-shingle removal: capped-out terms
     // vanish from the vectors before norms/prefixes are computed.
+    // `rsqs` is the per-position suffix squared mass (L2AP bound);
+    // (vterms, vtfs) is the SAME vector re-sorted by term value — the
+    // representation the per-candidate merge verify consumes.
     val docs = dt.join(dfreq, "term")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("term"), col("tf"))))
@@ -98,6 +137,11 @@ object CosinePairs {
         transform(col("ts"), x => x("term")).as("terms"),
         transform(col("ts"), x => x("tf")).as("tfs"))
       .withColumn("n2", aggregate(col("tfs"), lit(0L), (a, x) => a + x * x))
+      .withColumn("rsqs", SuffixSqMass(col("tfs")))
+      .withColumn("vts", sort_array(arrays_zip(col("terms"), col("tfs"))))
+      .select(col("id"), col("terms"), col("tfs"), col("n2"), col("rsqs"),
+        transform(col("vts"), x => x("terms")).as("vterms"),
+        transform(col("vts"), x => x("tfs")).as("vtfs"))
       .persist()
     // prefix length p: drop the longest TAIL whose cumulative squared
     // mass stays under t²·n2 — a single O(|terms|) fold over the
@@ -115,29 +159,36 @@ object CosinePairs {
       },
       acc => acc("c"))
     val pre = docs
-      .select(col("id"),
-        explode(slice(col("terms"), lit(1), size(col("terms")) - tailLen))
-          .as("term"))
-    // candidate pairs: prefix-to-prefix equi-join; a qualifying pair's
-    // first shared term is in both prefixes (Scaladoc proof)
+      .select(col("id"), col("n2"),
+        explode(slice(arrays_zip(col("terms"), col("rsqs")),
+          lit(1), size(col("terms")) - tailLen)).as("e"))
+      .select(col("id"), col("n2"),
+        col("e.terms").as("term"), col("e.rsqs").as("rsq"))
+    // candidate pairs: prefix-to-prefix equi-join — a qualifying pair's
+    // first shared term is in both prefixes (Scaladoc proof) — pruned
+    // by the positional L2 bound at the matched positions. rsq/n2
+    // multiply as doubles (no 64-bit overflow for any document size);
+    // the relative slack covers the conversions' rounding.
+    val tt = lit(threshold * threshold)
     val cands = pre.as("l")
       .join(pre.as("r"),
-        col("l.term") === col("r.term") && col("l.id") < col("r.id"))
+        col("l.term") === col("r.term") && col("l.id") < col("r.id") &&
+          col("l.rsq").cast("double") * col("r.rsq").cast("double") >=
+            tt * col("l.n2").cast("double") * col("r.n2").cast("double") *
+              lit(1.0 - 1e-9))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verification: BIGINT dot over the shared terms via tf maps
-    val sides = docs.select(col("id"),
-      map_from_arrays(col("terms"), col("tfs")).as("m"), col("n2"))
-    val dot = aggregate(map_entries(col("ma")), lit(0L),
-      (acc, e) => acc +
-        e("value") * coalesce(element_at(col("mb"), e("key")), lit(0L)))
+    // exact verification: BIGINT dot via one codegen'd sorted merge of
+    // the term-sorted parallel arrays per candidate
+    val sides = docs.select(col("id"), col("vterms"), col("vtfs"), col("n2"))
     val out = cands
-      .join(sides.select(col("id").as("id_a"), col("m").as("ma"),
-        col("n2").as("n2_a")), "id_a")
-      .join(sides.select(col("id").as("id_b"), col("m").as("mb"),
-        col("n2").as("n2_b")), "id_b")
+      .join(sides.select(col("id").as("id_a"), col("vterms").as("ta"),
+        col("vtfs").as("fa"), col("n2").as("n2_a")), "id_a")
+      .join(sides.select(col("id").as("id_b"), col("vterms").as("tb"),
+        col("vtfs").as("fb"), col("n2").as("n2_b")), "id_b")
       .withColumn("cos_raw",
-        dot.cast("double") /
+        SortedTermDot(col("ta"), col("fa"), col("tb"), col("fb"))
+          .cast("double") /
           (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))

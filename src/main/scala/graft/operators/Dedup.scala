@@ -594,8 +594,9 @@ object Dedup {
     * prefix is exploded for candidate generation (at t=0.9 that's ~10% of
     * the shingles; join volume shrinks quadratically). A symmetric size
     * predicate (⌈t·|A|⌉ ≤ |B| and ⌈t·|B|⌉ ≤ |A|) prunes inside the join,
-    * and survivors are verified with one exact `array_intersect` per
-    * candidate pair. No false negatives: the prefix bound is exact, and
+    * and survivors are verified with one exact codegen'd sorted-merge
+    * overlap count ([[graft.plans.SortedLongOverlap]]) per candidate
+    * pair. No false negatives: the prefix bound is exact, and
     * every stage is a codegen'd join — no O(block²) pairwise scans. This
     * is the exact ground truth the LSH path is verified against.
     */
@@ -661,7 +662,12 @@ object Dedup {
     val out = cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // verify: one codegen'd sorted merge per candidate (the `sh`
+      // arrays are sorted at vector build) — `array_intersect` would
+      // allocate and fill a hash set and materialize the intersection
+      // array per pair when only its SIZE is needed
+      .withColumn("n_common",
+        graft.plans.SortedLongOverlap(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)

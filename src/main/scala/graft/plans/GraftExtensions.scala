@@ -59,6 +59,12 @@ object GraftExtensions {
       val n = if (children.size > 1) litInt(children(1), "shingle size n") else 3
       HashedShinglesExpr(children.head, n)
     },
+    // hashed_shingle_list(text[, n=3]) — multiplicity-keeping tf form
+    "hashed_shingle_list" -> { children =>
+      arity(children, "hashed_shingle_list", 1, 2)
+      val n = if (children.size > 1) litInt(children(1), "shingle size n") else 3
+      HashedShingleListExpr(children.head, n)
+    },
     // minhash_sig(shingles[, k=64])
     "minhash_sig" -> { children =>
       arity(children, "minhash_sig", 1, 2)
@@ -109,6 +115,22 @@ object GraftExtensions {
       val seed = if (children.size > 4) litInt(children(4), "seed").toLong else 7L
       HyperplaneSigsExpr(children.head, litInt(children(1), "dim"),
         litInt(children(2), "planes"), litInt(children(3), "tables"), seed)
+    },
+    // sorted_overlap(a, b) — |a ∩ b| over ascending-sorted long arrays
+    "sorted_overlap" -> { children =>
+      arity(children, "sorted_overlap", 2)
+      SortedLongOverlap(children.head, children(1))
+    },
+    // sorted_dot(terms_a, tfs_a, terms_b, tfs_b) — sparse BIGINT dot
+    // over term-sorted parallel arrays
+    "sorted_dot" -> { children =>
+      arity(children, "sorted_dot", 4)
+      SortedTermDot(children.head, children(1), children(2), children(3))
+    },
+    // suffix_sq_mass(tfs) — per-position suffix Σtf² (APSS L2 bound)
+    "suffix_sq_mass" -> { children =>
+      arity(children, "suffix_sq_mass", 1)
+      SuffixSqMass(children.head)
     })
 
   /** Idempotent per-session registration (for sessions not built with

@@ -81,7 +81,14 @@ private[graft] object TextHash {
     * distinct — the byte-identical native form of
     * [[graft.operators.Dedup.hashedShingles]] (schedule (j·21) mod 64).
     */
-  def shingleHashes(toks: Array[Long], n: Int): Array[Long] = {
+  def shingleHashes(toks: Array[Long], n: Int): Array[Long] =
+    distinctPreservingOrder(shingleHashesAll(toks, n))
+
+  /** [[shingleHashes]] WITHOUT the distinct: one mixed hash per shingle
+    * POSITION, multiplicity preserved — the tf-vector form (cosine
+    * weighting needs the counts the set form drops).
+    */
+  def shingleHashesAll(toks: Array[Long], n: Int): Array[Long] = {
     val len = toks.length
     if (len < n) return Array.emptyLongArray
     val out = new Array[Long](len - n + 1)
@@ -96,7 +103,7 @@ private[graft] object TextHash {
       out(i) = h
       i += 1
     }
-    distinctPreservingOrder(out)
+    out
   }
 
   /** First-occurrence-order distinct of a long array (array_distinct
@@ -174,6 +181,39 @@ case class HashedShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "hashed_shingles"
+}
+
+/** `hashed_shingle_list(text, n)` → array<long>: [[HashedShinglesExpr]]
+  * WITHOUT the distinct — one element per shingle POSITION, so term
+  * frequencies survive (`groupBy(id, term).count` over the explode is
+  * the tf-vector build). Same tokenizer and rotate-XOR mix, so the set
+  * form is exactly `array_distinct` of this one. Exists because the
+  * Column-HOF shingle builder re-evaluates the tokenizer tree once per
+  * ELEMENT (Catalyst has no let-binding inside a lambda), turning an
+  * O(len) scan into O(len²) per document on the APSS hot path.
+  */
+case class HashedShingleListExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingle_list expects a string column, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
+    new GenericArrayData(TextHash.shingleHashesAll(toks, n))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingleListExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_shingle_list"
 }
 
 /** `minhash_sig(shingles, k)` → array<long>: k MinHash values of a
@@ -280,6 +320,9 @@ case class SimHashSigExpr(child: Expression)
 object TextHashExprs {
   def hashedShingles(text: Column, n: Int = 3): Column =
     bridge.column(HashedShinglesExpr(bridge.expression(text), n))
+
+  def hashedShingleList(text: Column, n: Int = 3): Column =
+    bridge.column(HashedShingleListExpr(bridge.expression(text), n))
 
   def minhashSig(shingles: Column, k: Int = 64): Column =
     bridge.column(MinHashSigExpr(bridge.expression(shingles), k))
