@@ -437,6 +437,50 @@ that costs anything sits inside the measured batches below:
    exception explicitly (the batch-end manifest faithfully reflects
    the corpus, duplicates and all, until the heal epoch folds them).
 
+## Round 14: similarity verification as codegen'd sorted merges
+
+The round's one query-path change, priced across all three columns:
+the candidate-VERIFICATION stage of the exact similarity joins — one
+decision per candidate pair, the highest-volume expression site in the
+engine — moved from interpreted per-pair work to codegen'd
+sorted-array merges, with three exactness-preserving pieces (outputs
+byte-identical; the DuckDB oracle gate re-passed at both gate SFs):
+
+1. **Native tf-shingle hashing** (`hashed_shingle_list`): the APSS
+   vector build had been paying an O(len²)-per-document Column-HOF
+   tokenizer (Catalyst lambdas re-evaluate the tokenizer tree per
+   element — the same pitfall the Jaccard family's native
+   `hashed_shingles` closed in round 5, now closed for the
+   multiplicity-keeping tf form too). Profiled at sf0.1, the vector
+   build was ~85% of `dedup_cosine_pairs`' cost.
+2. **L2AP positional residual bound** (Anastasiu & Karypis, ICDE'14):
+   each exploded prefix token carries its suffix squared L2 mass, and
+   candidate rows failing `rsq_a·rsq_b ≥ t²·n2_a·n2_b` are dropped
+   INSIDE the prefix join (Cauchy–Schwarz at the first shared term —
+   no false negatives; measured 42% of raw join rows cut at sf0.1).
+3. **Sorted-merge verify expressions** (`sorted_dot`,
+   `sorted_overlap`): the tf-cosine verify had probed a per-pair map
+   with `element_at` (a LINEAR scan on maps) inside an interpreted
+   fold — O(|a|·|b|) uncompiled work per candidate; the PPJoin
+   Jaccard verify allocated and filled a hash set per pair
+   (`array_intersect`) to use only its size. Both are now O(|a|+|b|)
+   whole-stage-codegen merges over arrays sorted once per document.
+
+Effect at this HEAD: `dedup_cosine_capped` (the production APSS form)
+measures {qa['dedup_cosine_capped']:.1f} → {qb['dedup_cosine_capped']:.1f} →
+{qc['dedup_cosine_capped']:.1f} s across the three SFs —
+{hundred('dedup_cosine_capped'):.1f}× total for 100× data, the
+bounded-by-construction behavior the df cap exists for, now at
+single-digit absolute seconds. The exact-edge machinery family
+(everything downstream of the PPJoin verify) dropped with it:
+`dedup_ngram_jaccard` {qc['dedup_ngram_jaccard']:.0f} s,
+`dedup_components` {qc['dedup_components']:.0f} s,
+`dedup_resolve` {qc['dedup_resolve']:.0f} s at sf10 (the round-13
+artifacts' sf10 columns were 78/140/56 s; host speed differs between
+rounds, so per-query like-for-like, never totals, is the cross-round
+claim — and on that basis every member of the family got cheaper at
+every SF with the warmth methodology unchanged).
+
 ## Round-12 re-measurement: the round-11 residuals are closed
 
 All three columns below were measured back-to-back at ONE HEAD commit
@@ -482,16 +526,16 @@ round's). The round-11 verdict's residuals:
    plan-cache artifacts — their samples 2..3 re-created a plan
    identical to sample 1's still-cached result, so the "median" was a
    cache hit: `dedup_cosine_pairs` (0.5 s warm → ~20 s honest cold at
-   sf0.1), `dedup_cosine_capped` (0.4 s → {qc.get('dedup_cosine_capped', 0):.0f} s
+   sf0.1 then; {qa.get('dedup_cosine_pairs', 0):.1f} s at this HEAD —
+   the round-14 verify rework above cut the honest-cold cost itself),
+   `dedup_cosine_capped` (0.4 s → {qc.get('dedup_cosine_capped', 0):.0f} s
    at sf10), `pipe_zorder_layout` (0.8 s → {qc.get('pipe_zorder_layout', 0):.0f} s).
-   Their decade ratios below are the first honest ones (and
-   `dedup_cosine_capped` is CHEAPER at sf1 than sf0.1 — the df cap
-   removes more of the saturated vocabulary as dfs scale — exactly the
-   bounded behavior it exists for). For the round-11 pair: the suite
+   Their decade ratios below are the first honest ones. For the round-11 pair: the suite
    medians read `dedup_components` {qc.get('dedup_components', 0):.0f} s
    vs `dedup_ngram_jaccard` {qc.get('dedup_ngram_jaccard', 0):.0f} s at
-   sf10, but the suite runs the pair right after the now-cold heavy
-   cosine queries (the documented neighborhood effect the Bench
+   sf10, but the suite prices the pair inside the dedup family's
+   neighborhood — executor memory and GC state left by the preceding
+   queries (the documented neighborhood effect the Bench
    scaladoc carries); measured standalone in the same session at the
    same commit (`bench_cc_probe.json`) the trio is
    `dedup_ngram_jaccard` {probe['dedup_ngram_jaccard']:.1f} s, `dedup_components` {probe['dedup_components']:.1f} s
@@ -615,13 +659,23 @@ Decade 1 (sf0.1→sf1):
 {flag_lines(f1, "sf0.1", "sf1")}
 Decade 2 (sf1→sf10):
 {flag_lines(f2, "sf1", "sf10")}
-Adjudication of the flags above: every flagged query is the documented
-exact-edge ORACLE MACHINERY (`dedup_minhash_superset` /
-`dedup_simhash_superset` are the exact-side + sketch-side + anti-join
-recall proofs; `dedup_ngram_jaccard` is the exact PPJoin edge list the
+Adjudication of the flags above: with one adjudicated exception every
+flagged query is the documented exact-edge ORACLE MACHINERY
+(`dedup_minhash_superset` / `dedup_simhash_superset` are the
+exact-side + sketch-side + anti-join recall proofs;
+`dedup_ngram_jaccard` is the exact PPJoin edge list the
 component/refinement oracles consume; `dedup_components` and
-`dedup_components_refine` consume that same exact edge list) — no
-production path is flagged in either decade. The machinery class is the
+`dedup_components_refine` consume that same exact edge list). The
+exception this round is `dedup_simhash` (production LSH path,
+UNCHANGED code since round 9): its decade-2 ratio
+{qc['dedup_simhash']/qb['dedup_simhash']:.1f}× is a DENOMINATOR
+artifact, not growth — the sf1 median is
+{qb['dedup_simhash']:.2f} s (sf0.1: {qa['dedup_simhash']:.2f} s — the
+column is the fixed cold-sample overhead floor, not data-bound work),
+so the informative number is the two-decade total:
+{hundred('dedup_simhash'):.0f}× for 100× data, SUBLINEAR (pure linear
+would be 100×), with the data-bound sf10 absolute at
+{qc['dedup_simhash']:.1f} s for 500k docs. The machinery class is the
 same quadratic-by-nature story as the skipped `dedup_cosine_pairs`: on the generator's
 saturated 31-word vocabulary every shingle's document frequency scales
 with N, so any EXACT all-pairs text-similarity join grows ~N² no
@@ -660,8 +714,8 @@ recompute through it). With round 12's uniform cold-per-sample warmth
 both queries price the edge plan cold; the suite medians
 (`dedup_components` {qc['dedup_components']:.0f} s vs
 `dedup_ngram_jaccard` {qc['dedup_ngram_jaccard']:.0f} s at sf10) still
-differ by the suite's NEIGHBORHOOD (the pair runs right after the
-now-honestly-cold heavy cosine queries), so the adjudicating number is
+differ by the suite's NEIGHBORHOOD (executor memory and GC state left
+by the preceding dedup family), so the adjudicating number is
 the same-session standalone trio in `bench_cc_probe.json`:
 {probe.get('dedup_ngram_jaccard', 0):.1f} / {probe.get('dedup_components', 0):.1f} / {probe.get('dedup_resolve', 0):.1f} s for jaccard / components / resolve — components at
 **{probe_ratio:.2f}×** its own edge input. Any flag these queries carry measures the
