@@ -136,28 +136,23 @@ object CosinePairs {
       .select(col("id"),
         transform(col("ts"), x => x("term")).as("terms"),
         transform(col("ts"), x => x("tf")).as("tfs"))
-      .withColumn("n2", aggregate(col("tfs"), lit(0L), (a, x) => a + x * x))
       .withColumn("rsqs", SuffixSqMass(col("tfs")))
+      // n2 IS the whole-vector suffix mass — rsqs[0] — so norms, the
+      // prefix bound and the join's positional bound all read the SAME
+      // integer array (no second fold, no drift between derivations)
+      .withColumn("n2", element_at(col("rsqs"), 1))
       .withColumn("vts", sort_array(arrays_zip(col("terms"), col("tfs"))))
       .select(col("id"), col("terms"), col("tfs"), col("n2"), col("rsqs"),
         transform(col("vts"), x => x("terms")).as("vterms"),
         transform(col("vts"), x => x("tfs")).as("vtfs"))
       .persist()
-    // prefix length p: drop the longest TAIL whose cumulative squared
-    // mass stays under t²·n2 — a single O(|terms|) fold over the
-    // reversed tf array with constant state (no suffix-sum array). The
-    // kept-count condition is prefix-monotone because the running sum
-    // only grows, so the simple conditional increment implements
-    // "count while under the bound".
+    // prefix length: drop the longest TAIL whose squared mass stays
+    // under t²·n2. rsqs[i] is exactly the tail mass starting at i and
+    // DESCENDS in i, so the tail length is the count of positions whose
+    // suffix mass is under the bound — one filter over the array
+    // already computed for the positional join bound.
     val bound = lit(threshold * threshold) * col("n2").cast("double")
-    val tailLen = aggregate(reverse(col("tfs")),
-      struct(lit(0L).as("s"), lit(0).as("c")),
-      (acc, x) => {
-        val s2 = acc("s") + x * x
-        struct(s2.as("s"),
-          (acc("c") + when(s2.cast("double") < bound, 1).otherwise(0)).as("c"))
-      },
-      acc => acc("c"))
+    val tailLen = size(filter(col("rsqs"), r => r.cast("double") < bound))
     val pre = docs
       .select(col("id"), col("n2"),
         explode(slice(arrays_zip(col("terms"), col("rsqs")),

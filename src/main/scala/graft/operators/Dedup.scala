@@ -521,8 +521,11 @@ object Dedup {
   private def withSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleN: Int): DataFrame =
+    // `sh` is sorted at build so the LSH candidates' exact-Jaccard
+    // verify is a codegen'd sorted merge (MinHash is a min over the
+    // set — element order cannot change `sig`)
     df.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), shingleN).as("sh"))
+      sort_array(hashedShingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextHashExprs.minhashSig(col("sh"), numHashes))
 
@@ -577,7 +580,13 @@ object Dedup {
     val out = cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // `sh` is sorted at signature build: one codegen'd merge per
+      // candidate instead of [[jaccard]]'s per-pair hash set (the
+      // helper stays as the order-agnostic reference form)
+      .withColumn("n_common",
+        graft.plans.SortedLongOverlap(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     // `withSig` must stay cached while the returned lazy plan is alive

@@ -72,8 +72,11 @@ case class SortedLongOverlap(left: Expression, right: Expression)
         val y = b.getLong(j)
         if (x == y) {
           cnt += 1
-          while (i < na && !a.isNullAt(i) && a.getLong(i) == x) i += 1
-          while (j < nb && !b.isNullAt(j) && b.getLong(j) == x) j += 1
+          // the run-skip also steps over nulls INSIDE an equal run —
+          // otherwise array(5, null, 5) would count 5 twice, breaking
+          // the documented nulls-ignored / duplicates-once contract
+          while (i < na && (a.isNullAt(i) || a.getLong(i) == x)) i += 1
+          while (j < nb && (b.isNullAt(j) || b.getLong(j) == x)) j += 1
         } else if (x < y) i += 1
         else j += 1
       }
@@ -102,8 +105,8 @@ case class SortedLongOverlap(left: Expression, right: Expression)
          |    long $y = $b.getLong($j);
          |    if ($x == $y) {
          |      $cnt++;
-         |      while ($i < $na && !$a.isNullAt($i) && $a.getLong($i) == $x) $i++;
-         |      while ($j < $nb && !$b.isNullAt($j) && $b.getLong($j) == $x) $j++;
+         |      while ($i < $na && ($a.isNullAt($i) || $a.getLong($i) == $x)) $i++;
+         |      while ($j < $nb && ($b.isNullAt($j) || $b.getLong($j) == $x)) $j++;
          |    } else if ($x < $y) { $i++; } else { $j++; }
          |  }
          |}

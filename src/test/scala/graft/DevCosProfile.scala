@@ -15,11 +15,12 @@ class DevCosProfile extends SparkSpec {
       println(f"[cosprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    // mirror tfCosinePairsManaged stages
+    // mirror tfCosinePairsManaged stages (the PRODUCTION tokenizer —
+    // native hashed_shingle_list over lowercased text)
     val dt = docs
       .select(col("doc_id").as("id"),
-        explode(graft.operators.CosinePairs.shingleList(col("text"), 3)).as("sterm"))
-      .select(col("id"), xxhash64(col("sterm")).as("term"))
+        explode(graft.plans.TextHashExprs.hashedShingleList(
+          lower(col("text")), 3)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val vecs = dt.join(dfreq, "term")

@@ -15,12 +15,19 @@ class DevCosProfile2 extends SparkSpec {
     }
     println("[cosprof2] docs=" + docs.count() +
       " avgTokens=" + docs.select(avg(size(split(trim(lower(col("text"))), "\\s+")))).head().getDouble(0))
-    val sh = docs.select(col("doc_id").as("id"),
+    // LEGACY Column-HOF tokenizer, timed as the reference the native
+    // form replaced (it re-evaluates the tokenizer tree per element —
+    // the O(len²) cost hashed_shingle_list exists to avoid)
+    val shLegacy = docs.select(col("doc_id").as("id"),
       graft.operators.CosinePairs.shingleList(col("text"), 3).as("shl"))
-    timed("shingleList only")(println("[cosprof2] totalShingles=" +
-      sh.select(sum(size(col("shl")))).head().getLong(0)))
-    val dt = sh.select(col("id"), explode(col("shl")).as("sterm"))
-      .select(col("id"), xxhash64(col("sterm")).as("term"))
+    timed("LEGACY shingleList HOF")(println("[cosprof2] totalShingles=" +
+      shLegacy.select(sum(size(col("shl")))).head().getLong(0)))
+    val shNative = docs.select(col("doc_id").as("id"),
+      graft.plans.TextHashExprs.hashedShingleList(
+        lower(col("text")), 3).as("shl"))
+    timed("native hashed_shingle_list")(println("[cosprof2] totalShingles=" +
+      shNative.select(sum(size(col("shl")))).head().getLong(0)))
+    val dt = shNative.select(col("id"), explode(col("shl")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .persist()
     timed("dt groupBy")(println("[cosprof2] dtRows=" + dt.count()))

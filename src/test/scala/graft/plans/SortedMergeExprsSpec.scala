@@ -38,6 +38,23 @@ class SortedMergeExprsSpec extends SparkSpec {
     assert(nullIn.select(SortedLongOverlap($"a", $"b")).collect().head.isNullAt(0))
   }
 
+  test("sorted_overlap: nulls interleaved inside an equal run count once") {
+    // reachable only from the SQL surface (engine-built arrays are
+    // null-free): the run-skip must step over interior nulls or
+    // array(5, null, 5) x array(5, null, 5) would count 5 twice
+    val rows = Seq(
+      (Seq(Some(5L), None, Some(5L)), Seq(Some(5L), None, Some(5L)), 1),
+      (Seq(None, Some(2L), Some(2L)), Seq(Some(2L), None), 1),
+      (Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(3L)), 2))
+    rows.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(SortedLongOverlap(
+          $"a".cast("array<bigint>"), $"b".cast("array<bigint>")))
+        .as[Int].head()
+      assert(got == want, s"$a x $b")
+    }
+  }
+
   test("sorted_dot matches the map-probe fold on random tf vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (1 to 150).map { _ =>
