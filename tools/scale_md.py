@@ -659,23 +659,15 @@ Decade 1 (sf0.1→sf1):
 {flag_lines(f1, "sf0.1", "sf1")}
 Decade 2 (sf1→sf10):
 {flag_lines(f2, "sf1", "sf10")}
-Adjudication of the flags above: with one adjudicated exception every
-flagged query is the documented exact-edge ORACLE MACHINERY
-(`dedup_minhash_superset` / `dedup_simhash_superset` are the
-exact-side + sketch-side + anti-join recall proofs;
-`dedup_ngram_jaccard` is the exact PPJoin edge list the
-component/refinement oracles consume; `dedup_components` and
-`dedup_components_refine` consume that same exact edge list). The
-exception this round is `dedup_simhash` (production LSH path,
-UNCHANGED code since round 9): its decade-2 ratio
-{qc['dedup_simhash']/qb['dedup_simhash']:.1f}× is a DENOMINATOR
-artifact, not growth — the sf1 median is
-{qb['dedup_simhash']:.2f} s (sf0.1: {qa['dedup_simhash']:.2f} s — the
-column is the fixed cold-sample overhead floor, not data-bound work),
-so the informative number is the two-decade total:
-{hundred('dedup_simhash'):.0f}× for 100× data, SUBLINEAR (pure linear
-would be 100×), with the data-bound sf10 absolute at
-{qc['dedup_simhash']:.1f} s for 500k docs. The machinery class is the
+Adjudication of the flags above: every flagged query is the documented
+exact-edge ORACLE MACHINERY (`dedup_minhash_superset` /
+`dedup_simhash_superset` are the exact-side + sketch-side + anti-join
+recall proofs; `dedup_components` consumes the exact PPJoin edge list
+those oracles are built on) — no production path is flagged in either
+decade, and this round's sorted-merge verify rework (above) took
+`dedup_ngram_jaccard` itself — the exact edge plan — back UNDER the
+bar ({qc['dedup_ngram_jaccard']/qb['dedup_ngram_jaccard']:.1f}× for
+10× data, {hundred('dedup_ngram_jaccard'):.0f}× total for 100×). The machinery class is the
 same quadratic-by-nature story as the skipped `dedup_cosine_pairs`: on the generator's
 saturated 31-word vocabulary every shingle's document frequency scales
 with N, so any EXACT all-pairs text-similarity join grows ~N² no
