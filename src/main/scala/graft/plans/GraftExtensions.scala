@@ -116,13 +116,16 @@ object GraftExtensions {
       HyperplaneSigsExpr(children.head, litInt(children(1), "dim"),
         litInt(children(2), "planes"), litInt(children(3), "tables"), seed)
     },
-    // sorted_overlap(a, b) — |a ∩ b| over ascending-sorted long arrays
+    // sorted_overlap(a, b) — |a ∩ b| over ascending-sorted long arrays.
+    // The sortedness precondition is ENFORCED (unsorted input raises,
+    // never a silent undercount); sort with array_sort before calling
     "sorted_overlap" -> { children =>
       arity(children, "sorted_overlap", 2)
       SortedLongOverlap(children.head, children(1))
     },
     // sorted_dot(terms_a, tfs_a, terms_b, tfs_b) — sparse BIGINT dot
-    // over term-sorted parallel arrays
+    // over term-sorted parallel arrays. Terms must be sorted UNIQUE
+    // ascending — ENFORCED (misordered/duplicate keys raise)
     "sorted_dot" -> { children =>
       arity(children, "sorted_dot", 4)
       SortedTermDot(children.head, children(1), children(2), children(3))

@@ -24,12 +24,90 @@ import org.apache.spark.sql.types._
   * long arrays — the sort is paid once per document before the
   * candidate join fans out, so verification is O(|a|+|b|) compiled work
   * with zero allocation per pair.
+  *
+  * The sorted-input PRECONDITION IS ENFORCED: an unsorted array raises
+  * `IllegalArgumentException` instead of silently undercounting. These
+  * are public SQL functions ([[GraftExtensions]]), and a misordered
+  * ad-hoc input would otherwise produce a plausible wrong answer — the
+  * one defect class no oracle guards at the SQL surface. The check is
+  * one branch-predictable compare per element folded into a prepass
+  * (always-false on contract-respecting inputs), measured in the noise
+  * on the APSS/PPJoin verify paths whose arrays are sorted once at
+  * vector build.
   */
 private[graft] object SortedMergeExprs {
 
   private[plans] def longArray(t: DataType): Boolean = t match {
     case ArrayType(LongType, _) => true
     case _ => false
+  }
+
+  /** Loud misuse failure — also the codegen throw site. `strict`
+    * distinguishes the dot's unique-ascending terms contract from the
+    * overlap's duplicates-allowed ascending one in the message.
+    */
+  def unsortedError(fn: String, side: String, idx: Int, strict: Boolean): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: $side input array is not sorted " +
+        (if (strict) "strictly ascending (sorted UNIQUE term keys required)"
+         else "ascending") +
+        s" at index $idx — sort it at build time (array_sort), as the " +
+        "engine's vector/signature builders do")
+
+  /** Interpreted-path order validation over the non-null elements the
+    * merge considers. `strict` additionally rejects equal neighbours
+    * (the tf-vector unique-terms invariant). `vals` — when non-null —
+    * is the parallel tf array whose null entries make a position
+    * invisible to the merge, so they are invisible to the check too.
+    */
+  def checkAscending(a: ArrayData, vals: ArrayData, fn: String, side: String,
+      strict: Boolean): Unit = {
+    val n = a.numElements()
+    var prev = 0L
+    var hasPrev = false
+    var k = 0
+    while (k < n) {
+      if (!a.isNullAt(k) && (vals == null || !vals.isNullAt(k))) {
+        val v = a.getLong(k)
+        if (hasPrev && (if (strict) v <= prev else v < prev))
+          unsortedError(fn, side, k, strict)
+        prev = v
+        hasPrev = true
+      }
+      k += 1
+    }
+  }
+
+  /** Codegen for [[checkAscending]]: same skip logic, inline throw via
+    * the static helper (Janino resolves the Scala object's MODULE$).
+    */
+  private[plans] def genAscendingCheck(ctx: CodegenContext, arr: String,
+      vals: String, fn: String, side: String, strict: Boolean): String = {
+    val n = ctx.freshName("n")
+    val k = ctx.freshName("k")
+    val v = ctx.freshName("v")
+    val prev = ctx.freshName("prev")
+    val skipVal = if (vals == null) "" else s" || $vals.isNullAt($k)"
+    val cmp = if (strict) "<=" else "<"
+    // prologue finds the first considered element, so the hot loop is
+    // one load + one always-false compare per element — no flag
+    s"""
+       |int $n = $arr.numElements();
+       |int $k = 0;
+       |while ($k < $n && ($arr.isNullAt($k)$skipVal)) $k++;
+       |if ($k < $n) {
+       |  long $prev = $arr.getLong($k);
+       |  for ($k++; $k < $n; $k++) {
+       |    if ($arr.isNullAt($k)$skipVal) continue;
+       |    long $v = $arr.getLong($k);
+       |    if ($v $cmp $prev) {
+       |      graft.plans.SortedMergeExprs$$.MODULE$$.unsortedError(
+       |        "$fn", "$side", $k, $strict);
+       |    }
+       |    $prev = $v;
+       |  }
+       |}
+     """.stripMargin
   }
 }
 
@@ -40,8 +118,10 @@ private[graft] object SortedMergeExprs {
   * Null elements are ignored (the dedup shingle arrays are declared
   * `containsNull=false`; tolerating stray nulls keeps SQL callers from
   * crashing, and the verify semantics treat null as "no shingle").
-  * Inputs MUST be sorted ascending — unsorted inputs silently
-  * undercount, which is why the callers sort once at vector-build time.
+  * Inputs MUST be sorted ascending, and the contract is ENFORCED: an
+  * out-of-order non-null element raises rather than undercounting —
+  * the prepass is one always-false compare per element, free next to
+  * the merge itself.
   */
 case class SortedLongOverlap(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -59,6 +139,8 @@ case class SortedLongOverlap(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    SortedMergeExprs.checkAscending(a, null, "sorted_overlap", "left", strict = false)
+    SortedMergeExprs.checkAscending(b, null, "sorted_overlap", "right", strict = false)
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
@@ -94,6 +176,8 @@ case class SortedLongOverlap(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val cnt = ctx.freshName("cnt")
       s"""
+         |${SortedMergeExprs.genAscendingCheck(ctx, a, null, "sorted_overlap", "left", strict = false)}
+         |${SortedMergeExprs.genAscendingCheck(ctx, b, null, "sorted_overlap", "right", strict = false)}
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $cnt = 0;
@@ -135,6 +219,10 @@ object SortedLongOverlap {
   * integer until the caller's final sqrt. A length mismatch between a
   * terms array and its tfs array yields null (malformed vector, never
   * a silent wrong dot); null elements are tolerated as "no entry".
+  * The sorted-unique terms contract is ENFORCED: a non-increasing
+  * neighbour pair among the entries the merge would consider (key and
+  * tf both non-null) raises instead of silently dropping terms from
+  * the dot.
   */
 case class SortedTermDot(
     termsA: Expression, tfsA: Expression,
@@ -166,6 +254,8 @@ case class SortedTermDot(
     val na = keysA.numElements()
     val nb = keysB.numElements()
     if (na != valsA.numElements() || nb != valsB.numElements()) return null
+    SortedMergeExprs.checkAscending(keysA, valsA, "sorted_dot", "left terms", strict = true)
+    SortedMergeExprs.checkAscending(keysB, valsB, "sorted_dot", "right terms", strict = true)
     var i = 0
     var j = 0
     var acc = 0L
@@ -198,6 +288,8 @@ case class SortedTermDot(
          |if ($na != $fa.numElements() || $nb != $fb.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
+         |  ${SortedMergeExprs.genAscendingCheck(ctx, ta, fa, "sorted_dot", "left terms", strict = true)}
+         |  ${SortedMergeExprs.genAscendingCheck(ctx, tb, fb, "sorted_dot", "right terms", strict = true)}
          |  int $i = 0; int $j = 0; long $acc = 0L;
          |  while ($i < $na && $j < $nb) {
          |    if ($ta.isNullAt($i) || $fa.isNullAt($i)) { $i++; }

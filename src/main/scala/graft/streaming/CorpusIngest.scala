@@ -268,26 +268,40 @@ object CorpusIngest {
     * content. A crash in the tiny delete/rename window leaves the
     * file ABSENT, which every reader treats conservatively (no bloom
     * state → probe everything; no meta → adopt caller's buckets).
+    *
+    * EVERY exit that did not consume the tmp deletes it (best-effort):
+    * tmp names are unique per write, so an orphan left by a throwing
+    * write/delete/rename (a transient FS error) would never be
+    * overwritten and would accrue FOREVER on a long-running stream —
+    * the `finally` makes the failure loud AND clean.
     */
-  private def writeSmall(spark: SparkSession, p: Path, bytes: Array[Byte]): Unit = {
+  private[streaming] def writeSmall(spark: SparkSession, p: Path,
+      bytes: Array[Byte]): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(p.getParent, p.getName + "." +
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    var attempt = 0
     var renamed = false
-    while (!renamed && attempt < 3) {
-      if (fs.exists(p)) fs.delete(p, false)
-      renamed = fs.rename(tmp, p)
-      attempt += 1
-    }
-    if (!renamed) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      var attempt = 0
+      while (!renamed && attempt < 3) {
+        if (fs.exists(p)) fs.delete(p, false)
+        renamed = fs.rename(tmp, p)
+        attempt += 1
+      }
+      if (!renamed) throw new IllegalStateException(
         s"writeSmall: rename to $p failed $attempt times — a concurrent " +
           "writer keeps recreating the target or the filesystem refuses " +
           "the swap; this write was NOT recorded")
+    } finally {
+      if (!renamed) {
+        // exception path (create/write/delete/rename threw, or the
+        // attempts ran out): the propagating error stays primary, the
+        // orphan goes regardless
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException | _: RuntimeException => () }
+      }
     }
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class DevCosProfile extends SparkSpec {
 
   ignore("stage profile at sf0.1") {
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = spark.read.parquet(s"$devDataRoot/sf0.1/documents.parquet")
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f

@@ -29,6 +29,14 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  /** Data root for hand-invoked dev profiles (the ignored Dev* suites):
+    * overridable via `-Dgraft.testdata=…` or GRAFT_TESTDATA so they
+    * stay runnable on a checkout whose test data lives elsewhere.
+    */
+  def devDataRoot: String =
+    sys.props.get("graft.testdata")
+      .orElse(sys.env.get("GRAFT_TESTDATA"))
+      .getOrElse("/root/testdata")
   /** A fresh path that does NOT yet exist (Spark writers refuse to
     * overwrite an existing dir in default mode).
     */

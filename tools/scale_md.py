@@ -84,7 +84,25 @@ def main(p01, p1, p10):
                 "clean runs — fix the errors and re-bench")
         return d["queries"]
 
-    qa, qb, qc = timed(a), timed(b), timed(c)
+    class NamedQueries(dict):
+        """Direct indexing (qa['x']) fails with a message naming the
+        missing query and the artifact, not a bare KeyError — the
+        narrative blocks below index queries the template expects
+        (round-14 advice)."""
+
+        def __init__(self, d, label):
+            super().__init__(d)
+            self.label = label
+
+        def __missing__(self, k):
+            raise SystemExit(
+                f"ERROR: {self.label} is missing query '{k}' which the "
+                "SCALE.md narrative references — re-run the bench with "
+                "the full suite or update the template block")
+
+    qa, qb, qc = (NamedQueries(timed(a), a.get("sf", p01)),
+                  NamedQueries(timed(b), b.get("sf", p1)),
+                  NamedQueries(timed(c), c.get("sf", p10)))
     skipped1 = b.get("skipped", [])
     skipped10 = c.get("skipped", [])
     t1, s1, note1 = table(qa, qb, RATIO_BAR, skipped1)
