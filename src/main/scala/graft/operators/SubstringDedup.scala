@@ -226,66 +226,57 @@ object SubstringDedup {
     * no duplicate of even `minLen` exists. Driver state: two ints and
     * one boolean per probe.
     *
-    * Probe cost is managed (judge r14 #3 — this pair was the most
-    * expensive suite item): the (doc, text) projection is persisted
-    * ONCE across all ~⌈log₂ range⌉ probes instead of re-reading parquet
-    * per probe, each probe's (doc, pos, hash) frame is cached for the
-    * probe's duration so the census hash subtree — referenced on BOTH
-    * sides of the hot-hash semi join — is computed once per probe
-    * rather than twice, and the search range is clamped by the longest
-    * document (no duplicate can be longer than the longest text, so a
-    * generous default `maxLen` costs nothing). Probes remain
-    * value-verified end to end: a rolling-hash collision can make a
-    * candidate, never an existence verdict.
+    * The search range is clamped by the longest document (no duplicate
+    * outlives the longest text, so a generous default `maxLen` costs
+    * only its log) and probes remain value-verified end to end: a
+    * rolling-hash collision can make a candidate, never an existence
+    * verdict. Each probe deliberately RE-SCANS parquet rather than a
+    * persisted projection: both persist variants were measured SLOWER
+    * at sf1 (cold search 27.7 s with `base`+per-probe hash caching vs
+    * 17.6 s scanning parquet, identical join strategies either way —
+    * the columnar cache scan loses to the vectorized zstd parquet
+    * reader, and the census shuffles, not the scans, dominate probe
+    * cost). The cross-INVOCATION amortization lives one layer up:
+    * query registrations memoize L* per corpus content stamp
+    * (graft.queries.TextQueries), so repeat invocations skip the
+    * search entirely.
     */
   def longestDupLen(df: DataFrame, minLen: Int = 8, maxLen: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): Option[Int] = {
     require(1 <= minLen && minLen <= maxLen, "1 <= minLen <= maxLen")
-    import org.apache.spark.storage.StorageLevel
     val base = df.select(col(idCol).as("doc"), col(textCol).as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      def existsAt(len: Int): Boolean = {
-        val hashes = base.select(col("doc"),
-            posexplode(RollingHashes(col("t"), len)).as(Seq("pos", "h")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val hot = hashes.groupBy("h").agg(count(lit(1)).as("c"))
-            .filter(col("c") > 1).select("h")
-          hashes.join(hot, Seq("h"), "left_semi")
-            .join(base, Seq("doc"))
-            .select(F.substring(col("t"), col("pos") + 1, lit(len)).as("gram"))
-            .groupBy("gram").agg(count(lit(1)).as("n"))
-            .filter(col("n") > 1)
-            .limit(1).count() > 0
-        } finally {
-          hashes.unpersist(blocking = false); ()
-        }
+    def existsAt(len: Int): Boolean = {
+      val hashes = base.select(col("doc"),
+        posexplode(RollingHashes(col("t"), len)).as(Seq("pos", "h")))
+      val hot = hashes.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("h")
+      hashes.join(hot, Seq("h"), "left_semi")
+        .join(base, Seq("doc"))
+        .select(F.substring(col("t"), col("pos") + 1, lit(len)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .limit(1).count() > 0
+    }
+    // no duplicate outlives the longest document
+    val longestDoc = base.agg(max(length(col("t")))).collect().head
+    val cap = if (longestDoc.isNullAt(0)) 0
+      else math.min(maxLen, longestDoc.getInt(0))
+    if (cap < minLen || !existsAt(minLen)) None
+    else {
+      // invariant: dup exists at lo, none at hi
+      var lo = minLen
+      var hi = cap + 1
+      while (hi - lo > 1) {
+        val mid = lo + (hi - lo) / 2
+        if (existsAt(mid)) lo = mid else hi = mid
       }
-      // no duplicate outlives the longest document
-      val longestDoc = base.agg(max(length(col("t")))).collect().head
-      val cap = if (longestDoc.isNullAt(0)) 0
-        else math.min(maxLen, longestDoc.getInt(0))
-      if (cap < minLen || !existsAt(minLen)) None
-      else {
-        // invariant: dup exists at lo, none at hi
-        var lo = minLen
-        var hi = cap + 1
-        while (hi - lo > 1) {
-          val mid = lo + (hi - lo) / 2
-          if (existsAt(mid)) lo = mid else hi = mid
-        }
-        Some(lo)
-      }
-    } finally {
-      base.unpersist(blocking = false); ()
+      Some(lo)
     }
   }
 
   /** [[longestDupLen]]'s census: the L* duplicates with a `len` column;
     * EMPTY when no duplicate of even `minLen` exists. The returned
-    * frame is built over the caller's `df` (not the search's transient
-    * cache), so it stays a plain lazy census.
+    * frame is a plain lazy census over the caller's `df`.
     */
   def longestDup(df: DataFrame, minLen: Int = 8, maxLen: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
