@@ -259,7 +259,7 @@ def main(p01, p1, p10):
         fsread_hdr = " fs read (MB) |" if has_fsread else ""
         fsread_sep = "---|" if has_fsread else ""
         return f"""
-## Ingest at a GROWING corpus (round 14 — the measured time series)
+## Ingest at a GROWING corpus (re-measured each round; series format from round 14)
 
 The flat-probe and batch-proportional-maintenance properties are
 spec-pinned at toy sizes; this is the priced version:
@@ -318,7 +318,7 @@ own partition buckets, not the corpus's; `packed files` is the net
 file-count reduction of the epoch-boundary bin-pack.)
 """
 
-    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 14, all three SFs at one HEAD commit)
+    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 15, all three SFs at one HEAD commit)
 
 **Method.** All three datasets come from the SAME deterministic generator
 (`sources/Synthetic.scala`; distribution parity with the shipped testdata
@@ -346,9 +346,15 @@ companion whose production counterpart IS measured at every SF:
 
 - `sim_neardup_blocked` (sf10): all-pairs BY DESIGN; production form
   `sim_neardup_cosine` measured everywhere.
-- `text_longest_dup` / `text_longest_dup_bound` (sf10): ~10 census
-  binary-search passes each — linear per pass, minutes at sf10; the
-  single census `text_dup_substrings` is measured everywhere.
+- `text_longest_dup` / `text_longest_dup_bound`: measured at EVERY SF
+  since round 15 (previously skipped at sf10). The binary search's
+  ~10 census probes are linear per pass; round 15 memoizes the found
+  length per corpus content stamp (the BuiltOnce steady-state pricing
+  — see the round-15 section), clamps the range by the longest
+  document, and the medians below price the steady state; the cold
+  search itself is checked in from fresh single-run JVMs at the same
+  HEAD (`bench_longest_dup_cold_sf1.json` /
+  `bench_longest_dup_cold_sf10.json`), linear per decade.
 - `dedup_cosine_pairs` (sf1+sf10): the exact full-vocabulary APSS join.
   The generator's FIXED 31-word vocabulary saturates the 3-gram space,
   so every document frequency scales with N and any exact all-pairs
@@ -423,6 +429,73 @@ Measurement provenance this round: all artifacts — the three suite
 columns, the standalone probe, and both ingest series — were measured
 back-to-back in one session at the round's final product HEAD; only
 doc/artifact commits follow it.
+
+## Round 15: contract enforcement, memoized search, attribution
+
+Round 15's query-path changes, priced across all three columns:
+
+1. **The sorted-merge family enforces its input contract.**
+   `sorted_overlap`/`sorted_dot` (the round-14 verify expressions, also
+   registered SQL functions) now validate element order in BOTH eval
+   paths and raise on unsorted input instead of silently
+   undercounting — closing the one registered function whose misuse
+   produced a plausible wrong answer no oracle catches. Pricing: a
+   bench-level A/B drowned in host noise (a control query using no
+   sorted-merge expression swung ±27% between JVMs), so the checked-in
+   harness `DevSortCheckCost` alternates the production expression
+   against an unchecked test-scope twin over 1,000,000 real sf0.1
+   tf-vector pairs in ONE JVM: the prepass prices at ~1.25× the
+   verify-only pass (~0.1 µs/pair wall at local[4]) — the merge is a
+   minority of the queries that use it, so the suite columns moved
+   within the host-noise band (e.g. `dedup_cosine_capped`
+   {qc['dedup_cosine_capped']:.1f} s at sf10,
+   {hundred('dedup_cosine_capped'):.1f}× for 100× data), with ONE
+   visible exception where the overlap verify dominates: the exact-edge
+   `dedup_ngram_jaccard` at sf10 — adjudicated in the flags section
+   below.
+2. **The longest-duplicate search is memoized, clamped, and measured
+   at every SF.** `text_longest_dup`/`_bound` — round 14's costliest
+   pair, skipped at sf10 — now (a) clamp the binary-search range by
+   the longest document, and (b) memoize the found length L* per
+   corpus CONTENT STAMP (count + order-independent xxhash64 fold over
+   (doc_id, text) — the BuiltOnce move), so the `_bound` companion and
+   repeat invocations re-run only the oracle-validated census at the
+   memo'd length, never the ~10-probe search. Results are unchanged
+   (both queries re-run the census every call; the L* value is
+   deterministic corpus property). The medians below price the steady
+   state ({qa['text_longest_dup']:.2f} → {qb['text_longest_dup']:.2f} →
+   {qc['text_longest_dup']:.2f} s); the COLD search is checked in from
+   fresh single-run JVMs at the same HEAD
+   (`bench_longest_dup_cold_sf1.json` 15.9 s,
+   `bench_longest_dup_cold_sf10.json` 42.4 s — 2.7× per decade,
+   linear). A negative result worth keeping: persisting the
+   (doc, text) projection and the per-probe hash frames measured
+   SLOWER (27.7 s vs 17.6 s cold at sf1, identical join strategies) —
+   the columnar cache scan loses to the vectorized zstd parquet
+   reader, and the census SHUFFLES, not the scans, dominate probe
+   cost; the probes re-scan parquet by design.
+3. **`mm_image_probe`'s 8.8× second decade is attributed:
+   amortization, not creep** (round-14 watch-item #4). The checked-in
+   harness `DevMm` splits the query into its two stages — synthetic
+   ENCODE (BufferedImage + PNG/JPEG writer per row) and ImageIO PROBE
+   (header parse) — and adds a 3× point from id-shifted copies (images
+   derive purely from doc_id). Per-image cost FALLS with scale: encode
+   21.0 → 17.4 µs/img from 50k → 150k images (sf1 ids), 15.1 →
+   13.2 µs/img from 500k → 1.5M (sf10 ids); probe 3.4/4.7/2.0 µs/img
+   (noise-bound, no trend). 3× images cost 2.31× at the 1.5M-image
+   point — SUBLINEAR. The decade-2 ratio approaching 10× is the
+   per-decade fixed cost (session, codegen, per-partition codec
+   lookup) amortizing toward invisibility — decade 1 measured 0.8×
+   BECAUSE that fixed cost dominated — with nothing per-image growing.
+   This round's columns: {qa['mm_image_probe']:.2f} →
+   {qb['mm_image_probe']:.2f} → {qc['mm_image_probe']:.2f} s.
+4. **Small-state writes clean their tmp on EVERY exit.** `writeSmall`'s
+   exception path (a rename/delete that THROWS, not returns false)
+   used to leave its per-write unique tmp behind — orphans that would
+   accrue forever on a long-running stream; a `finally` now deletes
+   the tmp whenever it was not consumed, spec-pinned with a
+   fault-injecting FileSystem. Cost: one extra delete only on
+   exception paths — nothing on the measured batches below.
 
 ## Round 14: race hardening priced inside the same series
 
@@ -682,10 +755,15 @@ exact-edge ORACLE MACHINERY (`dedup_minhash_superset` /
 `dedup_simhash_superset` are the exact-side + sketch-side + anti-join
 recall proofs; `dedup_components` consumes the exact PPJoin edge list
 those oracles are built on) — no production path is flagged in either
-decade, and this round's sorted-merge verify rework (above) took
-`dedup_ngram_jaccard` itself — the exact edge plan — back UNDER the
-bar ({qc['dedup_ngram_jaccard']/qb['dedup_ngram_jaccard']:.1f}× for
-10× data, {hundred('dedup_ngram_jaccard'):.0f}× total for 100×). The machinery class is the
+decade. `dedup_ngram_jaccard` — the exact edge plan itself — sits AT
+the bar this round
+({qc['dedup_ngram_jaccard']/qb['dedup_ngram_jaccard']:.1f}× for 10×
+data vs 10.1× in round 14, {hundred('dedup_ngram_jaccard'):.0f}× total
+for 100×): the round-15 sorted-input enforcement prices exactly where
+the overlap verify dominates, which on this machinery is the sf10
+column (sf1 unchanged) — the contract-safety trade documented in the
+round-15 section, worth its ~1.25×-of-verify cost on a plan whose
+growth is quadratic-by-nature anyway. The machinery class is the
 same quadratic-by-nature story as the skipped `dedup_cosine_pairs`: on the generator's
 saturated 31-word vocabulary every shingle's document frequency scales
 with N, so any EXACT all-pairs text-similarity join grows ~N² no
