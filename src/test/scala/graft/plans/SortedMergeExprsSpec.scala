@@ -160,6 +160,31 @@ class SortedMergeExprsSpec extends SparkSpec {
       .eval(null) == 11L)
   }
 
+  test("unsorted input raises from WHOLE-STAGE CODEGEN over a file scan") {
+    // a local relation can be constant-folded through the INTERPRETED
+    // eval (ConvertToLocalRelation), so pin the compiled doGenCode path
+    // explicitly: parquet round-trip defeats the folding
+    val dir = java.nio.file.Files.createTempDirectory("smx").toString
+    Seq((Array(9L, 3L, 7L), Array(3L, 7L)),
+        (Array(1L, 2L), Array(2L, 9L)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val e = intercept[Exception] {
+      scan.select(SortedLongOverlap($"a", $"b")).collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(_.toString.contains("sorted_overlap")))
+    val e2 = intercept[Exception] {
+      // a as its own tf vector: row 1's terms [9,3,7] are misordered
+      scan.select(SortedTermDot($"a", $"a", $"a", $"a")).collect()
+    }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(_.toString.contains("sorted_dot")))
+    // and the sorted rows alone pass through the same compiled plan
+    assert(scan.filter($"a" === array(lit(1L), lit(2L)))
+      .select(SortedLongOverlap($"a", $"b")).as[Int].head() == 1)
+  }
+
   test("unsorted input raises from the SQL surface too") {
     GraftExtensions.install(spark)
     val e = intercept[Exception] {
