@@ -160,6 +160,37 @@ class SortedMergeExprsSpec extends SparkSpec {
       .eval(null) == 11L)
   }
 
+  test("order check property: every adjacent inversion raises, sorted never does") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    def arr(xs: Array[Long]) = Literal.create(new GenericArrayData(xs),
+      ArrayType(LongType, containsNull = false))
+    val rnd = new scala.util.Random(19)
+    (1 to 50).foreach { _ =>
+      val sorted = Array.fill(rnd.nextInt(12) + 2)(rnd.nextLong() % 40)
+        .distinct.sorted
+      val other = arr(Array(sorted.head))
+      // sorted input never raises, at every position of the other side
+      SortedLongOverlap(arr(sorted), other).eval(null)
+      SortedTermDot(arr(sorted), arr(sorted.map(_ => 1L)),
+        other, arr(Array(1L))).eval(null)
+      // every adjacent swap creates exactly one inversion — each must
+      // raise from BOTH expressions regardless of where it sits
+      (0 until sorted.length - 1).foreach { i =>
+        val bad = sorted.clone()
+        val t = bad(i); bad(i) = bad(i + 1); bad(i + 1) = t
+        intercept[IllegalArgumentException] {
+          SortedLongOverlap(arr(bad), other).eval(null)
+        }
+        intercept[IllegalArgumentException] {
+          SortedTermDot(arr(bad), arr(bad.map(_ => 1L)),
+            other, arr(Array(1L))).eval(null)
+        }
+      }
+    }
+  }
+
   test("unsorted input raises from WHOLE-STAGE CODEGEN over a file scan") {
     // a local relation can be constant-folded through the INTERPRETED
     // eval (ConvertToLocalRelation), so pin the compiled doGenCode path
