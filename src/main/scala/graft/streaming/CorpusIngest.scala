@@ -1237,7 +1237,14 @@ object CorpusIngest {
     * referenced directory) before the frame is returned; a pack that
     * swapped files away since the manifest was written re-resolves,
     * bounded by `maxAttempts`, then fails LOUDLY — never a silent
-    * partial read. An action on the returned frame that runs long
+    * partial read. A swap that instead lands between that validation
+    * and the reader's own planning (whose file-index build re-checks
+    * the paths) is caught as the planning-time staleness it is
+    * (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) and retried inside the
+    * same bounded loop — callers see exactly two loud kinds: the
+    * exhausted-retries IllegalStateException from here, or an
+    * execution-time FileNotFoundException on an action
+    * that outlived the snapshot. An action on the returned frame that runs long
     * after this call can still hit FileNotFound if a pack lands in
     * between (re-invoke [[snapshotRead]]); the failure mode is an
     * exception, never wrong rows. A dir without a manifest (pre-
@@ -1267,9 +1274,29 @@ object CorpusIngest {
                 present.contains(f.substring(f.lastIndexOf('/') + 1)))
             }
           }
-          if (allPresent)
-            return spark.read.option("basePath", corpusDir)
-              .parquet(files.map(f => s"$corpusDir/$f"): _*)
+          if (allPresent) {
+            try {
+              return spark.read.option("basePath", corpusDir)
+                .parquet(files.map(f => s"$corpusDir/$f"): _*)
+            } catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage.contains("PATH_NOT_FOUND") ||
+                     e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+                // the existence check above raced a pack swap: the
+                // reader's own planning re-validated the paths and
+                // lost the race this time — the SAME documented
+                // staleness as a failed allPresent, so it retries
+                // inside this bounded loop instead of leaking a
+                // planning-time exception kind to callers (observed
+                // as once-in-many-runs spec flakes before this catch:
+                // PATH_NOT_FOUND when some listed file vanished,
+                // UNABLE_TO_INFER_SCHEMA when every footer did — a
+                // corpus whose files are GENUINELY unreadable exhausts
+                // the loop and fails loudly below). Post-PLANNING
+                // deletions still surface as the documented
+                // execution-time FileNotFoundException
+            }
+          }
           attempt += 1 // a pack swapped underneath — re-resolve
           // brief backoff: the writer republishes the manifest right
           // after the swap completes (packRoot's afterSwap hook), so
