@@ -497,6 +497,18 @@ Round 15's query-path changes, priced across all three columns:
    fault-injecting FileSystem. Cost: one extra delete only on
    exception paths — nothing on the measured batches below.
 
+Measurement provenance this round: the three suite columns, the
+standalone probe, both ingest series, and the cold-search artifacts
+were measured back-to-back in one session at one HEAD. Commits after
+that HEAD are artifacts, docs, and test-only specs, plus ONE product
+change that is measurement-neutral by construction: a planning-time
+staleness retry inside `CorpusIngest.snapshotRead` — the reader API
+has zero call sites in `SparkEntry.queries`, `Bench`,
+`StreamingBench`, or `IngestBench` (grep-verifiable), so nothing any
+artifact measured executes it; it is exercised only by the
+concurrent-reader spec whose rare flake it fixes (6/6 green after,
+~1-in-5 flaky before).
+
 ## Round 14: race hardening priced inside the same series
 
 Round 14 closed the round-13 verdict's robustness findings; everything
