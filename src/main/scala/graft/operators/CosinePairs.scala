@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.bridge.knownNotNull
+
 import graft.plans.{SortedTermDot, SuffixSqMass}
 
 /** Exact all-pairs cosine similarity join over term-frequency vectors
@@ -142,9 +144,13 @@ object CosinePairs {
       // integer array (no second fold, no drift between derivations)
       .withColumn("n2", element_at(col("rsqs"), 1))
       .withColumn("vts", sort_array(arrays_zip(col("terms"), col("tfs"))))
+      // knownNotNull: terms/tfs come from the SAME struct-sort so the
+      // zip never pads — asserting element non-nullness here compiles
+      // the per-candidate merge verify with no null branches
+      // (SortedMergeExprs specializes on the static containsNull)
       .select(col("id"), col("terms"), col("tfs"), col("n2"), col("rsqs"),
-        transform(col("vts"), x => x("terms")).as("vterms"),
-        transform(col("vts"), x => x("tfs")).as("vtfs"))
+        transform(col("vts"), x => knownNotNull(x("terms"))).as("vterms"),
+        transform(col("vts"), x => knownNotNull(x("tfs"))).as("vtfs"))
       .persist()
     // prefix length: drop the longest TAIL whose squared mass stays
     // under t²·n2. rsqs[i] is exactly the tail mass starting at i and
@@ -182,7 +188,10 @@ object CosinePairs {
       .join(sides.select(col("id").as("id_b"), col("vterms").as("tb"),
         col("vtfs").as("fb"), col("n2").as("n2_b")), "id_b")
       .withColumn("cos_raw",
-        SortedTermDot(col("ta"), col("fa"), col("tb"), col("fb"))
+        // terms are sorted UNIQUE ascending by construction (the `vts`
+        // struct sort over per-document-distinct terms), so the
+        // internal unchecked variant skips the per-pair order prepass
+        SortedTermDot.unchecked(col("ta"), col("fa"), col("tb"), col("fb"))
           .cast("double") /
           (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cos_raw") >= threshold)

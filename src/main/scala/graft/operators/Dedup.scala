@@ -582,9 +582,11 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       // `sh` is sorted at signature build: one codegen'd merge per
       // candidate instead of [[jaccard]]'s per-pair hash set (the
-      // helper stays as the order-agnostic reference form)
+      // helper stays as the order-agnostic reference form). Sortedness
+      // holds by construction (sort_array in withSignatures), so the
+      // internal unchecked variant skips the per-pair order prepass
       .withColumn("n_common",
-        graft.plans.SortedLongOverlap(col("sh_a"), col("sh_b")))
+        graft.plans.SortedLongOverlap.unchecked(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -674,9 +676,12 @@ object Dedup {
       // verify: one codegen'd sorted merge per candidate (the `sh`
       // arrays are sorted at vector build) — `array_intersect` would
       // allocate and fill a hash set and materialize the intersection
-      // array per pair when only its SIZE is needed
+      // array per pair when only its SIZE is needed. Sortedness holds
+      // by construction (sort_array on `sh` above), so the internal
+      // unchecked variant skips the per-pair order prepass the SQL
+      // surface keeps
       .withColumn("n_common",
-        graft.plans.SortedLongOverlap(col("sh_a"), col("sh_b")))
+        graft.plans.SortedLongOverlap.unchecked(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)

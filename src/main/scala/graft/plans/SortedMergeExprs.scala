@@ -25,21 +25,45 @@ import org.apache.spark.sql.types._
   * candidate join fans out, so verification is O(|a|+|b|) compiled work
   * with zero allocation per pair.
   *
-  * The sorted-input PRECONDITION IS ENFORCED: an unsorted array raises
-  * `IllegalArgumentException` instead of silently undercounting. These
-  * are public SQL functions ([[GraftExtensions]]), and a misordered
-  * ad-hoc input would otherwise produce a plausible wrong answer — the
-  * one defect class no oracle guards at the SQL surface. The check is
-  * one branch-predictable compare per element folded into a prepass
-  * (always-false on contract-respecting inputs), measured in the noise
-  * on the APSS/PPJoin verify paths whose arrays are sorted once at
-  * vector build.
+  * The sorted-input PRECONDITION IS ENFORCED at every public surface:
+  * an unsorted array raises `IllegalArgumentException` instead of
+  * silently undercounting. These are public SQL functions
+  * ([[GraftExtensions]]), and a misordered ad-hoc input would otherwise
+  * produce a plausible wrong answer — the one defect class no oracle
+  * guards at the SQL surface. The check is one branch-predictable
+  * compare per element folded into a prepass (always-false on
+  * contract-respecting inputs) — measured at ~1.25× of the bare verify
+  * merge in-JVM (DevSortCheckCost), which is noise next to the
+  * candidate join on ad-hoc calls but real money on the engine's own
+  * per-pair verify stages. Those stages sort at vector/signature BUILD
+  * time (`sort_array` before the candidate join fans out), so they use
+  * the `checked = false` constructor flag via the `private[graft]`
+  * `unchecked` Column entry points — a variant deliberately NOT
+  * registered for SQL and not reachable from any public API: the SQL
+  * surface always pays (and gets) the loud contract.
+  *
+  * Null handling is specialized at CODEGEN time on the inputs' static
+  * `containsNull`: the engine's shingle/term arrays are built
+  * `containsNull = false` ([[HashedShinglesExpr]] et al.), so their
+  * merge loops compile with no per-element null branch at all; SQL
+  * callers with nullable elements get the tolerant loops (null =
+  * "no entry"). Both specializations evaluate identically on null-free
+  * data — spec-pinned against each other.
   */
 private[graft] object SortedMergeExprs {
 
   private[plans] def longArray(t: DataType): Boolean = t match {
     case ArrayType(LongType, _) => true
     case _ => false
+  }
+
+  /** Whether an input's ELEMENT type admits nulls, from the static
+    * schema — keys the codegen specialization. Conservative `true`
+    * until resolved (doGenCode only runs on resolved expressions).
+    */
+  private[plans] def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
   }
 
   /** Loud misuse failure — also the codegen throw site. `strict`
@@ -80,34 +104,59 @@ private[graft] object SortedMergeExprs {
 
   /** Codegen for [[checkAscending]]: same skip logic, inline throw via
     * the static helper (Janino resolves the Scala object's MODULE$).
+    * `arrNulls`/`valsNulls` come from the inputs' static containsNull;
+    * when neither admits nulls the loop compiles to one load + one
+    * always-false compare per element with no null branch or prologue.
     */
-  private[plans] def genAscendingCheck(ctx: CodegenContext, arr: String,
-      vals: String, fn: String, side: String, strict: Boolean): String = {
+  private[plans] def genAscendingCheck(ctx: CodegenContext,
+      arr: String, arrNulls: Boolean, vals: String, valsNulls: Boolean,
+      fn: String, side: String, strict: Boolean): String = {
     val n = ctx.freshName("n")
     val k = ctx.freshName("k")
     val v = ctx.freshName("v")
     val prev = ctx.freshName("prev")
-    val skipVal = if (vals == null) "" else s" || $vals.isNullAt($k)"
     val cmp = if (strict) "<=" else "<"
-    // prologue finds the first considered element, so the hot loop is
-    // one load + one always-false compare per element — no flag
-    s"""
-       |int $n = $arr.numElements();
-       |int $k = 0;
-       |while ($k < $n && ($arr.isNullAt($k)$skipVal)) $k++;
-       |if ($k < $n) {
-       |  long $prev = $arr.getLong($k);
-       |  for ($k++; $k < $n; $k++) {
-       |    if ($arr.isNullAt($k)$skipVal) continue;
-       |    long $v = $arr.getLong($k);
-       |    if ($v $cmp $prev) {
-       |      graft.plans.SortedMergeExprs$$.MODULE$$.unsortedError(
-       |        "$fn", "$side", $k, $strict);
-       |    }
-       |    $prev = $v;
-       |  }
-       |}
-     """.stripMargin
+    val skips = Seq(
+      if (arrNulls) Some(s"$arr.isNullAt($k)") else None,
+      if (vals != null && valsNulls) Some(s"$vals.isNullAt($k)") else None
+    ).flatten
+    if (skips.isEmpty) {
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n > 1) {
+         |  long $prev = $arr.getLong(0);
+         |  for (int $k = 1; $k < $n; $k++) {
+         |    long $v = $arr.getLong($k);
+         |    if ($v $cmp $prev) {
+         |      graft.plans.SortedMergeExprs$$.MODULE$$.unsortedError(
+         |        "$fn", "$side", $k, $strict);
+         |    }
+         |    $prev = $v;
+         |  }
+         |}
+       """.stripMargin
+    } else {
+      val skip = skips.mkString(" || ")
+      // prologue finds the first considered element, so the hot loop is
+      // one load + one always-false compare per element — no flag
+      s"""
+         |int $n = $arr.numElements();
+         |int $k = 0;
+         |while ($k < $n && ($skip)) $k++;
+         |if ($k < $n) {
+         |  long $prev = $arr.getLong($k);
+         |  for ($k++; $k < $n; $k++) {
+         |    if ($skip) continue;
+         |    long $v = $arr.getLong($k);
+         |    if ($v $cmp $prev) {
+         |      graft.plans.SortedMergeExprs$$.MODULE$$.unsortedError(
+         |        "$fn", "$side", $k, $strict);
+         |    }
+         |    $prev = $v;
+         |  }
+         |}
+       """.stripMargin
+    }
   }
 }
 
@@ -118,12 +167,18 @@ private[graft] object SortedMergeExprs {
   * Null elements are ignored (the dedup shingle arrays are declared
   * `containsNull=false`; tolerating stray nulls keeps SQL callers from
   * crashing, and the verify semantics treat null as "no shingle").
-  * Inputs MUST be sorted ascending, and the contract is ENFORCED: an
-  * out-of-order non-null element raises rather than undercounting —
-  * the prepass is one always-false compare per element, free next to
-  * the merge itself.
+  * Inputs MUST be sorted ascending, and with `checked = true` (every
+  * public surface — SQL and the Column `apply`) the contract is
+  * ENFORCED: an out-of-order non-null element raises rather than
+  * undercounting. `checked = false` is reachable only through the
+  * `private[graft]` [[SortedLongOverlap.unchecked]] entry point, for
+  * engine verify paths whose arrays are sorted by construction at
+  * build time (`sort_array` before the candidate join) — the prepass
+  * there re-checks an invariant the plan already guarantees, on every
+  * candidate pair.
   */
-case class SortedLongOverlap(left: Expression, right: Expression)
+case class SortedLongOverlap(left: Expression, right: Expression,
+    checked: Boolean = true)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -139,8 +194,10 @@ case class SortedLongOverlap(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    SortedMergeExprs.checkAscending(a, null, "sorted_overlap", "left", strict = false)
-    SortedMergeExprs.checkAscending(b, null, "sorted_overlap", "right", strict = false)
+    if (checked) {
+      SortedMergeExprs.checkAscending(a, null, "sorted_overlap", "left", strict = false)
+      SortedMergeExprs.checkAscending(b, null, "sorted_overlap", "right", strict = false)
+    }
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
@@ -168,6 +225,8 @@ case class SortedLongOverlap(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val aNulls = SortedMergeExprs.elemNullable(left)
+      val bNulls = SortedMergeExprs.elemNullable(right)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val i = ctx.freshName("i")
@@ -175,24 +234,33 @@ case class SortedLongOverlap(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val cnt = ctx.freshName("cnt")
+      val checks = if (!checked) "" else
+        SortedMergeExprs.genAscendingCheck(ctx, a, aNulls, null, valsNulls = false,
+          "sorted_overlap", "left", strict = false) +
+        SortedMergeExprs.genAscendingCheck(ctx, b, bNulls, null, valsNulls = false,
+          "sorted_overlap", "right", strict = false)
+      // containsNull=false inputs compile merge loops with no null branch
+      val skipA = if (aNulls) s"if ($a.isNullAt($i)) { $i++; continue; }" else ""
+      val skipB = if (bNulls) s"if ($b.isNullAt($j)) { $j++; continue; }" else ""
+      val runA = if (aNulls) s"($a.isNullAt($i) || $a.getLong($i) == $x)"
+        else s"$a.getLong($i) == $x"
+      val runB = if (bNulls) s"($b.isNullAt($j) || $b.getLong($j) == $x)"
+        else s"$b.getLong($j) == $x"
       s"""
-         |${SortedMergeExprs.genAscendingCheck(ctx, a, null, "sorted_overlap", "left", strict = false)}
-         |${SortedMergeExprs.genAscendingCheck(ctx, b, null, "sorted_overlap", "right", strict = false)}
+         |$checks
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $cnt = 0;
          |while ($i < $na && $j < $nb) {
-         |  if ($a.isNullAt($i)) { $i++; }
-         |  else if ($b.isNullAt($j)) { $j++; }
-         |  else {
-         |    long $x = $a.getLong($i);
-         |    long $y = $b.getLong($j);
-         |    if ($x == $y) {
-         |      $cnt++;
-         |      while ($i < $na && ($a.isNullAt($i) || $a.getLong($i) == $x)) $i++;
-         |      while ($j < $nb && ($b.isNullAt($j) || $b.getLong($j) == $x)) $j++;
-         |    } else if ($x < $y) { $i++; } else { $j++; }
-         |  }
+         |  $skipA
+         |  $skipB
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) {
+         |    $cnt++;
+         |    while ($i < $na && $runA) $i++;
+         |    while ($j < $nb && $runB) $j++;
+         |  } else if ($x < $y) { $i++; } else { $j++; }
          |}
          |${ev.value} = $cnt;
        """.stripMargin
@@ -206,9 +274,21 @@ case class SortedLongOverlap(left: Expression, right: Expression)
 }
 
 object SortedLongOverlap {
-  /** Column-API entry point. */
+  /** Column-API entry point — contract-checked, like the SQL surface. */
   def apply(a: Column, b: Column): Column =
     bridge.column(SortedLongOverlap(bridge.expression(a), bridge.expression(b)))
+
+  /** Engine-internal variant that SKIPS the sorted-input prepass. Use
+    * ONLY where the plan sorts the arrays by construction immediately
+    * before the candidate join (`sort_array` at signature/vector
+    * build) — the prepass would re-verify a guaranteed invariant once
+    * per candidate pair (~1.25× of the merge itself, DevSortCheckCost).
+    * Not SQL-registered; misuse on genuinely unsorted input silently
+    * undercounts, which is why this stays `private[graft]`.
+    */
+  private[graft] def unchecked(a: Column, b: Column): Column =
+    bridge.column(SortedLongOverlap(bridge.expression(a), bridge.expression(b),
+      checked = false))
 }
 
 /** `sorted_dot(terms_a, tfs_a, terms_b, tfs_b)` → BIGINT: the sparse
@@ -219,14 +299,18 @@ object SortedLongOverlap {
   * integer until the caller's final sqrt. A length mismatch between a
   * terms array and its tfs array yields null (malformed vector, never
   * a silent wrong dot); null elements are tolerated as "no entry".
-  * The sorted-unique terms contract is ENFORCED: a non-increasing
-  * neighbour pair among the entries the merge would consider (key and
-  * tf both non-null) raises instead of silently dropping terms from
-  * the dot.
+  * With `checked = true` (every public surface) the sorted-unique
+  * terms contract is ENFORCED: a non-increasing neighbour pair among
+  * the entries the merge would consider (key and tf both non-null)
+  * raises instead of silently dropping terms from the dot.
+  * `checked = false` is reachable only through the `private[graft]`
+  * [[SortedTermDot.unchecked]] entry point, for the engine's APSS
+  * verify whose vectors are term-sorted by construction at build.
   */
 case class SortedTermDot(
     termsA: Expression, tfsA: Expression,
-    termsB: Expression, tfsB: Expression)
+    termsB: Expression, tfsB: Expression,
+    checked: Boolean = true)
     extends QuaternaryExpression {
 
   override def first: Expression = termsA
@@ -254,8 +338,10 @@ case class SortedTermDot(
     val na = keysA.numElements()
     val nb = keysB.numElements()
     if (na != valsA.numElements() || nb != valsB.numElements()) return null
-    SortedMergeExprs.checkAscending(keysA, valsA, "sorted_dot", "left terms", strict = true)
-    SortedMergeExprs.checkAscending(keysB, valsB, "sorted_dot", "right terms", strict = true)
+    if (checked) {
+      SortedMergeExprs.checkAscending(keysA, valsA, "sorted_dot", "left terms", strict = true)
+      SortedMergeExprs.checkAscending(keysB, valsB, "sorted_dot", "right terms", strict = true)
+    }
     var i = 0
     var j = 0
     var acc = 0L
@@ -275,6 +361,10 @@ case class SortedTermDot(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (ta, fa, tb, fb) => {
+      val kaNulls = SortedMergeExprs.elemNullable(termsA)
+      val vaNulls = SortedMergeExprs.elemNullable(tfsA)
+      val kbNulls = SortedMergeExprs.elemNullable(termsB)
+      val vbNulls = SortedMergeExprs.elemNullable(tfsB)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val i = ctx.freshName("i")
@@ -282,24 +372,37 @@ case class SortedTermDot(
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val acc = ctx.freshName("acc")
+      val checks = if (!checked) "" else
+        SortedMergeExprs.genAscendingCheck(ctx, ta, kaNulls, fa, vaNulls,
+          "sorted_dot", "left terms", strict = true) +
+        SortedMergeExprs.genAscendingCheck(ctx, tb, kbNulls, fb, vbNulls,
+          "sorted_dot", "right terms", strict = true)
+      // containsNull=false inputs compile merge loops with no null branch
+      def skip(parts: Seq[Option[String]], idx: String): String = {
+        val ps = parts.flatten
+        if (ps.isEmpty) "" else s"if (${ps.mkString(" || ")}) { $idx++; continue; }"
+      }
+      val skipA = skip(Seq(
+        if (kaNulls) Some(s"$ta.isNullAt($i)") else None,
+        if (vaNulls) Some(s"$fa.isNullAt($i)") else None), i)
+      val skipB = skip(Seq(
+        if (kbNulls) Some(s"$tb.isNullAt($j)") else None,
+        if (vbNulls) Some(s"$fb.isNullAt($j)") else None), j)
       s"""
          |int $na = $ta.numElements();
          |int $nb = $tb.numElements();
          |if ($na != $fa.numElements() || $nb != $fb.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${SortedMergeExprs.genAscendingCheck(ctx, ta, fa, "sorted_dot", "left terms", strict = true)}
-         |  ${SortedMergeExprs.genAscendingCheck(ctx, tb, fb, "sorted_dot", "right terms", strict = true)}
+         |  $checks
          |  int $i = 0; int $j = 0; long $acc = 0L;
          |  while ($i < $na && $j < $nb) {
-         |    if ($ta.isNullAt($i) || $fa.isNullAt($i)) { $i++; }
-         |    else if ($tb.isNullAt($j) || $fb.isNullAt($j)) { $j++; }
-         |    else {
-         |      long $x = $ta.getLong($i);
-         |      long $y = $tb.getLong($j);
-         |      if ($x == $y) { $acc += $fa.getLong($i) * $fb.getLong($j); $i++; $j++; }
-         |      else if ($x < $y) { $i++; } else { $j++; }
-         |    }
+         |    $skipA
+         |    $skipB
+         |    long $x = $ta.getLong($i);
+         |    long $y = $tb.getLong($j);
+         |    if ($x == $y) { $acc += $fa.getLong($i) * $fb.getLong($j); $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
          |  }
          |  ${ev.value} = $acc;
          |}
@@ -315,11 +418,22 @@ case class SortedTermDot(
 }
 
 object SortedTermDot {
-  /** Column-API entry point. */
+  /** Column-API entry point — contract-checked, like the SQL surface. */
   def apply(termsA: Column, tfsA: Column, termsB: Column, tfsB: Column): Column =
     bridge.column(SortedTermDot(
       bridge.expression(termsA), bridge.expression(tfsA),
       bridge.expression(termsB), bridge.expression(tfsB)))
+
+  /** Engine-internal variant that SKIPS the sorted-unique prepass —
+    * see [[SortedLongOverlap.unchecked]] for the use rule (arrays
+    * sorted by construction at vector build, never SQL-exposed).
+    */
+  private[graft] def unchecked(termsA: Column, tfsA: Column,
+      termsB: Column, tfsB: Column): Column =
+    bridge.column(SortedTermDot(
+      bridge.expression(termsA), bridge.expression(tfsA),
+      bridge.expression(termsB), bridge.expression(tfsB),
+      checked = false))
 }
 
 /** `suffix_sq_mass(tfs)` → ARRAY<BIGINT>: element i (0-based) is

@@ -225,6 +225,76 @@ class SortedMergeExprsSpec extends SparkSpec {
       .take(10).exists(_.toString.contains("sorted_overlap")))
   }
 
+  test("unchecked internal variant: same results as checked on sorted input, " +
+      "no prepass on unsorted, never SQL-reachable") {
+    // the engine's own verify stages sort at vector/signature BUILD, so
+    // they use the private unchecked constructor flag and skip the
+    // per-pair order prepass; equivalence on contract-respecting input
+    // is what makes the skip safe
+    val arrs = randomSortedArrays(100, 30, 48)
+    val df = arrs.zip(arrs.reverse).toDF("a", "b")
+    val both = df.select(
+      SortedLongOverlap($"a", $"b").as("c"),
+      SortedLongOverlap.unchecked($"a", $"b").as("u")).collect()
+    assert(both.forall(r => r.getInt(0) == r.getInt(1)))
+    assert(both.exists(_.getInt(0) > 0))
+    val dot = df.select(
+      SortedTermDot($"a", $"a", $"b", $"b").as("c"),
+      SortedTermDot.unchecked($"a", $"a", $"b", $"b").as("u")).collect()
+    assert(dot.forall(r => r.getLong(0) == r.getLong(1)))
+    // unchecked skips the prepass: unsorted input returns (a wrong
+    // count — the documented misuse mode of the private variant)
+    // instead of raising, on BOTH eval paths
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    def arr(xs: Long*) = Literal.create(new GenericArrayData(xs.toArray),
+      ArrayType(LongType, containsNull = false))
+    SortedLongOverlap(arr(9L, 3L, 7L), arr(3L), checked = false).eval(null)
+    val dir = java.nio.file.Files.createTempDirectory("smxu").toString
+    Seq((Array(9L, 3L, 7L), Array(3L, 7L)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    scan.select(SortedLongOverlap.unchecked($"a", $"b")).collect() // no raise
+    scan.select(SortedTermDot.unchecked($"a", $"a", $"b", $"b")).collect()
+    // the SQL registration stays CHECKED: same unsorted rows raise
+    GraftExtensions.install(spark)
+    scan.createOrReplaceTempView("smxu")
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_overlap(a, b) FROM smxu").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(_.toString.contains("sorted_overlap")))
+  }
+
+  test("containsNull=false codegen specialization matches the tolerant path") {
+    // the same null-free parquet data compiled through BOTH shapes —
+    // read once with element-required schema (no null branches
+    // compiled) and once with the tolerant containsNull=true schema —
+    // must agree for overlap and dot, checked and unchecked. (A cast
+    // between the two array shapes would be removed by SimplifyCasts,
+    // so the two-schema read is the only way to pin both compilations.)
+    import org.apache.spark.sql.types._
+    val arrs = randomSortedArrays(150, 30, 40)
+    val dir = java.nio.file.Files.createTempDirectory("smxs").toString
+    arrs.zip(arrs.reverse).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    def schema(cn: Boolean) = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("a", ArrayType(LongType, containsNull = cn)),
+      StructField("b", ArrayType(LongType, containsNull = cn))))
+    def results(cn: Boolean): Map[Int, (Int, Long)] =
+      spark.read.schema(schema(cn)).parquet(dir).select(
+        $"id",
+        SortedLongOverlap($"a", $"b").as("o"),
+        SortedTermDot.unchecked($"a", $"a", $"b", $"b").as("d"))
+        .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val strict = results(cn = false)
+    val tolerant = results(cn = true)
+    assert(strict == tolerant)
+    assert(strict.values.exists(_._1 > 0) && strict.values.exists(_._2 > 0L))
+  }
+
   test("registered for SQL via GraftExtensions.install") {
     GraftExtensions.install(spark)
     val r = spark.sql(
