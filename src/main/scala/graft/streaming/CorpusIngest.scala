@@ -1257,6 +1257,11 @@ object CorpusIngest {
       maxAttempts: Int = 5): DataFrame = {
     val fs = fsOf(spark, corpusDir)
     var attempt = 0
+    // the last planning-time staleness caught below — chained as the
+    // CAUSE of the exhausted-retries failure so a corpus whose files
+    // are GENUINELY unreadable surfaces its real schema-inference
+    // error instead of an unexplained staleness claim
+    var lastStale: org.apache.spark.sql.AnalysisException = null
     while (attempt < maxAttempts) {
       readSnapshot(spark, corpusDir) match {
         case Some((_, files)) if files.nonEmpty =>
@@ -1280,8 +1285,7 @@ object CorpusIngest {
                 .parquet(files.map(f => s"$corpusDir/$f"): _*)
             } catch {
               case e: org.apache.spark.sql.AnalysisException
-                  if e.getMessage.contains("PATH_NOT_FOUND") ||
-                     e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+                  if isPlanningStaleness(e) =>
                 // the existence check above raced a pack swap: the
                 // reader's own planning re-validated the paths and
                 // lost the race this time — the SAME documented
@@ -1292,9 +1296,11 @@ object CorpusIngest {
                 // PATH_NOT_FOUND when some listed file vanished,
                 // UNABLE_TO_INFER_SCHEMA when every footer did — a
                 // corpus whose files are GENUINELY unreadable exhausts
-                // the loop and fails loudly below). Post-PLANNING
-                // deletions still surface as the documented
-                // execution-time FileNotFoundException
+                // the loop and fails loudly below, with this exception
+                // chained as the cause). Post-PLANNING deletions still
+                // surface as the documented execution-time
+                // FileNotFoundException
+                lastStale = e
             }
           }
           attempt += 1 // a pack swapped underneath — re-resolve
@@ -1313,7 +1319,32 @@ object CorpusIngest {
         s"$maxAttempts attempts — either packs are landing faster " +
         "than the reader re-resolves (retry), or the manifest went " +
         "stale through outside interference (quiesce the writer and " +
-        "use a plain directory read)")
+        "use a plain directory read)" +
+        (if (lastStale == null) ""
+         else " — last planning-time failure chained as cause"),
+      lastStale)
+  }
+
+  /** Whether an `AnalysisException` is the planning-time staleness
+    * [[snapshotRead]]'s bounded loop retries: a listed file vanished
+    * under the reader's own file-index build (`PATH_NOT_FOUND`) or
+    * every footer did (`UNABLE_TO_INFER_SCHEMA`). Matched on the ERROR
+    * CONDITION (`getCondition`, the stable error-class API — including
+    * dotted sub-conditions), never on message text when a condition is
+    * present: Spark error MESSAGES are not a stable API, and a rewording
+    * upgrade must not silently revert this retry to the old flaky
+    * behavior. The message substring fallback fires only for
+    * legacy/condition-less exceptions (getCondition == null).
+    */
+  private[streaming] def isPlanningStaleness(
+      e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val kinds = Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    e.getCondition match {
+      case null =>
+        val m = e.getMessage
+        m != null && kinds.exists(m.contains)
+      case c => kinds.exists(k => c == k || c.startsWith(k + "."))
+    }
   }
 
   /** ONE-TIME migration of a retired FLAT-layout corpus dir into the
