@@ -233,10 +233,14 @@ object SubstringDedup {
     * verdict. Each probe deliberately RE-SCANS parquet rather than a
     * persisted projection: both persist variants were measured SLOWER
     * at sf1 (cold search 27.7 s with `base`+per-probe hash caching vs
-    * 17.6 s scanning parquet, identical join strategies either way —
-    * the columnar cache scan loses to the vectorized zstd parquet
-    * reader, and the census shuffles, not the scans, dominate probe
-    * cost). The cross-INVOCATION amortization lives one layer up:
+    * 17.6 s scanning parquet, identical join strategies either way,
+    * both arms from ONE r15 A/B session; the separately checked-in
+    * single-arm artifact `bench_longest_dup_cold_sf1.json` recorded
+    * 15.9 s for the parquet-scan search in a different session —
+    * between-session host drift, same conclusion either way). The
+    * columnar cache scan loses to the vectorized zstd parquet reader,
+    * and the census shuffles, not the scans, dominate probe cost.
+    * The cross-INVOCATION amortization lives one layer up:
     * query registrations memoize L* per corpus content stamp
     * (graft.queries.TextQueries), so repeat invocations skip the
     * search entirely.
@@ -274,6 +278,15 @@ object SubstringDedup {
     }
   }
 
+  /** The empty frame [[longestDup]] (and the `text_longest_dup` query
+    * registration) return when no duplicate of even `minLen` exists —
+    * shared so the operator and the registration cannot drift schemas.
+    */
+  def emptyLongestDupFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, String, Long, Long)].toDF("len", "gram", "n_docs", "n_occ")
+  }
+
   /** [[longestDupLen]]'s census: the L* duplicates with a `len` column;
     * EMPTY when no duplicate of even `minLen` exists. The returned
     * frame is a plain lazy census over the caller's `df`.
@@ -281,11 +294,7 @@ object SubstringDedup {
   def longestDup(df: DataFrame, minLen: Int = 8, maxLen: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     longestDupLen(df, minLen, maxLen, idCol, textCol) match {
-      case None =>
-        val spark = df.sparkSession
-        import spark.implicits._
-        Seq.empty[(Int, String, Long, Long)]
-          .toDF("len", "gram", "n_docs", "n_occ")
+      case None => emptyLongestDupFrame(df.sparkSession)
       case Some(lo) =>
         gramCensus(df, lo, idCol, textCol)
           .select(lit(lo).as("len"), col("gram"), col("n_docs"), col("n_occ"))

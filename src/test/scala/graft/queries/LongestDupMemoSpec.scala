@@ -45,4 +45,42 @@ class LongestDupMemoSpec extends SparkSpec {
     write(dir, shared31)
     assert(lstar(dir).contains(31), "corpus B at the same path: re-searched")
   }
+
+  private def markerFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def overwriteMarker(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val out = markerFs(p).create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("L* memo survives a fresh session via the persisted marker (r16)") {
+    val dir = tmpDir("ldmemo2")
+    write(dir, "qqwweerrttyyuuiioopp")
+    assert(lstar(dir).contains(20))
+    // the cold search persisted a marker keyed by (path, content, range)
+    val key = TextQueries.lastLdupKeyForTest
+    val marker = TextQueries.longestDupMarker(dir, key)
+    assert(markerFs(marker).exists(marker), "cold search must persist L*")
+    // simulate a FRESH JVM: clear only the in-JVM map. Proof the next
+    // call is served from DISK (not a re-search): plant a different —
+    // wrong but well-formed — length in the marker and observe it
+    // served. The marker is trusted exactly when its embedded key
+    // matches, and the key folds the corpus content in — so this
+    // "wrong" serve is only reachable by editing the file, as here.
+    overwriteMarker(marker, s"$key\n19")
+    TextQueries.clearLongestDupMemoForTest()
+    assert(lstar(dir).contains(19), "fresh session must hit the marker, not re-search")
+    // a TORN/foreign marker is a miss: re-search restores the truth and
+    // rewrites the marker
+    overwriteMarker(marker, "garbage with no newline")
+    TextQueries.clearLongestDupMemoForTest()
+    assert(lstar(dir).contains(20), "corrupt marker must re-search, never crash")
+    // and a content CHANGE misses the old marker even across sessions
+    // (different stamp → different marker file)
+    val shared31 = "zzxxccvvbbnnmmasdfghjkl12345678"
+    write(dir, shared31)
+    TextQueries.clearLongestDupMemoForTest()
+    assert(lstar(dir).contains(31), "new content, fresh session: re-searched")
+  }
 }
