@@ -318,7 +318,111 @@ own partition buckets, not the corpus's; `packed files` is the net
 file-count reduction of the epoch-boundary bin-pack.)
 """
 
-    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 15, all three SFs at one HEAD commit)
+    # round-16 mechanical adjudication inputs: the ngram-jaccard decade-2
+    # ratio drives the flags narrative CONDITIONALLY so the prose can
+    # never contradict the fresh numbers (the round-15 stale-narrative
+    # lesson, promoted from hand-checked to computed)
+    ngr2 = qc["dedup_ngram_jaccard"] / qb["dedup_ngram_jaccard"]
+    ngr_status = (
+        "back UNDER the bar" if ngr2 <= RATIO_BAR else "AT/OVER the bar")
+
+    # longest-dup regime one-offs, rendered from the artifacts when
+    # present (true-cold search / fresh-JVM disk hit)
+    def oneoff(name, label):
+        p = sibling(name)
+        if not os.path.exists(p):
+            return None
+        v = json.load(open(p))["queries"].get("text_longest_dup")
+        return f"{label} {v:.1f} s (`{name}`)" if v else None
+    ldup_oneoffs = "; ".join(x for x in [
+        oneoff("bench_longest_dup_cold_sf10.json",
+               "true cold search at sf10 (marker deleted)"),
+        oneoff("bench_longest_dup_diskhit_sf10.json",
+               "fresh-JVM restart with marker present"),
+        f"suite steady median {qc['text_longest_dup']:.1f} s (in-JVM memo)",
+        oneoff("bench_longest_dup_cold_sf1.json",
+               "true cold at sf1"),
+    ] if x)
+
+    # machinery / production counterpart table, rendered mechanically
+    # from the artifacts (round-15 verdict polish item): one row per
+    # family, two-decade totals side by side
+    pairs_tbl = "".join(
+        f"| `{m}` | {hundred(m):.0f}× | `{p}` | {hundred(p):.0f}× |\n"
+        for m, p in [
+            ("dedup_ngram_jaccard", "dedup_minhash"),
+            ("dedup_minhash_superset", "dedup_minhash"),
+            ("dedup_simhash_superset", "dedup_simhash"),
+            ("dedup_components", "dedup_components_minhash"),
+            ("dedup_resolve", "dedup_components_minhash"),
+            ("text_winnow_pairs_exact", "text_winnow_pairs")
+            if "text_winnow_pairs_exact" in qa and "text_winnow_pairs_exact" in qc
+            else ("dedup_cosine_capped", "dedup_cosine_capped"),
+        ]
+        if hundred(m) is not None and hundred(p) is not None)
+
+    def drift_probe_section():
+        p = sibling("bench_drift_probe.json")
+        if not os.path.exists(p):
+            return ""
+        dp = json.load(open(p)).get("queries", {})
+        rows = "".join(
+            f"| `{q}` | {dp[q]:.2f} | {qa[q]:.2f} |\n"
+            for q in sorted(dp) if q in qa)
+        controls = ["msg_summary", "rel_setops", "sim_bruteforce_topk"]
+        watch = ["sim_pq_topk", "sim_pq_recall", "sim_hard_triplets",
+                 "text_train_classifier"]
+        def env(qs):
+            rs = [dp[q] / qa[q] for q in qs if q in dp and q in qa]
+            return (min(rs), max(rs)) if rs else (0, 0)
+        c_lo, c_hi = env(controls)
+        w_lo, w_hi = env(watch)
+        verdict_txt = (
+            "Every watch-list query reproduces INSIDE the control "
+            f"envelope (controls {c_lo:.2f}–{c_hi:.2f}× "
+            f"standalone/suite; watch list {w_lo:.2f}–{w_hi:.2f}×): "
+            "the r15→r16 drift on these sub-3 s queries is session "
+            "host state, not a query mechanism — adjudicated noise."
+            if w_hi <= c_hi else
+            "The watch list exceeds the control envelope (controls "
+            f"{c_lo:.2f}–{c_hi:.2f}×, watch {w_lo:.2f}–{w_hi:.2f}×) — "
+            "NOT adjudicated as noise; needs a mechanism next round.")
+        mm = ""
+        pm = sibling("bench_mm_probe_sf10.json")
+        if os.path.exists(pm):
+            mp = json.load(open(pm)).get("queries", {})
+            mm_rows = "".join(
+                f"| `{q}` | {mp[q]:.2f} | {qc[q]:.2f} | {qc[q] / mp[q]:.2f}× |\n"
+                for q in sorted(mp) if q in qc)
+            mm = f"""
+The media one-offs that flag in decade 2 this round were likewise
+re-measured standalone at sf10 (fresh JVM, no suite neighborhood, same
+sitting): both are map-only plans (no join or shuffle grows with N —
+per-row CPU times rows), so their decade ratio can only move through
+per-row cost; the suite-vs-standalone gap below is the documented
+neighborhood effect plus session drift, not growth:
+
+| query | standalone sf10 (s) | suite sf10 (s) | suite/standalone |
+|---|---|---|---|
+{mm_rows}
+"""
+        return f"""
+### Round-16 drift adjudication probes
+
+The round-15 noise-band watch list (`sim_pq_topk`/`sim_pq_recall`/
+`sim_hard_triplets`/`text_train_classifier`) was re-measured standalone
+(median of 5, fresh JVM, same sitting and HEAD as the suite columns)
+beside untouched CONTROL queries that drifted the same direction in the
+suite run — if the watch list reproduces proportionally with controls,
+the drift is session host state, not a query mechanism:
+
+| query | standalone median (s) | suite median (s) |
+|---|---|---|
+{rows}
+{verdict_txt}
+{mm}"""
+
+    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 16, all three SFs at one HEAD commit)
 
 **Method.** All three datasets come from the SAME deterministic generator
 (`sources/Synthetic.scala`; distribution parity with the shipped testdata
@@ -391,6 +495,76 @@ over more records per batch; the per-record cost is what a
 three columns are the same-session like-for-like rps series the
 round-7 verdict asked for.
 
+## Round 16: the order prepass off the engine's own verify paths
+
+Round 16's query-path changes, priced across all three columns (ALL
+product commits precede the campaign — every artifact in this file was
+measured back-to-back at ONE HEAD with no product change after it):
+
+1. **Engine verify stages stopped re-checking a plan-guaranteed
+   invariant.** The round-15 sorted-input enforcement stays on every
+   PUBLIC surface (SQL and Column API raise on unsorted input —
+   spec-pinned unchanged), but the engine's own candidate-verify joins
+   — whose arrays are sorted by construction at signature/vector build
+   (`sort_array` before the candidate join fans out) — now use a
+   `private[graft]` unchecked constructor flag and skip the ~1.25×
+   per-pair order prepass. Codegen additionally specializes on the
+   inputs' static `containsNull`: the engine's shingle/term arrays are
+   built null-free, so their merge loops compile with NO per-element
+   null branch (CosinePairs asserts element non-nullness of its
+   zip-built vectors via `KnownNotNull`). Where the per-pair verify
+   dominates, the win is visible: `dedup_cosine_pairs`
+   {qa['dedup_cosine_pairs']:.1f} s at sf0.1 (r15: 3.2 s — 0.53×
+   like-for-like; the APSS verify is mostly merge),
+   `dedup_ngram_jaccard` at sf1 {qb['dedup_ngram_jaccard']:.2f} s
+   (r15: 3.20 s, 0.82×), `dedup_resolve` standalone probe
+   25.2 s (r15 probe: 36.5 s), `dedup_cosine_capped`
+   {qa['dedup_cosine_capped']:.1f} → {qb['dedup_cosine_capped']:.1f} →
+   {qc['dedup_cosine_capped']:.1f} s. The round-15 verdict's stated
+   target — `dedup_ngram_jaccard`'s sf10 decade ratio back to ~10× —
+   did NOT land: the in-suite ratio reads **{ngr2:.1f}×**
+   ({ngr_status}), but the honest attribution is that the prepass was
+   not the sf10 driver. Evidence: the standalone same-content probe is
+   FLAT round-over-round (37.6 s this HEAD vs 36.2 s at r15's — 1.04×,
+   inside noise) while this session's sf10 column drifted 1.138×
+   like-for-like median against r15 (sf1: 1.046×) — the ratio's
+   numerator carries the slower session and the suite neighborhood,
+   and at sf10 the exact-edge plan is candidate-JOIN bound (the
+   saturated vocabulary multiplies pair volume ~N²; expression eval is
+   the minority), which is also why the prepass removal shows at sf1
+   and on the APSS family but not on this column. The in-JVM A/B
+   (DevSortCheckCost, 1M real tf-vector pairs, alternating arms) now
+   prices checked-vs-unchecked at 1.03× on this host's JIT state (r15
+   session: 1.25×) — the engine paths pay zero either way. Equivalence
+   of the unchecked and checked arms on contract-respecting input, and
+   of the specialized and tolerant compilations on identical null-free
+   data, is spec-pinned (SortedMergeExprsSpec).
+
+2. **The L* memo survives JVM restarts.** The longest-dup search length
+   is now persisted per (path, content-stamp, range) as a marker file
+   in the BuiltOnce tmp layout, so a FRESH JVM over an unchanged corpus
+   prices stamp + census instead of the full cold binary search. The
+   steady-state suite medians are unchanged in kind
+   ({qa['text_longest_dup']:.2f} → {qb['text_longest_dup']:.2f} →
+   {qc['text_longest_dup']:.2f} s); the checked-in one-offs separate
+   the three regimes at this HEAD, all same sitting:
+   {ldup_oneoffs}. Marker trust is keyed on the embedded
+   full memo key; torn/foreign files re-search (spec-pinned).
+
+3. **The build-once content stamp closed its even-multiplicity blind
+   spot.** v3 adds an overflow-free decimal SUM of the per-row xxhash64
+   beside the bit_xor (xor alone cancels even-multiplicity row swaps —
+   judge r15 advice); same single aggregation pass, cost invisible in
+   the columns. One-time effect: every v2 marker (IVF/near-dup indexes)
+   rebuilt once on first touch this round — priced into first samples
+   only, medians price the serve as before.
+
+4. **`snapshotRead`'s staleness retry is keyed on the error CONDITION**
+   (`getCondition`), not message text, with the last planning failure
+   chained into the exhausted-retries exception (judge r15 #1). No
+   benched path calls the reader API; the racing spec re-looped 6/6.
+
+{drift_probe_section()}
 ## Round 13: consistency machinery priced inside the same series
 
 Round 13 added two pieces of corpus-state machinery; the first's cost
@@ -446,13 +620,13 @@ Round 15's query-path changes, priced across all three columns:
    against an unchecked test-scope twin over 1,000,000 real sf0.1
    tf-vector pairs in ONE JVM: the prepass prices at ~1.25× the
    verify-only pass (~0.1 µs/pair wall at local[4]) — the merge is a
-   minority of the queries that use it, so the suite columns moved
-   within the host-noise band (e.g. `dedup_cosine_capped`
-   {qc['dedup_cosine_capped']:.1f} s at sf10,
-   {hundred('dedup_cosine_capped'):.1f}× for 100× data), with ONE
-   visible exception where the overlap verify dominates: the exact-edge
-   `dedup_ngram_jaccard` at sf10 — adjudicated in the flags section
-   below.
+   minority of the queries that use it, so the r15 suite columns moved
+   within the host-noise band, with ONE visible exception where the
+   overlap verify dominated: the exact-edge `dedup_ngram_jaccard` at
+   sf10 (12.5× decade 2 in r15). Round 16 pulled the engine's OWN
+   verify paths onto an unchecked internal variant (the enforcement
+   stays on every public surface) — see the round-16 section above for
+   this HEAD's numbers.
 2. **The longest-duplicate search is memoized, clamped, and measured
    at every SF.** `text_longest_dup`/`_bound` — round 14's costliest
    pair, skipped at sf10 — now (a) clamp the binary-search range by
@@ -497,17 +671,14 @@ Round 15's query-path changes, priced across all three columns:
    fault-injecting FileSystem. Cost: one extra delete only on
    exception paths — nothing on the measured batches below.
 
-Measurement provenance this round: the three suite columns, the
+Measurement provenance in round 15: the three suite columns, the
 standalone probe, both ingest series, and the cold-search artifacts
-were measured back-to-back in one session at one HEAD. Commits after
-that HEAD are artifacts, docs, and test-only specs, plus ONE product
-change that is measurement-neutral by construction: a planning-time
-staleness retry inside `CorpusIngest.snapshotRead` — the reader API
-has zero call sites in `SparkEntry.queries`, `Bench`,
-`StreamingBench`, or `IngestBench` (grep-verifiable), so nothing any
-artifact measured executes it; it is exercised only by the
-concurrent-reader spec whose rare flake it fixes (6/6 green after,
-~1-in-5 flaky before).
+were measured back-to-back in one session at one HEAD, with one
+measurement-neutral product change after it (the snapshotRead
+planning-staleness retry — zero call sites in any benched path).
+Round 16's provenance is simpler: every product commit PRECEDES the
+campaign; nothing changed after measurement (see the round-16
+section).
 
 ## Round 14: race hardening priced inside the same series
 
@@ -762,26 +933,37 @@ Decade 1 (sf0.1→sf1):
 {flag_lines(f1, "sf0.1", "sf1")}
 Decade 2 (sf1→sf10):
 {flag_lines(f2, "sf1", "sf10")}
-Adjudication of the flags above: every flagged query is the documented
-exact-edge ORACLE MACHINERY (`dedup_minhash_superset` /
+Adjudication of the flags above: the four dedup flags are the
+documented exact-edge ORACLE MACHINERY (`dedup_minhash_superset` /
 `dedup_simhash_superset` are the exact-side + sketch-side + anti-join
 recall proofs; `dedup_components` consumes the exact PPJoin edge list
-those oracles are built on) — no production path is flagged in either
-decade. `dedup_ngram_jaccard` — the exact edge plan itself — sits AT
-the bar this round
-({qc['dedup_ngram_jaccard']/qb['dedup_ngram_jaccard']:.1f}× for 10×
-data vs 10.1× in round 14, {hundred('dedup_ngram_jaccard'):.0f}× total
-for 100×): the round-15 sorted-input enforcement prices exactly where
-the overlap verify dominates, which on this machinery is the sf10
-column (sf1 unchanged) — the contract-safety trade documented in the
-round-15 section, worth its ~1.25×-of-verify cost on a plan whose
-growth is quadratic-by-nature anyway. The machinery class is the
-same quadratic-by-nature story as the skipped `dedup_cosine_pairs`: on the generator's
+those oracles are built on); the fifth, `mm_gif_frames`
+({qc['mm_gif_frames']/qb['mm_gif_frames']:.1f}×, a hair over the bar),
+is a map-only media one-off with NO join or shuffle that grows with N —
+its standalone sf10 re-measure (5.80 s, `bench_mm_probe_sf10.json`,
+rendered in the round-16 probe section above) equals the r15 SUITE
+number (5.75 s), so the flag is the suite neighborhood plus this
+session's 1.138× drift, not growth; at the standalone number its
+decade ratio is {5.80/qb['mm_gif_frames']:.1f}×, under the bar. No
+production path is flagged in either decade.
+`dedup_ngram_jaccard` — the exact edge plan itself — measures
+**{ngr2:.1f}×** for 10× data in-suite this round ({ngr_status}; flat
+round-over-round in the standalone probe — the full attribution is in
+the round-16 section above),
+{hundred('dedup_ngram_jaccard'):.0f}× total for 100×.
+The machinery class is the same quadratic-by-nature story as the
+skipped `dedup_cosine_pairs`: on the generator's
 saturated 31-word vocabulary every shingle's document frequency scales
 with N, so any EXACT all-pairs text-similarity join grows ~N² no
 matter how it is bounded (PPJoin keeps the constant small, not the
 exponent; real corpora grow vocabulary by Heaps' law). They stay
 measured rather than skipped so the growth is visible evidence.
+Machinery vs production two-decade totals, rendered mechanically from
+the artifacts:
+
+| machinery (oracle/exact-edge) | 100× total | production counterpart | 100× total |
+|---|---|---|---|
+{pairs_tbl}
 Decade 1 carries NO flags this round: the machinery's sf0.1→sf1 ratios
 (e.g. `dedup_simhash_superset`
 {qb['dedup_simhash_superset']/qa['dedup_simhash_superset']:.1f}×,
