@@ -52,7 +52,10 @@ object TextQueries {
     * file NAMED by the key's digest, so distinct (content, range) keys
     * never contend and a content change simply misses. The file body
     * repeats the full key (verified on read — digest collisions can
-    * mislead nobody) plus the value.
+    * mislead nobody) plus the value. Markers from superseded contents
+    * are not collected — ~100 B each in the ephemeral tmp layout, one
+    * per corpus VERSION ever searched, the same accepted bound as the
+    * near-dup index dirs beside them.
     */
   private[queries] def longestDupMarker(d: String, key: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
