@@ -1281,6 +1281,13 @@ object CorpusIngest {
           }
           if (allPresent) {
             try {
+              // test hook: lets specs inject the planning-time failure a
+              // pack swap produces between the existence check above and
+              // Spark's own file-index build, so BOTH retry-loop
+              // outcomes (retry-then-succeed, exhaust-with-cause) are
+              // covered deterministically — the racing spec stays as the
+              // honest end-to-end probe, this pins the branch logic
+              planningFaultForTest()
               return spark.read.option("basePath", corpusDir)
                 .parquet(files.map(f => s"$corpusDir/$f"): _*)
             } catch {
@@ -1324,6 +1331,13 @@ object CorpusIngest {
          else " — last planning-time failure chained as cause"),
       lastStale)
   }
+
+  /** Test hook (see [[snapshotRead]]'s planning `try`): a thunk run
+    * immediately before the reader's planning, so specs can inject the
+    * planning-time staleness deterministically. No-op in production;
+    * specs MUST reset it in `finally`.
+    */
+  private[streaming] var planningFaultForTest: () => Unit = () => ()
 
   /** Whether an `AnalysisException` is the planning-time staleness
     * [[snapshotRead]]'s bounded loop retries: a listed file vanished

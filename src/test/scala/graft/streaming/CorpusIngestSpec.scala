@@ -1133,6 +1133,46 @@ class CorpusIngestSpec extends SparkSpec {
         None, None, None, None, Map.empty, noCtx)))
   }
 
+  test("planning-staleness retry: recovers after transient faults, chains the cause on exhaustion") {
+    // deterministic version of what the racing spec exercises
+    // probabilistically: the planning fault hook throws the same
+    // condition-carrying AnalysisException a pack swap produces between
+    // snapshotRead's existence check and Spark's file-index build
+    import org.apache.spark.sql.AnalysisException
+    val corpus = tmpDir("cisnap_fault")
+    val batch = Seq(
+      doc(3, (0 until 12).map(j => s"he w$j").mkString(" ")),
+      doc(4, (0 until 12).map(j => s"hf w$j").mkString(" ")))
+    CorpusIngest.ingestBatch(prep(batch), corpus, Some(0.5), buckets = 4)
+    val faults = new java.util.concurrent.atomic.AtomicInteger(0)
+    def arm(n: Int): Unit = {
+      faults.set(n)
+      CorpusIngest.planningFaultForTest = () =>
+        if (faults.getAndDecrement() > 0)
+          throw new AnalysisException("PATH_NOT_FOUND", Map("path" -> s"$corpus/gone"))
+        else ()
+    }
+    try {
+      // two transient faults, three attempts: the bounded loop retries
+      // through both and the read then succeeds with the full row set
+      arm(2)
+      assert(CorpusIngest.snapshotRead(spark, corpus, maxAttempts = 3).count() ==
+        spark.read.parquet(corpus).count())
+      // faults outlast the budget: loud IllegalStateException with the
+      // REAL planning failure chained as the cause (not swallowed)
+      arm(10)
+      val e = intercept[IllegalStateException] {
+        CorpusIngest.snapshotRead(spark, corpus, maxAttempts = 2)
+      }
+      assert(e.getMessage.contains("planning-time failure chained"))
+      assert(e.getCause.isInstanceOf[AnalysisException] &&
+        e.getCause.asInstanceOf[AnalysisException].getCondition == "PATH_NOT_FOUND",
+        s"cause must be the chained planning failure, got ${e.getCause}")
+    } finally {
+      CorpusIngest.planningFaultForTest = () => ()
+    }
+  }
+
   test("legacy FLAT corpus publishes the same reader snapshot contract") {
     // the snapshot manifest is layout-independent: a flat (root-file)
     // corpus served by the legacy fallback publishes it too, and a

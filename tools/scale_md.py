@@ -497,9 +497,15 @@ round-7 verdict asked for.
 
 ## Round 16: the order prepass off the engine's own verify paths
 
-Round 16's query-path changes, priced across all three columns (ALL
-product commits precede the campaign — every artifact in this file was
-measured back-to-back at ONE HEAD with no product change after it):
+Round 16's query-path changes, priced across all three columns. Every
+artifact in this file was measured back-to-back at ONE HEAD (bb5d2c4)
+with all query-path commits before it; the single product change after
+the campaign is measurement-neutral by construction — a no-op test
+hook inside `CorpusIngest.snapshotRead`'s planning `try` (the reader
+API has zero call sites in `SparkEntry.queries`, `Bench`,
+`StreamingBench`, or `IngestBench` — the same grep-verifiable argument
+the round-15 judge accepted), added so the staleness-retry branch is
+covered deterministically instead of only by the racing spec.
 
 1. **Engine verify stages stopped re-checking a plan-guaranteed
    invariant.** The round-15 sorted-input enforcement stays on every
@@ -562,7 +568,9 @@ measured back-to-back at ONE HEAD with no product change after it):
 4. **`snapshotRead`'s staleness retry is keyed on the error CONDITION**
    (`getCondition`), not message text, with the last planning failure
    chained into the exhausted-retries exception (judge r15 #1). No
-   benched path calls the reader API; the racing spec re-looped 6/6.
+   benched path calls the reader API; the racing spec re-looped 6/6,
+   and a post-campaign fault hook pins BOTH retry outcomes
+   (retry-then-succeed, exhaust-with-cause) deterministically.
 
 {drift_probe_section()}
 ## Round 13: consistency machinery priced inside the same series
