@@ -75,12 +75,15 @@ object TextQueries {
       new String(out.toByteArray, "UTF-8")
     } finally in.close()
     // defensive parse: a torn/foreign file is a MISS (re-search and
-    // rewrite), never a crash or a wrong serve
+    // rewrite), never a crash or a wrong serve — including a mangled
+    // value whose digit string overflows Int (the length bound keeps
+    // toInt total; engine-written values are small search lengths)
     text.split("\n", 2) match {
       case Array(k, v) if k == key =>
         v.trim match {
           case "none" => Some(None)
-          case num if num.nonEmpty && num.forall(_.isDigit) =>
+          case num if num.nonEmpty && num.length <= 9 &&
+              num.forall(_.isDigit) =>
             Some(Some(num.toInt))
           case _ => None
         }

@@ -76,6 +76,11 @@ class LongestDupMemoSpec extends SparkSpec {
     overwriteMarker(marker, "garbage with no newline")
     TextQueries.clearLongestDupMemoForTest()
     assert(lstar(dir).contains(20), "corrupt marker must re-search, never crash")
+    // a matching key line with an Int-overflowing digit value is ALSO a
+    // miss (the length-bounded parse keeps toInt total), never a crash
+    overwriteMarker(marker, s"$key\n99999999999")
+    TextQueries.clearLongestDupMemoForTest()
+    assert(lstar(dir).contains(20), "overflowing value must miss, never crash")
     // and a content CHANGE misses the old marker even across sessions
     // (different stamp → different marker file)
     val shared31 = "zzxxccvvbbnnmmasdfghjkl12345678"

@@ -499,13 +499,19 @@ round-7 verdict asked for.
 
 Round 16's query-path changes, priced across all three columns. Every
 artifact in this file was measured back-to-back at ONE HEAD (bb5d2c4)
-with all query-path commits before it; the single product change after
-the campaign is measurement-neutral by construction — a no-op test
+with all query-path commits before it; the two product changes after
+the campaign are measurement-neutral by construction: (a) a no-op test
 hook inside `CorpusIngest.snapshotRead`'s planning `try` (the reader
 API has zero call sites in `SparkEntry.queries`, `Bench`,
 `StreamingBench`, or `IngestBench` — the same grep-verifiable argument
 the round-15 judge accepted), added so the staleness-retry branch is
-covered deterministically instead of only by the racing spec.
+covered deterministically instead of only by the racing spec; and
+(b) a length bound on the persisted-L*-marker value parse
+(`readPersistedLdup`) so an Int-overflowing mangled value is a MISS
+instead of a NumberFormatException — the changed line runs at most
+once per JVM per corpus on a ~100-byte file, and on every value the
+engine itself writes (small search lengths) its behavior is
+bit-identical to the measured HEAD.
 
 1. **Engine verify stages stopped re-checking a plan-guaranteed
    invariant.** The round-15 sorted-input enforcement stays on every
