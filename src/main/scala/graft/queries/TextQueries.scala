@@ -64,16 +64,24 @@ object TextQueries {
 
   private def readPersistedLdup(s: SparkSession,
       p: org.apache.hadoop.fs.Path, key: String): Option[Option[Int]] = {
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
+    // any I/O failure here — including the file vanishing between the
+    // existence check and open under a concurrent external cleanup of
+    // the tmp layout — is a MISS, never a query failure: the marker is
+    // an optimization, the search is the truth
     val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, "UTF-8")
-    } finally in.close()
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    } catch {
+      case _: java.io.IOException => return None
+    }
     // defensive parse: a torn/foreign file is a MISS (re-search and
     // rewrite), never a crash or a wrong serve — including a mangled
     // value whose digit string overflows Int (the length bound keeps
@@ -92,12 +100,18 @@ object TextQueries {
   }
 
   private def writePersistedLdup(s: SparkSession,
-      p: org.apache.hadoop.fs.Path, key: String, value: Option[Int]): Unit = {
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$key\n${value.fold("none")(_.toString)}".getBytes("UTF-8"))
-    finally out.close()
-  }
+      p: org.apache.hadoop.fs.Path, key: String, value: Option[Int]): Unit =
+    // best-effort: the search result is already in hand, so a failed
+    // marker write (disk full, racing cleanup) must not fail the query
+    // — the next fresh JVM just re-searches
+    try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"$key\n${value.fold("none")(_.toString)}".getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case _: java.io.IOException => ()
+    }
 
   private def longestDupLenMemo(s: SparkSession, d: String,
       minLen: Int, maxLen: Int): Option[Int] = {

@@ -81,6 +81,15 @@ class LongestDupMemoSpec extends SparkSpec {
     overwriteMarker(marker, s"$key\n99999999999")
     TextQueries.clearLongestDupMemoForTest()
     assert(lstar(dir).contains(20), "overflowing value must miss, never crash")
+    // an I/O failure is a miss on READ and a no-op on WRITE: a
+    // directory squatting on the marker path makes open throw (the
+    // racing-external-cleanup shape) and the post-search best-effort
+    // rewrite fail — the query must still answer from the re-search
+    markerFs(marker).delete(marker, false)
+    markerFs(marker).mkdirs(marker)
+    TextQueries.clearLongestDupMemoForTest()
+    assert(lstar(dir).contains(20), "marker I/O failure must miss, never crash")
+    markerFs(marker).delete(marker, true)
     // and a content CHANGE misses the old marker even across sessions
     // (different stamp → different marker file)
     val shared31 = "zzxxccvvbbnnmmasdfghjkl12345678"

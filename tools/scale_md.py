@@ -355,9 +355,9 @@ file-count reduction of the epoch-boundary bin-pack.)
             ("dedup_simhash_superset", "dedup_simhash"),
             ("dedup_components", "dedup_components_minhash"),
             ("dedup_resolve", "dedup_components_minhash"),
-            ("text_winnow_pairs_exact", "text_winnow_pairs")
-            if "text_winnow_pairs_exact" in qa and "text_winnow_pairs_exact" in qc
-            else ("dedup_cosine_capped", "dedup_cosine_capped"),
+            # the winnow-exact row renders only when measured at both
+            # ends (it is skipped at sf1/sf10 on the saturated corpus)
+            ("text_winnow_pairs_exact", "text_winnow_pairs"),
         ]
         if hundred(m) is not None and hundred(p) is not None)
 
@@ -506,12 +506,16 @@ API has zero call sites in `SparkEntry.queries`, `Bench`,
 `StreamingBench`, or `IngestBench` — the same grep-verifiable argument
 the round-15 judge accepted), added so the staleness-retry branch is
 covered deterministically instead of only by the racing spec; and
-(b) a length bound on the persisted-L*-marker value parse
-(`readPersistedLdup`) so an Int-overflowing mangled value is a MISS
-instead of a NumberFormatException — the changed line runs at most
-once per JVM per corpus on a ~100-byte file, and on every value the
-engine itself writes (small search lengths) its behavior is
-bit-identical to the measured HEAD.
+(b) hardening of the persisted-L*-marker I/O to its documented
+optimization-not-failure-source contract (`readPersistedLdup` /
+`writePersistedLdup`): an Int-overflowing mangled value, a vanished or
+directory-squatted marker under a racing external cleanup, and a
+failed best-effort write are all a MISS / no-op instead of an
+exception out of the query — the changed lines run at most once per
+JVM per corpus on a ~100-byte file, and on every benign run (the only
+kind any bench produces) behavior is bit-identical to the measured
+HEAD. All three regimes and the failure shapes are spec-pinned
+(`LongestDupMemoSpec`).
 
 1. **Engine verify stages stopped re-checking a plan-guaranteed
    invariant.** The round-15 sorted-input enforcement stays on every
