@@ -499,8 +499,9 @@ round-7 verdict asked for.
 
 Round 16's query-path changes, priced across all three columns. Every
 artifact in this file was measured back-to-back at ONE HEAD (bb5d2c4)
-with all query-path commits before it; the two product changes after
-the campaign are measurement-neutral by construction: (a) a no-op test
+with all query-path commits before it; the product commits after the
+campaign fall in two buckets, each measurement-neutral by
+construction: (a) a no-op test
 hook inside `CorpusIngest.snapshotRead`'s planning `try` (the reader
 API has zero call sites in `SparkEntry.queries`, `Bench`,
 `StreamingBench`, or `IngestBench` — the same grep-verifiable argument
