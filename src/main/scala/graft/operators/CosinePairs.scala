@@ -3,8 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.graft.bridge.knownNotNull
-
+import graft.plans.Nullability.knownNotNull
 import graft.plans.{SortedTermDot, SuffixSqMass}
 
 /** Exact all-pairs cosine similarity join over term-frequency vectors

@@ -14,16 +14,7 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Assert a column (or lambda-variable field) non-null at the TYPE
-    * level — Catalyst's `KnownNotNull`, which the Column API doesn't
-    * expose. Used where a build guarantees non-nullness the analyzer
-    * can't see (e.g. `transform` over `arrays_zip` of equal-length
-    * arrays), so downstream codegen that specializes on static
-    * nullability (containsNull) compiles without null branches.
-    * CONTRACT: a runtime null under this assertion is undefined
-    * behavior (reads garbage, never raises) — only wrap values that
-    * are provably non-null by construction.
-    */
-  def knownNotNull(c: Column): Column =
-    column(org.apache.spark.sql.catalyst.expressions.KnownNotNull(expression(c)))
+  // the KnownNotNull assertion (misuse = silent undefined behavior)
+  // lives in graft.plans.Nullability, scoped private[graft] — the
+  // UB-capable surface stays off this public bridge by design
 }

@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
 import graft.SparkSpec
@@ -13,9 +12,11 @@ import graft.SparkSpec
   *     builders — the r16 unchecked sorted-merge variants must never
   *     leak into SQL under any name (the checked flag is a constructor
   *     default the SQL builders cannot override);
-  *  2. `bridge.knownNotNull` really flips the STATIC nullability the
-  *     codegen specializations key on — a column-level assertion and a
-  *     transform-lambda element assertion both surface in the schema.
+  *  2. `Nullability.knownNotNull` (private[graft] since r17 — the
+  *     UB-capable assertion is off the public bridge) really flips the
+  *     STATIC nullability the codegen specializations key on — a
+  *     column-level assertion and a transform-lambda element assertion
+  *     both surface in the schema.
   */
 class SqlSurfaceContractSpec extends SparkSpec {
   import spark.implicits._
@@ -48,13 +49,13 @@ class SqlSurfaceContractSpec extends SparkSpec {
     assert(plain.schema("v").dataType.asInstanceOf[ArrayType].containsNull)
     // …the assertion can (the CosinePairs vterms/vtfs pattern)
     val asserted = df.select(
-      transform(col("z"), x => bridge.knownNotNull(x("a"))).as("v"))
+      transform(col("z"), x => Nullability.knownNotNull(x("a"))).as("v"))
     assert(!asserted.schema("v").dataType.asInstanceOf[ArrayType].containsNull)
     // and values are untouched where the assertion holds
     assert(asserted.as[Seq[Long]].head() == Seq(1L, 2L))
     // column-level: a nullable column becomes statically non-nullable
     val colLevel = Seq(Some(5L)).toDF("x")
-      .select(bridge.knownNotNull(col("x")).as("x"))
+      .select(Nullability.knownNotNull(col("x")).as("x"))
     assert(!colLevel.schema("x").nullable)
     assert(colLevel.as[Long].head() == 5L)
   }

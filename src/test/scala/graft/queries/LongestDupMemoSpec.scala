@@ -97,4 +97,37 @@ class LongestDupMemoSpec extends SparkSpec {
     TextQueries.clearLongestDupMemoForTest()
     assert(lstar(dir).contains(31), "new content, fresh session: re-searched")
   }
+
+  test("marker directory is created owner-only (r17 trust-boundary fix)") {
+    val dir = tmpDir("ldmemo3")
+    write(dir, "qqwweerrttyyuuiioopp")
+    assert(lstar(dir).contains(20))
+    val marker = TextQueries.longestDupMarker(dir, TextQueries.lastLdupKeyForTest)
+    val fs = markerFs(marker)
+    assert(fs.exists(marker))
+    assert(fs.getFileStatus(marker.getParent).getPermission.toShort == 448.toShort,
+      "graft_ldup_* marker dirs must be 0700 on a world-shared tmp")
+  }
+
+  test("memo eviction is single-entry LRU, never the entry being served (r17)") {
+    TextQueries.clearLongestDupMemoForTest()
+    (0 until 64).foreach { i =>
+      val e = new TextQueries.LdupEntry(Some(i))
+      e.tick = i + 1L // entry k0 is oldest…
+      TextQueries.longestDupMemo.put(s"k$i", e)
+    }
+    // …but k0 was just USED (highest tick), so k1 is the LRU victim
+    TextQueries.longestDupMemo.get("k0").tick = 1000L
+    TextQueries.evictLruIfFull("brand-new-key")
+    assert(TextQueries.longestDupMemo.size == 63)
+    assert(TextQueries.longestDupMemo.containsKey("k0"), "recently-served entry survives")
+    assert(!TextQueries.longestDupMemo.containsKey("k1"), "LRU entry is the one evicted")
+    // an EXISTING key triggers no eviction (it is a hit, not an insert)
+    TextQueries.evictLruIfFull("k5")
+    assert(TextQueries.longestDupMemo.size == 63)
+    // below capacity: no eviction either
+    TextQueries.evictLruIfFull("another-new-key")
+    assert(TextQueries.longestDupMemo.size == 63)
+    TextQueries.clearLongestDupMemoForTest()
+  }
 }
