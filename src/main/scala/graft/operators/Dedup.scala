@@ -613,18 +613,55 @@ object Dedup {
     */
   def ngramJaccardBlocked(
       df: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[String], threshold: Double, shingleN: Int = 3): DataFrame =
-    ngramJaccardBlockedManaged(df, textCol, idCol, blockCols, threshold, shingleN)._1
+      blockCols: Seq[String], threshold: Double, shingleN: Int = 3,
+      dfCap: Option[Int] = None): DataFrame =
+    ngramJaccardBlockedManaged(df, textCol, idCol, blockCols, threshold,
+      shingleN, dfCap)._1
 
   /** [[ngramJaccardBlocked]] plus a release handle for the internal
     * shingle cache (see [[minhashNearDupsManaged]]).
+    *
+    * `dfCap`: with it set, shingles appearing in more than `dfCap`
+    * documents (globally — document frequency over the DISTINCT shingle
+    * sets, before blocking) are removed from the SETS — Jaccard over
+    * the rare-shingle subspace, the stop-shingle semantics of
+    * [[graft.operators.CosinePairs.tfCosinePairsManaged]]'s cap and
+    * `text_winnow_pairs`' fingerprint discard, well-defined on both
+    * engines rather than a lossy candidate heuristic. This is the
+    * saturated-vocabulary guard: the PPJoin prefix filter bounds
+    * candidate volume by Σ df² over prefix shingles, which stays
+    * subquadratic while the shingle space grows with the corpus
+    * (Heaps' law) but degenerates when a FIXED vocabulary saturates
+    * and every df scales with N — there, capping df bounds per-shingle
+    * join fan-out at dfCap² regardless of corpus size. None = exact
+    * full-vocabulary semantics (the oracle-companion form; quadratic on
+    * saturated vocabularies by nature — any exact all-pairs similarity
+    * is).
     */
   def ngramJaccardBlockedManaged(
       df: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[String], threshold: Double, shingleN: Int = 3): (DataFrame, () => Unit) = {
+      blockCols: Seq[String], threshold: Double, shingleN: Int = 3,
+      dfCap: Option[Int] = None): (DataFrame, () => Unit) = {
     require(threshold > 0.0, "zero-overlap pairs never materialize; threshold must be > 0")
-    val t = df.select(Seq(col(idCol).as("id"),
+    require(dfCap.forall(_ >= 2), "dfCap >= 2 (df=1 shingles never pair)")
+    val base = df.select(Seq(col(idCol).as("id"),
       sort_array(hashedShingles(col(textCol), shingleN)).as("sh")) ++ blockCols.map(col): _*)
+    val withSets = dfCap.fold(base) { c =>
+      // stop-shingle removal BEFORE sizes/prefixes, so capped-out
+      // shingles vanish from the sets on both sides of every pair.
+      // Only (id, long) rows reach the shuffles; the rebuilt sh stays
+      // sorted (sort_array) and containsNull=false (collect_list), so
+      // the unchecked merge verify below compiles the same null-free
+      // loop. Docs whose whole set is capped away drop out here — same
+      // outcome as the sz>0 filter on an empty set.
+      val ds = base.select(col("id"), explode(col("sh")).as("s"))
+      val keep = ds.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= c).select("s")
+      val capped = ds.join(keep, "s")
+        .groupBy("id").agg(sort_array(collect_list(col("s"))).as("sh"))
+      base.drop("sh").join(capped, "id")
+    }
+    val t = withSets
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .persist() // read by the prefix join and both verify joins

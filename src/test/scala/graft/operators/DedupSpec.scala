@@ -57,6 +57,33 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - exactJ) < 0.15, s"est=$est exact=$exactJ")
   }
 
+  test("df-capped jaccard: no-op cap equals exact; biting cap drops hot shingles from the SETS (r17)") {
+    // docs 1,2: a hot 4-token block H plus near-identical rare tails;
+    // docs 3..10: H alone — so H's two shingles have df=10 and every
+    // 3..10 pair is an exact duplicate at jaccard 1.0
+    val hot = "h1 h2 h3 h4"
+    val df = (Seq(
+      (1L, s"$hot a1 a2 a3 a4"),
+      (2L, s"$hot a1 a2 a3 a5")) ++
+      (3L to 10L).map(i => (i, hot))).toDF("doc_id", "text")
+      .withColumn("blk", lit(1))
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccardBlocked(df, "text", "doc_id", Seq("blk"),
+        threshold = 0.5, dfCap = cap)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = pairs(None)
+    // exact: (1,2) at 5/7 plus all 28 pairs among the H-only clones
+    assert(exact.size == 29)
+    assert(exact.contains((1L, 2L, 5.0 / 7.0)))
+    // a cap above every df is a SEMANTIC no-op, not approximately so
+    assert(pairs(Some(100)) == exact)
+    // cap 5 removes H's shingles (df=10) from the sets: the clones'
+    // sets empty out (no pairs), and (1,2) re-scores on the rare
+    // subspace — overlap 3 of union 5
+    assert(pairs(Some(5)) == Set((1L, 2L, 0.6)))
+  }
+
   test("simhash: identical texts distance 0; near texts closer than random") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog again and again"),
