@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * serve-only — by design (build-once is the production amortization),
   * but a reader comparing rounds should compare steady-state numbers.
   */
-private[queries] object BuiltOnce {
+private[graft] object BuiltOnce {
 
   /** Collision-resistant directory key for a dataset path: sha-256 of
     * the path's UTF-8 bytes, first 16 hex chars. The earlier 32-bit

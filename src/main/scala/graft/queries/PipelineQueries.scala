@@ -42,10 +42,24 @@ object PipelineQueries {
     * false-reject rate grows with corpus size — not a stale-index
     * rebuild.
     */
+  /** The history slice the persisted near-dup index (`graft_nd_idx_*`
+    * and its `_hot` census) is built over and stamped on.
+    */
+  private def ndHistory(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+
+  /** Stamp of that slice — shared with [[graft.TmpSweep]] so the
+    * sweeper judges the nd-index dirs' liveness by the SAME stamp
+    * [[BuiltOnce]] wrote into their `_graft_built` markers.
+    */
+  private[graft] def ndIndexContentStamp(s: SparkSession, d: String): String =
+    BuiltOnce.contentStamp(ndHistory(Tables.documents(s, d)),
+      Seq(col("doc_id"), col("text")))
+
   private def ndIngestParts(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
-    val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val history = ndHistory(docs)
     val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
       .select(col("doc_id"), col("text"))
       .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 0)

@@ -34,6 +34,15 @@ object SimilarityQueries {
   private def builtOnce(dir: String, corpus: DataFrame)(build: => Unit): Unit =
     BuiltOnce(dir, corpus, Seq(col("vec_id"), col("embedding")))(build)
 
+  /** Stamp of the corpus the persisted IVF layouts
+    * (`graft_ivf_idx_*` / `graft_ivf_app_*`) are keyed on — shared with
+    * [[graft.TmpSweep]] so the sweeper judges an index dir's liveness by
+    * the SAME stamp [[builtOnce]] wrote into its `_graft_built` marker.
+    */
+  private[graft] def ivfContentStamp(s: SparkSession, d: String): String =
+    BuiltOnce.contentStamp(Tables.embeddings(s, d),
+      Seq(col("vec_id"), col("embedding")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact brute-force cosine top-5 for a 10-query panel
