@@ -3,12 +3,31 @@
 
 Usage: python3 tools/scale_md.py bench_scale_sf01.json bench_scale_sf1.json bench_scale_sf10.json
 Writes SCALE.md in the cwd. The narrative sections live here so the doc
-regenerates reproducibly from checked-in measurements.
+regenerates reproducibly from checked-in measurements; every adjudication
+below is COMPUTED from artifacts (probe JSONs beside the suite columns),
+never hand-maintained prose (the round-10/15 stale-narrative lessons).
 """
 import json
+import os
 import sys
 
 RATIO_BAR = 12
+
+ROUND = 17
+
+# the documented quadratic-by-nature oracle machinery (exact edge plans
+# on the generator's saturated vocabulary); flags on these render as the
+# machinery adjudication, anything else renders LOUDLY as unadjudicated
+MACHINERY = {
+    "dedup_ngram_jaccard", "dedup_minhash_superset", "dedup_simhash_superset",
+    "dedup_components", "dedup_resolve",
+}
+
+# round-17 drift watch list (the r16 verdict's #3: this round's own
+# sf0.1 drifters, probed with the same control-envelope method)
+DRIFT_WATCH = ["pipe_pack_sequences", "ev_retention_cohorts",
+               "rel_q5_nation_revenue", "ev_pagerank"]
+DRIFT_CONTROLS = ["msg_summary", "rel_setops", "sim_bruteforce_topk"]
 
 
 def table(small, big, ratio_bar, skipped=()):
@@ -35,11 +54,10 @@ def flags(small, big):
 
 
 def main(p01, p1, p10):
-    import os
     a = json.load(open(p01))
     b = json.load(open(p1))
     c = json.load(open(p10))
-    # sibling artifacts (probe, ingest series) resolve relative to the
+    # sibling artifacts (probes, ingest series) resolve relative to the
     # first argv path, NOT the process CWD — invoking the tool from
     # another directory with absolute args must not abort or silently
     # render from a stale file found in that CWD (round-13 advice)
@@ -49,8 +67,10 @@ def main(p01, p1, p10):
         return os.path.join(artifact_dir, name)
 
     # standalone jaccard/components/resolve probe (same session, same
-    # commit, no suite neighborhood) — numbers rendered mechanically,
-    # never hand-maintained (the round-10 stale-narrative lesson)
+    # commit, no suite neighborhood). Since round 17 this is ALSO the
+    # only sf10 measurement of the exact `dedup_ngram_jaccard` plan (the
+    # suite column is skipped; the capped production form is measured
+    # everywhere) — numbers rendered mechanically, never hand-maintained
     if not os.path.exists(sibling("bench_cc_probe.json")):
         raise SystemExit(
             "ERROR: bench_cc_probe.json missing beside the suite "
@@ -129,8 +149,172 @@ def main(p01, p1, p10):
             f"- `{q}`: {s:.2f} s → {bg:.2f} s (**{r:.1f}×** for 10× data)\n"
             for q, r, s, bg in fl)
 
+    # ---- per-flag adjudication, computed -------------------------------
+    gif = (json.load(open(sibling("bench_gif_probe.json")))
+           if os.path.exists(sibling("bench_gif_probe.json")) else None)
+
+    def gif_adjudication():
+        """The mm_gif_frames mechanism, rendered from bench_gif_probe.json
+        (order experiment + stage split + 3x point at sf10 ids)."""
+        if gif is None:
+            return ("`bench_gif_probe.json` is missing — the gif flag (if "
+                    "any) is UNADJUDICATED this round; run Test/runMain "
+                    "graft.DevGif <sf10dir> bench_gif_probe.json.")
+        o = gif["order"]
+        st = gif["stages"]
+        per1 = st["1x"]["full"] / st["1x"]["n"] * 1e6
+        per3 = st["3x"]["full"] / st["3x"]["n"] * 1e6
+        enc1 = (st["1x"]["encode"] - st["1x"]["synth"]) / st["1x"]["n"] * 1e6
+        read1 = (st["1x"]["full"] - st["1x"]["encode"]) / st["1x"]["n"] * 1e6
+        growth = ("FALLS" if per3 < per1 * 0.95 else
+                  "is FLAT" if per3 <= per1 * 1.1 else
+                  f"GROWS ({per1:.1f} → {per3:.1f} µs/gif — needs a fix)")
+        if o["ratio"] > 1.15:
+            order_txt = (
+                f"running the dedup family first makes the IDENTICAL "
+                f"map-only query **{o['ratio']:.2f}×** slower in the same "
+                f"JVM ({o['before']:.2f} → {o['after']:.2f} s median-of-3, "
+                f"uniform cold protocol) — the suite-position premium "
+                f"measured directly. The telemetry names the mechanism: "
+                f"the dedup joins leave the old gen at "
+                f"{o['heap_mb_after_neighborhood']:,} MB (vs "
+                f"{o['heap_mb_after_before']:,} MB before them), so the "
+                f"per-sample forced GC plus incidental collections trace "
+                f"a bigger live set — GC time during the after-samples "
+                f"{o['gc_ms_during_after']:,} ms vs "
+                f"{o['gc_ms_during_before']:,} ms during the before-samples")
+        else:
+            order_txt = (
+                f"the order experiment shows NO reproducible neighborhood "
+                f"premium (after/before = {o['ratio']:.2f}× in the same "
+                f"JVM), so the r16 suite delta was session drift, not "
+                f"suite position")
+        return (
+            f"per-gif cost {growth} across the id-shifted 1×→3× step "
+            f"({per1:.1f} → {per3:.1f} µs/gif full pipeline; stage split "
+            f"at 1×: synth {st['1x']['synth'] / st['1x']['n'] * 1e6:.1f} + "
+            f"GIF encode {enc1:.1f} + probe/decode/checksum {read1:.1f} "
+            f"µs/gif), and {order_txt} (`bench_gif_probe.json`).")
+
+    def adjudicate_flag(q):
+        if q in MACHINERY:
+            return (f"`{q}`: documented exact-edge oracle machinery "
+                    "(see the machinery-vs-production table)")
+        if q == "mm_gif_frames":
+            return f"`{q}`: {gif_adjudication()}"
+        return (f"`{q}`: **UNADJUDICATED** — no probe artifact names a "
+                "mechanism for this flag; it needs one next round")
+
+    adjudications = "".join(f"- {adjudicate_flag(q)}\n" for q, _, _, _ in f2) \
+        if f2 else "- no decade-2 flags to adjudicate.\n"
+
+    # longest-dup regime one-offs, rendered from the artifacts when
+    # present (true-cold search / fresh-JVM disk hit)
+    def oneoff(name, label):
+        p = sibling(name)
+        if not os.path.exists(p):
+            return None
+        v = json.load(open(p))["queries"].get("text_longest_dup")
+        return f"{label} {v:.1f} s (`{name}`)" if v else None
+    ldup_oneoffs = "; ".join(x for x in [
+        oneoff("bench_longest_dup_cold_sf10.json",
+               "true cold search at sf10 (marker deleted)"),
+        oneoff("bench_longest_dup_diskhit_sf10.json",
+               "fresh-JVM restart with marker present"),
+        f"suite steady median {qc['text_longest_dup']:.1f} s (in-JVM memo)",
+        oneoff("bench_longest_dup_cold_sf1.json",
+               "true cold at sf1"),
+    ] if x)
+
+    # machinery / production counterpart table, rendered mechanically
+    # from the artifacts: one row per family, two-decade totals side by
+    # side. Rows whose machinery form is skipped at sf10 render from the
+    # standalone probe when it covers them.
+    pairs_tbl = "".join(
+        f"| `{m}` | {hundred(m):.0f}× | `{p}` | {hundred(p):.0f}× |\n"
+        for m, p in [
+            ("dedup_minhash_superset", "dedup_minhash"),
+            ("dedup_simhash_superset", "dedup_simhash"),
+            ("dedup_components", "dedup_components_minhash"),
+            ("dedup_resolve", "dedup_components_minhash"),
+            ("text_winnow_pairs_exact", "text_winnow_pairs"),
+        ]
+        if hundred(m) is not None and hundred(p) is not None)
+    # the ngram row: capped form measured everywhere; exact form's sf10
+    # number comes from the standalone probe artifact
+    ngram_row = (
+        f"| `dedup_ngram_jaccard` (standalone probe at sf10) | "
+        f"{probe['dedup_ngram_jaccard'] / qa['dedup_ngram_jaccard']:.0f}× | "
+        f"`dedup_ngram_jaccard_capped` | "
+        f"{hundred('dedup_ngram_jaccard_capped'):.0f}× |\n")
+
+    def drift_probe_section():
+        p = sibling("bench_drift_probe.json")
+        if not os.path.exists(p):
+            return ""
+        dp = json.load(open(p)).get("queries", {})
+        rows = "".join(
+            f"| `{q}` | {dp[q]:.2f} | {qa[q]:.2f} |\n"
+            for q in sorted(dp) if q in qa)
+
+        def env(qs):
+            rs = [dp[q] / qa[q] for q in qs if q in dp and q in qa]
+            return (min(rs), max(rs)) if rs else (0, 0)
+        c_lo, c_hi = env(DRIFT_CONTROLS)
+        w_lo, w_hi = env(DRIFT_WATCH)
+        verdict_txt = (
+            "Every watch-list query reproduces INSIDE the control "
+            f"envelope (controls {c_lo:.2f}–{c_hi:.2f}× "
+            f"standalone/suite; watch list {w_lo:.2f}–{w_hi:.2f}×): "
+            "the r16→r17 drift on these sub-3 s queries is session "
+            "host state, not a query mechanism — adjudicated noise."
+            if w_hi <= c_hi else
+            "The watch list exceeds the control envelope (controls "
+            f"{c_lo:.2f}–{c_hi:.2f}×, watch {w_lo:.2f}–{w_hi:.2f}×) — "
+            "NOT adjudicated as noise; needs a mechanism next round.")
+        mm = ""
+        pm = sibling("bench_mm_probe_sf10.json")
+        if os.path.exists(pm):
+            mp = json.load(open(pm)).get("queries", {})
+            mm_rows = "".join(
+                f"| `{q}` | {mp[q]:.2f} | {qc[q]:.2f} | {qc[q] / mp[q]:.2f}× |\n"
+                for q in sorted(mp) if q in qc)
+            mm_ratios = [qc[q] / mp[q] for q in mp if q in qc]
+            mm_read = (
+                "this session the SUITE columns run FASTER than the "
+                "cold two-query probe JVM — deep-session JIT/codegen "
+                "warmth outweighs any neighborhood pressure, consistent "
+                "with the order experiment's no-premium result in the "
+                "round-17 section above"
+                if mm_ratios and max(mm_ratios) <= 1.0 else
+                "the suite-vs-standalone gap prices the suite position "
+                "(mechanism named in the round-17 section above)")
+            mm = f"""
+The media one-offs were likewise re-measured standalone at sf10 (fresh
+JVM, no suite neighborhood, same sitting) — both are map-only plans, so
+their decade ratios can only move through per-row cost; {mm_read}:
+
+| query | standalone sf10 (s) | suite sf10 (s) | suite/standalone |
+|---|---|---|---|
+{mm_rows}
+"""
+        watch_list = ", ".join(f"`{q}`" for q in DRIFT_WATCH)
+        return f"""
+### Round-{ROUND} drift adjudication probes
+
+The round-16 verdict's watch list — this round's own top sf0.1 drifters
+({watch_list}) — was re-measured standalone (median of 5, fresh JVM,
+same sitting and HEAD as the suite columns) beside untouched CONTROL
+queries; if the watch list reproduces proportionally with controls, the
+drift is session host state, not a query mechanism:
+
+| query | standalone median (s) | suite median (s) |
+|---|---|---|
+{rows}
+{verdict_txt}
+{mm}"""
+
     def ingest_section():
-        import os
         if not os.path.exists(sibling("bench_ingest_series.json")):
             return ""
         ing10 = json.load(open(sibling("bench_ingest_series.json")))
@@ -165,18 +349,11 @@ def main(p01, p1, p10):
                     if fh and sh else None)
 
         # boundary-adjacent batches: the first steady batch after a
-        # compaction pays the epoch's I/O shadow (the pack just rewrote
-        # the touched buckets, evicting page cache and leaving writeback
-        # behind) — an amortized-boundary cost landing one batch late,
-        # not steady-state growth. Since round 12 the flag is CHECKED IN
-        # per batch by IngestBench ("shadow": prev batch compacted) so
-        # this decomposition is computed from the artifact, not
-        # re-derived; older series fall back to deriving it from the
-        # compacted column. Since round 14 the decomposition is
-        # SUPPRESSED when the shadow slots measure no slower than the
-        # core steady batches (the round-12 prewarm absorbed the
-        # premium; excluding the fastest batches from a half would
-        # invert the split's meaning — the round-13 verdict's finding).
+        # compaction pays the epoch's I/O shadow — an amortized-boundary
+        # cost landing one batch late, not steady-state growth. The flag
+        # is CHECKED IN per batch by IngestBench ("shadow"); the
+        # decomposition is SUPPRESSED when the shadow slots measure no
+        # slower than the core steady batches (round-14 lesson).
         if any("shadow" in b for b in s10):
             adj = {b["batch"] for b in s10 if b.get("shadow")}
         else:
@@ -200,7 +377,7 @@ def main(p01, p1, p10):
                 f"**{core_ratio:.2f}×** with the `shadow`-flagged batches "
                 f"(the first steady batch after each compaction — the slot "
                 f"that pays whatever residual cold-re-read premium the "
-                f"pack's round-12 read-back did not absorb) set aside "
+                f"pack's read-back did not absorb) set aside "
                 f"(n = {n_core_half} per half; "
                 f"1.0 = perfectly corpus-size-independent)")
         elif raw_ratio:
@@ -242,19 +419,17 @@ def main(p01, p1, p10):
         pregrow_txt = (
             f" The series starts from a PRE-GROWN corpus "
             f"({pregrow:,} docs ingested as one untimed batch before "
-            f"batch 0 — new in round 14), so the bloom's capacity "
-            f"already dwarfs a series batch, compaction boundaries are "
-            f"sparse, and the drift statistic rests on "
-            f"{len(st10)} steady batches instead of the handful the "
-            f"young-corpus warm-up left (16 of the round-13 series' 25 "
-            f"batches were boundaries)." if pregrow else "")
+            f"batch 0), so the bloom's capacity already dwarfs a series "
+            f"batch, compaction boundaries are sparse, and the drift "
+            f"statistic rests on {len(st10)} steady batches."
+            if pregrow else "")
         fsread_txt = (
             " Each batch also records its Hadoop filesystem-level read "
             "volume (`fsReadBytes` — local[*] runs tasks in-JVM, so the "
             "global `file`-scheme counter attributes it exactly): when "
             "two batches read similar bytes at different speeds, the "
             "difference is page-cache state, attributed mechanically "
-            "rather than narratively (round-13 verdict item #6)."
+            "rather than narratively."
             if has_fsread else "")
         fsread_hdr = " fs read (MB) |" if has_fsread else ""
         fsread_sep = "---|" if has_fsread else ""
@@ -269,43 +444,29 @@ table ({s10[-1]['corpusRows']:,} accepted docs) into ONE corpus as
 maintenance telemetry (`bench_ingest_series.json`).{pregrow_txt}{fsread_txt}
 Steady-state
 per-batch time is ~FLAT while the corpus grows {s10[len(s10)//2]['corpusRows']:,}
-→ {s10[-1]['corpusRows']:,} under it: {drift_txt}. The round-10
-residual (per-bucket landed FILE count growing one file per batch)
-stays closed: doc and index buckets BIN-PACK at the bloom's epoch
-boundaries (the `packed` column counts files folded away; {packs}
-boundary batches packed in this run), and `landed files read` stays
-BOUNDED across the whole series (max
+→ {s10[-1]['corpusRows']:,} under it: {drift_txt}. Doc and index buckets
+BIN-PACK at the bloom's epoch boundaries (the `packed` column counts
+files folded away; {packs} boundary batches packed in this run), and
+`landed files read` stays BOUNDED across the whole series (max
 {max(b['landedFiles'] for b in s10)} in this run) instead of growing
 with batch count — spec-pinned across ≥3 compaction cycles in
-CorpusIngestSpec, including the multi-slice (`slices >= 2`) rewrite
-and the crash-window heal. The pack's I/O SHADOW — round 11 found the
-first steady batch after each boundary re-reading freshly packed
-buckets cold (a post-`drop_caches` read of the packed 2.4 GB corpus
-measured 15.5 s vs 0.4 s warm, exactly the premium those batches
-carried) — is handled two ways since round 12: the pack READS ITS
-PACKED FILES STRAIGHT BACK inside the boundary batch (folding the
-re-read into the already-O(capacity) epoch spike; it absorbs most of
-the premium, but page-cache writeback timing makes the absorption
-run-to-run variable — an identical-code run of this series measured
-raw 0.99×), and `IngestBench`
-stamps every batch with a `shadow` flag so the raw/decomposed split
-above is computed from the checked-in artifact, never adjudicated by
-hand. Capacity-sized work
-appears only at the {n_compact} labeled compaction/rebuild boundaries —
-dense while the corpus is young (the bloom's capacity tracks the
-corpus, so until the corpus outgrows ~16 batches every batch crosses
-the capacity/16 fold threshold) and spreading out as capacity outgrows
-the batch, which is the amortization becoming visible; since round 12
-the boundary also carries the epoch's hot-band census rebuild (the
-per-batch screen reads small state instead of re-aggregating index
-buckets). Per-batch bloom
-writes are delta-file-sized on every non-boundary batch, and batches
-re-read **{rereads}** prior delta files in total after the first —
-each delta is broadcast once by the batch that wrote it. Since round
-13 every batch's `sec` also contains the reader-snapshot publication
-(bounded listing + small atomic write, inside `ingestBatch`); the
-writer-fencing verification lives in the STREAM wrapper the series
-bypasses, and is one small state-file read per batch.{sf1_note}
+CorpusIngestSpec, including the multi-slice rewrite and the crash-window
+heal. The pack READS ITS PACKED FILES STRAIGHT BACK inside the boundary
+batch (folding the post-epoch I/O shadow into the already-O(capacity)
+epoch spike), and `IngestBench` stamps every batch with a `shadow` flag
+so the raw/decomposed split above is computed from the checked-in
+artifact, never adjudicated by hand. Capacity-sized work appears only at
+the {n_compact} labeled compaction/rebuild boundaries — dense while the
+corpus is young, spreading out as capacity outgrows the batch, which is
+the amortization becoming visible; the boundary also carries the epoch's
+hot-band census rebuild (the per-batch screen reads small state instead
+of re-aggregating index buckets). Per-batch bloom writes are
+delta-file-sized on every non-boundary batch, and batches re-read
+**{rereads}** prior delta files in total after the first — each delta is
+broadcast once by the batch that wrote it. Every batch's `sec` also
+contains the reader-snapshot publication (bounded listing + small atomic
+write); writer-fencing verification lives in the STREAM wrapper the
+series bypasses, one small state-file read per batch.{sf1_note}
 
 | batch | corpus rows before+batch | sec | probed | landed files read | bloom bytes written | delta files re-read | compaction | packed files |{fsread_hdr}
 |---|---|---|---|---|---|---|---|---|{fsread_sep}
@@ -318,111 +479,10 @@ own partition buckets, not the corpus's; `packed files` is the net
 file-count reduction of the epoch-boundary bin-pack.)
 """
 
-    # round-16 mechanical adjudication inputs: the ngram-jaccard decade-2
-    # ratio drives the flags narrative CONDITIONALLY so the prose can
-    # never contradict the fresh numbers (the round-15 stale-narrative
-    # lesson, promoted from hand-checked to computed)
-    ngr2 = qc["dedup_ngram_jaccard"] / qb["dedup_ngram_jaccard"]
-    ngr_status = (
-        "back UNDER the bar" if ngr2 <= RATIO_BAR else "AT/OVER the bar")
+    ngr_capped_1 = qb["dedup_ngram_jaccard_capped"] / qa["dedup_ngram_jaccard_capped"]
+    ngr_capped_2 = qc["dedup_ngram_jaccard_capped"] / qb["dedup_ngram_jaccard_capped"]
 
-    # longest-dup regime one-offs, rendered from the artifacts when
-    # present (true-cold search / fresh-JVM disk hit)
-    def oneoff(name, label):
-        p = sibling(name)
-        if not os.path.exists(p):
-            return None
-        v = json.load(open(p))["queries"].get("text_longest_dup")
-        return f"{label} {v:.1f} s (`{name}`)" if v else None
-    ldup_oneoffs = "; ".join(x for x in [
-        oneoff("bench_longest_dup_cold_sf10.json",
-               "true cold search at sf10 (marker deleted)"),
-        oneoff("bench_longest_dup_diskhit_sf10.json",
-               "fresh-JVM restart with marker present"),
-        f"suite steady median {qc['text_longest_dup']:.1f} s (in-JVM memo)",
-        oneoff("bench_longest_dup_cold_sf1.json",
-               "true cold at sf1"),
-    ] if x)
-
-    # machinery / production counterpart table, rendered mechanically
-    # from the artifacts (round-15 verdict polish item): one row per
-    # family, two-decade totals side by side
-    pairs_tbl = "".join(
-        f"| `{m}` | {hundred(m):.0f}× | `{p}` | {hundred(p):.0f}× |\n"
-        for m, p in [
-            ("dedup_ngram_jaccard", "dedup_minhash"),
-            ("dedup_minhash_superset", "dedup_minhash"),
-            ("dedup_simhash_superset", "dedup_simhash"),
-            ("dedup_components", "dedup_components_minhash"),
-            ("dedup_resolve", "dedup_components_minhash"),
-            # the winnow-exact row renders only when measured at both
-            # ends (it is skipped at sf1/sf10 on the saturated corpus)
-            ("text_winnow_pairs_exact", "text_winnow_pairs"),
-        ]
-        if hundred(m) is not None and hundred(p) is not None)
-
-    def drift_probe_section():
-        p = sibling("bench_drift_probe.json")
-        if not os.path.exists(p):
-            return ""
-        dp = json.load(open(p)).get("queries", {})
-        rows = "".join(
-            f"| `{q}` | {dp[q]:.2f} | {qa[q]:.2f} |\n"
-            for q in sorted(dp) if q in qa)
-        controls = ["msg_summary", "rel_setops", "sim_bruteforce_topk"]
-        watch = ["sim_pq_topk", "sim_pq_recall", "sim_hard_triplets",
-                 "text_train_classifier"]
-        def env(qs):
-            rs = [dp[q] / qa[q] for q in qs if q in dp and q in qa]
-            return (min(rs), max(rs)) if rs else (0, 0)
-        c_lo, c_hi = env(controls)
-        w_lo, w_hi = env(watch)
-        verdict_txt = (
-            "Every watch-list query reproduces INSIDE the control "
-            f"envelope (controls {c_lo:.2f}–{c_hi:.2f}× "
-            f"standalone/suite; watch list {w_lo:.2f}–{w_hi:.2f}×): "
-            "the r15→r16 drift on these sub-3 s queries is session "
-            "host state, not a query mechanism — adjudicated noise."
-            if w_hi <= c_hi else
-            "The watch list exceeds the control envelope (controls "
-            f"{c_lo:.2f}–{c_hi:.2f}×, watch {w_lo:.2f}–{w_hi:.2f}×) — "
-            "NOT adjudicated as noise; needs a mechanism next round.")
-        mm = ""
-        pm = sibling("bench_mm_probe_sf10.json")
-        if os.path.exists(pm):
-            mp = json.load(open(pm)).get("queries", {})
-            mm_rows = "".join(
-                f"| `{q}` | {mp[q]:.2f} | {qc[q]:.2f} | {qc[q] / mp[q]:.2f}× |\n"
-                for q in sorted(mp) if q in qc)
-            mm = f"""
-The media one-offs that flag in decade 2 this round were likewise
-re-measured standalone at sf10 (fresh JVM, no suite neighborhood, same
-sitting): both are map-only plans (no join or shuffle grows with N —
-per-row CPU times rows), so their decade ratio can only move through
-per-row cost; the suite-vs-standalone gap below is the documented
-neighborhood effect plus session drift, not growth:
-
-| query | standalone sf10 (s) | suite sf10 (s) | suite/standalone |
-|---|---|---|---|
-{mm_rows}
-"""
-        return f"""
-### Round-16 drift adjudication probes
-
-The round-15 noise-band watch list (`sim_pq_topk`/`sim_pq_recall`/
-`sim_hard_triplets`/`text_train_classifier`) was re-measured standalone
-(median of 5, fresh JVM, same sitting and HEAD as the suite columns)
-beside untouched CONTROL queries that drifted the same direction in the
-suite run — if the watch list reproduces proportionally with controls,
-the drift is session host state, not a query mechanism:
-
-| query | standalone median (s) | suite median (s) |
-|---|---|---|
-{rows}
-{verdict_txt}
-{mm}"""
-
-    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round 16, all three SFs at one HEAD commit)
+    out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round {ROUND}, all three SFs at one HEAD commit)
 
 **Method.** All three datasets come from the SAME deterministic generator
 (`sources/Synthetic.scala`; distribution parity with the shipped testdata
@@ -431,34 +491,18 @@ volume — 10× per step in every table (at sf10: lineitem ~60M rows,
 events 10M, documents 500k, embeddings 200k; 1.3 GB parquet). Each run
 is the full `SparkEntry.queries` suite through `graft.Bench` — per-query
 MEDIAN OF 3 back-to-back samples, catalog cache cleared + GC forced
-before EVERY SAMPLE (uniform COLD warmth, new in round 12: previously a
-query whose internal caches survived samples 2..3 benched warm while a
-managed query that releases per invocation benched cold, which made
-suite medians incomparable between them — the round-11
-`dedup_ngram_jaccard`-vs-`dedup_components` adjudication existed only
-because of that asymmetry; its side effect is that absolute medians of
-previously-warm queries are HIGHER than round-11 columns by
-construction, another reason ratios, not absolutes, are the claim),
+before EVERY SAMPLE (uniform COLD warmth — see Current methodology),
 session warm-up untimed — on an otherwise idle machine
 (local[32], 128 GiB), all three runs back-to-back at the SAME commit.
 Raw JSON lines are checked in as `bench_scale_sf01.json` /
-`bench_scale_sf1.json` / `bench_scale_sf10.json` (Bench now also writes
-the line whole to the out-file, so the artifacts are parsed JSON, never
-a truncated stdout tail). Skipped queries are recorded in each JSON line
+`bench_scale_sf1.json` / `bench_scale_sf10.json`; Bench writes the line
+whole to the out-file, so the artifacts are parsed JSON, never a
+truncated stdout tail. Skipped queries are recorded in each JSON line
 itself, never silent, and every skip is a documented small-SF oracle
 companion whose production counterpart IS measured at every SF:
 
 - `sim_neardup_blocked` (sf10): all-pairs BY DESIGN; production form
   `sim_neardup_cosine` measured everywhere.
-- `text_longest_dup` / `text_longest_dup_bound`: measured at EVERY SF
-  since round 15 (previously skipped at sf10). The binary search's
-  ~10 census probes are linear per pass; round 15 memoizes the found
-  length per corpus content stamp (the BuiltOnce steady-state pricing
-  — see the round-15 section), clamps the range by the longest
-  document, and the medians below price the steady state; the cold
-  search itself is checked in from fresh single-run JVMs at the same
-  HEAD (`bench_longest_dup_cold_sf1.json` /
-  `bench_longest_dup_cold_sf10.json`), linear per decade.
 - `dedup_cosine_pairs` (sf1+sf10): the exact full-vocabulary APSS join.
   The generator's FIXED 31-word vocabulary saturates the 3-gram space,
   so every document frequency scales with N and any exact all-pairs
@@ -466,10 +510,19 @@ companion whose production counterpart IS measured at every SF:
   law, which is what the APSS prefix filter rides). Its scale form
   `dedup_cosine_capped` — identical machinery behind an absolute df cap
   bounding per-term fan-out at cap² — is measured at every SF.
+- `dedup_ngram_jaccard` (sf10, NEW this round): the exact
+  full-vocabulary PPJoin — the same closed-vocabulary
+  quadratic-by-nature story, moved to this list beside its APSS sibling
+  after two rounds over the decade-2 bar (judge r16 #1). Its scale form
+  `dedup_ngram_jaccard_capped` — identical PPJoin machinery behind an
+  absolute df cap (stop-shingle removal, oracle-checked) — is measured
+  at every SF, and the exact plan REMAINS measured at sf10 standalone
+  every round in `bench_cc_probe.json` (it also still runs inside the
+  measured `dedup_components`/`dedup_resolve` suite columns), so its
+  growth stays visible evidence rather than vanishing into a skip.
 - `text_winnow_pairs_exact` (sf1+sf10, since round 8): the uncapped
-  winnowing pair search, same closed-vocabulary quadratic-by-nature
-  story; its capped production form `text_winnow_pairs` is measured at
-  every SF (see the round-8 fix below).
+  winnowing pair search, same story; its capped production form
+  `text_winnow_pairs` is measured at every SF.
 
 ABSOLUTE times are not comparable across rounds (measured host
 multipliers between rounds reach 1.3–1.6× on identical commits). Every
@@ -491,460 +544,116 @@ common query set, and streaming throughput RISES
 {c['streaming_rps']/a['streaming_rps']:.1f}× (fixed per-micro-batch
 costs — checkpoint commits, partition merges of both sinks — amortize
 over more records per batch; the per-record cost is what a
-1000-executor deployment scales with). The streaming figures in the
-three columns are the same-session like-for-like rps series the
-round-7 verdict asked for.
+1000-executor deployment scales with).
 
-## Round 16: the order prepass off the engine's own verify paths
+## Round {ROUND}: both open flag adjudications made structural
 
-Round 16's query-path changes, priced across all three columns. Every
-artifact in this file was measured back-to-back at ONE HEAD (bb5d2c4)
-with all query-path commits before it; the product commits after the
-campaign fall in two buckets, each measurement-neutral by
-construction: (a) a no-op test
-hook inside `CorpusIngest.snapshotRead`'s planning `try` (the reader
-API has zero call sites in `SparkEntry.queries`, `Bench`,
-`StreamingBench`, or `IngestBench` — the same grep-verifiable argument
-the round-15 judge accepted), added so the staleness-retry branch is
-covered deterministically instead of only by the racing spec; and
-(b) hardening of the persisted-L*-marker I/O to its documented
-optimization-not-failure-source contract (`readPersistedLdup` /
-`writePersistedLdup`): an Int-overflowing mangled value, a vanished or
-directory-squatted marker under a racing external cleanup, and a
-failed best-effort write are all a MISS / no-op instead of an
-exception out of the query — the changed lines run at most once per
-JVM per corpus on a ~100-byte file, and on every benign run (the only
-kind any bench produces) behavior is bit-identical to the measured
-HEAD. All three regimes and the failure shapes are spec-pinned
-(`LongestDupMemoSpec`).
-
-1. **Engine verify stages stopped re-checking a plan-guaranteed
-   invariant.** The round-15 sorted-input enforcement stays on every
-   PUBLIC surface (SQL and Column API raise on unsorted input —
-   spec-pinned unchanged), but the engine's own candidate-verify joins
-   — whose arrays are sorted by construction at signature/vector build
-   (`sort_array` before the candidate join fans out) — now use a
-   `private[graft]` unchecked constructor flag and skip the ~1.25×
-   per-pair order prepass. Codegen additionally specializes on the
-   inputs' static `containsNull`: the engine's shingle/term arrays are
-   built null-free, so their merge loops compile with NO per-element
-   null branch (CosinePairs asserts element non-nullness of its
-   zip-built vectors via `KnownNotNull`). Where the per-pair verify
-   dominates, the win is visible: `dedup_cosine_pairs`
-   {qa['dedup_cosine_pairs']:.1f} s at sf0.1 (r15: 3.2 s — 0.53×
-   like-for-like; the APSS verify is mostly merge),
-   `dedup_ngram_jaccard` at sf1 {qb['dedup_ngram_jaccard']:.2f} s
-   (r15: 3.20 s, 0.82×), `dedup_resolve` standalone probe
-   25.2 s (r15 probe: 36.5 s), `dedup_cosine_capped`
-   {qa['dedup_cosine_capped']:.1f} → {qb['dedup_cosine_capped']:.1f} →
-   {qc['dedup_cosine_capped']:.1f} s. The round-15 verdict's stated
-   target — `dedup_ngram_jaccard`'s sf10 decade ratio back to ~10× —
-   did NOT land: the in-suite ratio reads **{ngr2:.1f}×**
-   ({ngr_status}), but the honest attribution is that the prepass was
-   not the sf10 driver. Evidence: the standalone same-content probe is
-   FLAT round-over-round (37.6 s this HEAD vs 36.2 s at r15's — 1.04×,
-   inside noise) while this session's sf10 column drifted 1.138×
-   like-for-like median against r15 (sf1: 1.046×) — the ratio's
-   numerator carries the slower session and the suite neighborhood,
-   and at sf10 the exact-edge plan is candidate-JOIN bound (the
-   saturated vocabulary multiplies pair volume ~N²; expression eval is
-   the minority), which is also why the prepass removal shows at sf1
-   and on the APSS family but not on this column. The in-JVM A/B
-   (DevSortCheckCost, 1M real tf-vector pairs, alternating arms) now
-   prices checked-vs-unchecked at 1.03× on this host's JIT state (r15
-   session: 1.25×) — the engine paths pay zero either way. Equivalence
-   of the unchecked and checked arms on contract-respecting input, and
-   of the specialized and tolerant compilations on identical null-free
-   data, is spec-pinned (SortedMergeExprsSpec).
-
-2. **The L* memo survives JVM restarts.** The longest-dup search length
-   is now persisted per (path, content-stamp, range) as a marker file
-   in the BuiltOnce tmp layout, so a FRESH JVM over an unchanged corpus
-   prices stamp + census instead of the full cold binary search. The
-   steady-state suite medians are unchanged in kind
-   ({qa['text_longest_dup']:.2f} → {qb['text_longest_dup']:.2f} →
-   {qc['text_longest_dup']:.2f} s); the checked-in one-offs separate
-   the three regimes at this HEAD, all same sitting:
-   {ldup_oneoffs}. Marker trust is keyed on the embedded
-   full memo key; torn/foreign files re-search (spec-pinned).
-
-3. **The build-once content stamp closed its even-multiplicity blind
-   spot.** v3 adds an overflow-free decimal SUM of the per-row xxhash64
-   beside the bit_xor (xor alone cancels even-multiplicity row swaps —
-   judge r15 advice); same single aggregation pass, cost invisible in
-   the columns. One-time effect: every v2 marker (IVF/near-dup indexes)
-   rebuilt once on first touch this round — priced into first samples
-   only, medians price the serve as before.
-
-4. **`snapshotRead`'s staleness retry is keyed on the error CONDITION**
-   (`getCondition`), not message text, with the last planning failure
-   chained into the exhausted-retries exception (judge r15 #1). No
-   benched path calls the reader API; the racing spec re-looped 6/6,
-   and a post-campaign fault hook pins BOTH retry outcomes
-   (retry-then-succeed, exhaust-with-cause) deterministically.
+1. **`dedup_ngram_jaccard`'s decade-bar status is resolved the way the
+   cosine family's was** (judge r16 #1, option a). The new
+   `dedup_ngram_jaccard_capped` — the identical PPJoin prefix-filter
+   machinery behind an absolute df cap of 15 (stop-shingle removal:
+   Jaccard over the rare-shingle subspace, a well-defined semantics the
+   DuckDB oracle replays end to end; green CORRECTNESS rows at both
+   gate SFs, where sf0.1 exercises the biting cap and sf0.01 pins the
+   no-op regime) — is measured at every SF:
+   {qa['dedup_ngram_jaccard_capped']:.2f} →
+   {qb['dedup_ngram_jaccard_capped']:.2f} →
+   {qc['dedup_ngram_jaccard_capped']:.2f} s
+   ({ngr_capped_1:.1f}× then {ngr_capped_2:.1f}× per decade, bar
+   {RATIO_BAR}×). The cap bounds per-shingle join fan-out at cap²
+   whatever the corpus size — the production guard for
+   vocabulary-saturated data where every df scales with N. The exact
+   full-vocabulary form joins `dedup_cosine_pairs` in the documented
+   sf10 skip list above and stays visible two ways: the same-session
+   standalone probe (`bench_cc_probe.json`:
+   {probe['dedup_ngram_jaccard']:.1f} s at sf10 this round — the
+   round-over-round comparable number) and the measured
+   `dedup_components`/`dedup_resolve` columns that consume its edge
+   plan. Decade-1 for the exact form stays measured in-suite:
+   {qa['dedup_ngram_jaccard']:.2f} → {qb['dedup_ngram_jaccard']:.2f} s
+   ({qb['dedup_ngram_jaccard']/qa['dedup_ngram_jaccard']:.1f}×).
+2. **The `mm_gif_frames` suite delta has a measured mechanism, not a
+   number** (judge r16 #2): {gif_adjudication()}
+3. **This round's drift watch list is probed with the established
+   control-envelope method** (judge r16 #3) — see the probe section
+   below.
+4. **Tmp-layout hygiene**: `graft.TmpSweep` (spec-pinned) deletes
+   `graft_ldup_*` markers and BuiltOnce index dirs whose embedded
+   content stamp matches no declared live corpus — closing the
+   accumulate-forever bound (judge r16 #4). Zero behavior change on
+   benches (manual tool; deletion needs positive stamp evidence).
+   Alongside it, the L* memo closed its advice items: marker I/O
+   catches NonFatal (not IOException-only), the marker dir is created
+   0700 with the world-shared-tmp trust boundary documented, concurrent
+   first calls share ONE cold search (computeIfAbsent), and eviction is
+   single-entry LRU instead of wipe-all — none on a measured path
+   beyond a once-per-JVM ~100-byte read.
 
 {drift_probe_section()}
-## Round 13: consistency machinery priced inside the same series
+## Current methodology (consolidates the round-12…16 notes)
 
-Round 13 added two pieces of corpus-state machinery; the first's cost
-sits INSIDE every measured batch of the ingest series below, the
-second's is one small state-file read per stream batch:
+- **Uniform cold sampling** (round 12): catalog cache cleared + GC
+  forced before EVERY sample; medians of 3. Queries that manage caches
+  differently stay comparable; disk-resident build-once indexes stay
+  warm by design (production amortization, uniform across samples).
+- **Build-once pricing** (rounds 8/15/16): content-stamped markers gate
+  IVF/near-dup index builds and the L* longest-dup memo (persisted per
+  (path, content, range) since r16) — suite medians price the steady
+  state; the cold and restart regimes are checked in as one-off
+  artifacts each campaign. This HEAD, same sitting: {ldup_oneoffs}.
+  A stamp-format change forces a one-time rebuild on first touch.
+- **Session-drift adjudication** (round 16): suite medians drift
+  between rounds (hosts differ 1.3–1.6× on identical commits), so
+  drifted queries are re-measured STANDALONE beside untouched controls
+  (`bench_drift_probe.json`) and flagged map-only media queries
+  standalone at sf10 (`bench_mm_probe_sf10.json`); the verdicts above
+  are computed from those artifacts.
+- **Expression-cost pricing** (rounds 15/16): bench-level A/B across
+  JVMs cannot see sub-30% expression deltas (±27% control noise); the
+  in-JVM alternating twin harness (`DevSortCheckCost`, 1M real
+  tf-vector pairs) is the instrument. The r15 sorted-input prepass
+  priced at 1.25× there; r16 moved the engine's own verify paths to
+  `private[graft]` unchecked constructors + static-containsNull
+  codegen (SQL surface stays checked, registry-introspection
+  spec-pinned) — `dedup_cosine_pairs` 0.53× like-for-like at sf0.1.
+- **Single-HEAD provenance**: all three suite columns, the standalone
+  probes, and both ingest series are measured back-to-back at one HEAD
+  with every product commit before them; only doc/artifact commits
+  follow.
 
-1. **Reader snapshots.** Every committed batch publishes an atomic
-   `_graft_snapshot` manifest (one bounded listing + one small
-   write-then-rename per batch); `CorpusIngest.snapshotRead` resolves
-   through it, so a concurrent reader of a LIVE corpus sees committed
-   whole batches only — never a mid-commit torn append, never the
-   epoch pack's transient (packed + pre-pack) double count — and a
-   pack racing the read re-resolves bounded times (with backoff), then
-   fails loudly rather than partially scanning — and the docs pack
-   republishes the manifest the moment its swap completes, so the
-   reader's stale window is the swap itself, not the boundary batch's
-   remaining prewarm/census work. Crash-stale manifests heal on the
-   next batch (including zero-accept replays); corrupt manifests
-   degrade to the plain directory read. All spec-pinned in
-   CorpusIngestSpec, including manifest/directory row-set equality
-   across pack boundaries and the legacy flat layout.
-2. **Writer fencing.** The "single writer per corpus dir" rule is now
-   enforced: stream starts claim the corpus through a
-   generation-numbered `_graft_writer.lock` and every micro-batch
-   re-verifies the claim (one small read) before writing, so a
-   superseded writer fails loudly at its next batch — clock-free, so
-   sequential restarts including fresh-checkpoint replays stay legal
-   (spec-pinned through the locked entry points).
+## Machinery vs production (the 100 TB reading)
 
-Beyond the ingest, round 13 pinned dynamic partition pruning (a
-filtered-dim star join must prune a partitioned fact at runtime —
-DppSpec, beside BucketingSpec's shuffle-elimination pin) and ORC
-round-trip/pushdown/partition-pruning coverage (FileFormatsSpec).
+The exact-edge oracle machinery — `dedup_*_superset` (exact side +
+sketch side + anti-join recall proofs), `dedup_components`/
+`dedup_resolve` (consume the exact PPJoin edge list those oracles are
+built on) — is quadratic-by-nature on this generator's saturated
+31-word vocabulary: every shingle's document frequency scales with N,
+so any EXACT all-pairs text-similarity join grows ~N² no matter how it
+is bounded (PPJoin keeps the constant small, not the exponent; real
+corpora grow vocabulary by Heaps' law). It stays measured rather than
+hidden so the growth is visible evidence; every PRODUCTION counterpart
+is far under the bar. Two-decade totals, rendered mechanically:
 
-Measurement provenance this round: all artifacts — the three suite
-columns, the standalone probe, and both ingest series — were measured
-back-to-back in one session at the round's final product HEAD; only
-doc/artifact commits follow it.
-
-## Round 15: contract enforcement, memoized search, attribution
-
-Round 15's query-path changes, priced across all three columns:
-
-1. **The sorted-merge family enforces its input contract.**
-   `sorted_overlap`/`sorted_dot` (the round-14 verify expressions, also
-   registered SQL functions) now validate element order in BOTH eval
-   paths and raise on unsorted input instead of silently
-   undercounting — closing the one registered function whose misuse
-   produced a plausible wrong answer no oracle catches. Pricing: a
-   bench-level A/B drowned in host noise (a control query using no
-   sorted-merge expression swung ±27% between JVMs), so the checked-in
-   harness `DevSortCheckCost` alternates the production expression
-   against an unchecked test-scope twin over 1,000,000 real sf0.1
-   tf-vector pairs in ONE JVM: the prepass prices at ~1.25× the
-   verify-only pass (~0.1 µs/pair wall at local[4]) — the merge is a
-   minority of the queries that use it, so the r15 suite columns moved
-   within the host-noise band, with ONE visible exception where the
-   overlap verify dominated: the exact-edge `dedup_ngram_jaccard` at
-   sf10 (12.5× decade 2 in r15). Round 16 pulled the engine's OWN
-   verify paths onto an unchecked internal variant (the enforcement
-   stays on every public surface) — see the round-16 section above for
-   this HEAD's numbers.
-2. **The longest-duplicate search is memoized, clamped, and measured
-   at every SF.** `text_longest_dup`/`_bound` — round 14's costliest
-   pair, skipped at sf10 — now (a) clamp the binary-search range by
-   the longest document, and (b) memoize the found length L* per
-   corpus CONTENT STAMP (count + order-independent xxhash64 fold over
-   (doc_id, text) — the BuiltOnce move), so the `_bound` companion and
-   repeat invocations re-run only the oracle-validated census at the
-   memo'd length, never the ~10-probe search. Results are unchanged
-   (both queries re-run the census every call; the L* value is
-   deterministic corpus property). The medians below price the steady
-   state ({qa['text_longest_dup']:.2f} → {qb['text_longest_dup']:.2f} →
-   {qc['text_longest_dup']:.2f} s); the COLD search is checked in from
-   fresh single-run JVMs at the same HEAD
-   (`bench_longest_dup_cold_sf1.json` 15.9 s,
-   `bench_longest_dup_cold_sf10.json` 42.4 s — 2.7× per decade,
-   linear). A negative result worth keeping: persisting the
-   (doc, text) projection and the per-probe hash frames measured
-   SLOWER (27.7 s vs 17.6 s cold at sf1, identical join strategies) —
-   the columnar cache scan loses to the vectorized zstd parquet
-   reader, and the census SHUFFLES, not the scans, dominate probe
-   cost; the probes re-scan parquet by design.
-3. **`mm_image_probe`'s 8.8× second decade is attributed:
-   amortization, not creep** (round-14 watch-item #4). The checked-in
-   harness `DevMm` splits the query into its two stages — synthetic
-   ENCODE (BufferedImage + PNG/JPEG writer per row) and ImageIO PROBE
-   (header parse) — and adds a 3× point from id-shifted copies (images
-   derive purely from doc_id). Per-image cost FALLS with scale: encode
-   21.0 → 17.4 µs/img from 50k → 150k images (sf1 ids), 15.1 →
-   13.2 µs/img from 500k → 1.5M (sf10 ids); probe 3.4/4.7/2.0 µs/img
-   (noise-bound, no trend). 3× images cost 2.31× at the 1.5M-image
-   point — SUBLINEAR. The decade-2 ratio approaching 10× is the
-   per-decade fixed cost (session, codegen, per-partition codec
-   lookup) amortizing toward invisibility — decade 1 measured 0.8×
-   BECAUSE that fixed cost dominated — with nothing per-image growing.
-   This round's columns: {qa['mm_image_probe']:.2f} →
-   {qb['mm_image_probe']:.2f} → {qc['mm_image_probe']:.2f} s.
-4. **Small-state writes clean their tmp on EVERY exit.** `writeSmall`'s
-   exception path (a rename/delete that THROWS, not returns false)
-   used to leave its per-write unique tmp behind — orphans that would
-   accrue forever on a long-running stream; a `finally` now deletes
-   the tmp whenever it was not consumed, spec-pinned with a
-   fault-injecting FileSystem. Cost: one extra delete only on
-   exception paths — nothing on the measured batches below.
-
-Measurement provenance in round 15: the three suite columns, the
-standalone probe, both ingest series, and the cold-search artifacts
-were measured back-to-back in one session at one HEAD, with one
-measurement-neutral product change after it (the snapshotRead
-planning-staleness retry — zero call sites in any benched path).
-Round 16's provenance is simpler: every product commit PRECEDES the
-campaign; nothing changed after measurement (see the round-16
-section).
-
-## Round 14: race hardening priced inside the same series
-
-Round 14 closed the round-13 verdict's robustness findings; everything
-that costs anything sits inside the measured batches below:
-
-1. **Claim-unique pack staging.** Each epoch pack stages its rewrite
-   under a per-invocation directory suffix, so two packs — possible
-   only inside the advisory fence's one-overlapping-batch window — can
-   no longer delete each other's FIXED staging path mid-job; a foreign
-   staging dir found at pack start is removed (the victim keeps its
-   originals — its per-file rename results are checked) and the heal
-   marker stays down so any duplicates the interrupted pack lands are
-   folded next epoch. Spec-pinned by racing concurrent packs and a
-   superseded writer's pack against a claimant's batch, with row-set
-   superset-then-heal asserted (CorpusIngestSpec).
-2. **Monotonic snapshot sequence.** A `_graft_snapshot_seq` floor file
-   (one extra small write per manifest PUBLICATION, not per batch)
-   guarantees the reader-snapshot sequence never regresses after a
-   one-off manifest corruption; spec corrupts the manifest and asserts
-   the next published seq still advances.
-3. **Checked small-state writes.** Every state-file write-then-rename
-   now uses a per-write unique tmp and verifies the rename result
-   (retry, then loud) — a racing claim/re-assert pair can no longer
-   silently drop a lock write; exactly one writer survives AND every
-   writer that returns really recorded its content.
-4. **Manifest-after-failed-swap.** The pack's post-swap manifest
-   republish runs only after a FULLY successful swap; the documented
-   no-double-count guarantee now states the failed-swap/heal-window
-   exception explicitly (the batch-end manifest faithfully reflects
-   the corpus, duplicates and all, until the heal epoch folds them).
-
-## Round 14: similarity verification as codegen'd sorted merges
-
-The round's one query-path change, priced across all three columns:
-the candidate-VERIFICATION stage of the exact similarity joins — one
-decision per candidate pair, the highest-volume expression site in the
-engine — moved from interpreted per-pair work to codegen'd
-sorted-array merges, with three exactness-preserving pieces (outputs
-byte-identical; the DuckDB oracle gate re-passed at both gate SFs):
-
-1. **Native tf-shingle hashing** (`hashed_shingle_list`): the APSS
-   vector build had been paying an O(len²)-per-document Column-HOF
-   tokenizer (Catalyst lambdas re-evaluate the tokenizer tree per
-   element — the same pitfall the Jaccard family's native
-   `hashed_shingles` closed in round 5, now closed for the
-   multiplicity-keeping tf form too). Profiled at sf0.1, the vector
-   build was ~85% of `dedup_cosine_pairs`' cost.
-2. **L2AP positional residual bound** (Anastasiu & Karypis, ICDE'14):
-   each exploded prefix token carries its suffix squared L2 mass, and
-   candidate rows failing `rsq_a·rsq_b ≥ t²·n2_a·n2_b` are dropped
-   INSIDE the prefix join (Cauchy–Schwarz at the first shared term —
-   no false negatives; measured 42% of raw join rows cut at sf0.1).
-3. **Sorted-merge verify expressions** (`sorted_dot`,
-   `sorted_overlap`): the tf-cosine verify had probed a per-pair map
-   with `element_at` (a LINEAR scan on maps) inside an interpreted
-   fold — O(|a|·|b|) uncompiled work per candidate; the PPJoin
-   Jaccard verify allocated and filled a hash set per pair
-   (`array_intersect`) to use only its size. Both are now O(|a|+|b|)
-   whole-stage-codegen merges over arrays sorted once per document.
-
-Effect at this HEAD: `dedup_cosine_capped` (the production APSS form)
-measures {qa['dedup_cosine_capped']:.1f} → {qb['dedup_cosine_capped']:.1f} →
-{qc['dedup_cosine_capped']:.1f} s across the three SFs —
-{hundred('dedup_cosine_capped'):.1f}× total for 100× data, the
-bounded-by-construction behavior the df cap exists for, now at
-single-digit absolute seconds. The exact-edge machinery family
-(everything downstream of the PPJoin verify) dropped with it:
-`dedup_ngram_jaccard` {qc['dedup_ngram_jaccard']:.0f} s,
-`dedup_components` {qc['dedup_components']:.0f} s,
-`dedup_resolve` {qc['dedup_resolve']:.0f} s at sf10 (the round-13
-artifacts' sf10 columns were 78/140/56 s; host speed differs between
-rounds, so per-query like-for-like, never totals, is the cross-round
-claim — and on that basis every member of the family got cheaper at
-every SF with the warmth methodology unchanged).
-
-## Round-12 re-measurement: the round-11 residuals are closed
-
-All three columns below were measured back-to-back at ONE HEAD commit
-containing every round-12 change (each later round re-measures every
-column at its own final HEAD — the numbers in this file are this
-round's). The round-11 verdict's residuals:
-
-1. **The multi-slice pack branch is exercised** (the one `weak`): the
-   `slices >= 2` rewrite — the branch every epoch runs at production
-   bucket sizes — is now driven end-to-end at toy scale
-   (`PackTargetBytesOverride`, CorpusIngestSpec) with exact row-set
-   equality asserted across the swap, bounded per-bucket file counts,
-   and planted replays still rejected afterwards. The swap itself got
-   two robustness fixes: every `fs.rename` RESULT is checked (a bucket
-   deletes its pre-pack snapshot only after all its staged renames
-   succeeded), and a heal marker laid down before the swap survives
-   any incomplete pack, lowering the next epoch's trigger so a cold
-   bucket left at exactly (packed + stale-duplicate) files repacks
-   unconditionally instead of keeping crash-window duplicates forever.
-2. **The post-epoch I/O shadow is folded and formalized.** The pack now
-   reads its freshly packed files straight back inside the boundary
-   batch (the write's pages are prone to writeback + eviction under the
-   JVM's own memory pressure — round 11 measured the consequence
-   directly: a post-`drop_caches` cold read of the packed 2.4 GB corpus
-   cost 15.5 s vs 0.4 s warm, exactly the premium the first steady
-   batch after each epoch carried). What shadow remains is DECOMPOSED
-   MECHANICALLY: `IngestBench` stamps every batch with a checked-in
-   `shadow` flag and the growing-corpus section below computes the raw
-   AND shadow-excluded steady medians from that artifact, not from
-   hand-maintained narrative.
-3. **The hot-band census is incremental.** The cross-batch screen's
-   saturated-band set is maintained as epoch-stamped small state beside
-   the bloom meta plus exact append counts from the delta key arrays
-   (`CorpusIngest.hotBandsFor`; equivalence to the exact census is
-   spec-pinned batch-by-batch across epoch bumps, and the
-   together/apart co-landing policy is pinned at the saturation
-   regime), so steady batches stopped re-aggregating index buckets;
-   `pipe_ingest_neardup`'s static-index screen likewise takes its hot
-   set from a build-once census instead of re-deriving it per call.
-4. **Bench warmth is uniform** (see Method above): every query now
-   prices COLD per sample, which removed the round-11 warm-vs-cold
-   asymmetry AND exposed three queries whose previous columns were
-   plan-cache artifacts — their samples 2..3 re-created a plan
-   identical to sample 1's still-cached result, so the "median" was a
-   cache hit: `dedup_cosine_pairs` (0.5 s warm → ~20 s honest cold at
-   sf0.1 then; {qa.get('dedup_cosine_pairs', 0):.1f} s at this HEAD —
-   the round-14 verify rework above cut the honest-cold cost itself),
-   `dedup_cosine_capped` (0.4 s → {qc.get('dedup_cosine_capped', 0):.0f} s
-   at sf10), `pipe_zorder_layout` (0.8 s → {qc.get('pipe_zorder_layout', 0):.0f} s).
-   Their decade ratios below are the first honest ones. For the round-11 pair: the suite
-   medians read `dedup_components` {qc.get('dedup_components', 0):.0f} s
-   vs `dedup_ngram_jaccard` {qc.get('dedup_ngram_jaccard', 0):.0f} s at
-   sf10, but the suite prices the pair inside the dedup family's
-   neighborhood — executor memory and GC state left by the preceding
-   queries (the documented neighborhood effect the Bench
-   scaladoc carries); measured standalone in the same session at the
-   same commit (`bench_cc_probe.json`) the trio is
-   `dedup_ngram_jaccard` {probe['dedup_ngram_jaccard']:.1f} s, `dedup_components` {probe['dedup_components']:.1f} s
-   (**{probe_ratio:.2f}×** its own edge input, criterion ≤ ~1.5×), `dedup_resolve`
-   {probe['dedup_resolve']:.1f} s — no warmth adjudication, just isolation.
-
-## Round-10 machinery, re-rendered on this round's columns
-
-The round-9/round-10 machinery — the reworked near-dup ingest
-(verified screen, LSM-sharded bloom, scoped bucket-directory reads),
-the near-dup-aware leakproof split, the hot-band cap, and the
-mini-batch classifier — keeps its decade evidence at this HEAD (the
-numbers below are THIS round's columns; host absolute speed differs
-between rounds, ratios are the claim).
-
-1. **The classifier's sf10 cost collapsed — by fixing featurization,
-   not iterations.** `text_train_classifier` (12 mini-batch iterations
-   + a final full-pass loss check) measures {qa['text_train_classifier']:.1f} →
-   {qb['text_train_classifier']:.1f} → **{qc['text_train_classifier']:.1f} s**
-   across the three SFs — the round-8 full-batch baseline was 41 s at
-   sf10 on a comparable host. Stage profiling (`Test/runMain
-   graft.DevR10c` / `DevR10d`) overturned the round-9 premise: a
-   gradient iteration against the persisted features costs ~0.25 s at
-   sf10, so the wall-clock lived in the featurize+persist build. That
-   build is now a single-pass native `TextFeatures` struct plus a
-   sort/run-length `featureEntries` fold — model bit-identical
-   (holdout accuracy spec-pinned equal-or-better at the gate SFs).
-2. **The reworked near-dup ingest is decade-linear.**
-   `pipe_ingest_neardup` measures {qa['pipe_ingest_neardup']:.2f} →
-   {qb['pipe_ingest_neardup']:.2f} →
-   {qc['pipe_ingest_neardup']:.2f} s
-   ({qb['pipe_ingest_neardup']/qa['pipe_ingest_neardup']:.1f}× then
-   {qc['pipe_ingest_neardup']/qb['pipe_ingest_neardup']:.1f}× per
-   decade, bar {RATIO_BAR}×), its `_miss` companion
-   {qa['pipe_ingest_neardup_miss']:.2f} → {qb['pipe_ingest_neardup_miss']:.2f} →
-   {qc['pipe_ingest_neardup_miss']:.2f} s. Serve pricing was profiled
-   stage-by-stage (`Test/runMain graft.DevR10`): the content-stamped
-   index build prices only the FIRST invocation (9.3 s vs 3.5 s steady
-   at sf0.1); the steady state is batch-side signature + in-batch
-   resolve + the verify join — the honest cost of an ingest whose
-   rejections must be signature-verified, which is why the bench
-   median sits above round 8's unverified-screen number.
-3. **The near-dup-aware split is priced at scale.**
-   `pipe_split_leakproof_neardup` measures
-   {qa['pipe_split_leakproof_neardup']:.2f} →
-   {qb['pipe_split_leakproof_neardup']:.2f} →
-   {qc['pipe_split_leakproof_neardup']:.2f} s and its oracle-checked
-   leak census `_leaks` {qa['pipe_split_leakproof_neardup_leaks']:.2f} →
-   {qb['pipe_split_leakproof_neardup_leaks']:.2f} →
-   {qc['pipe_split_leakproof_neardup_leaks']:.2f} s — components over
-   exact-dup ∪ verified-LSH edges stay near-linear per decade.
-4. **Bloom maintenance stopped scaling with corpus capacity** — the
-   growing-corpus section below is the measured evidence.
-
-## Round-8 re-measurement: the round-7 flags are closed
-
-1. **`text_winnow_pairs` hot-bucket blowup fixed (the round-7
-   scale-killer).** The pair search was a plain self-equi-join on
-   fingerprint hash: a fingerprint in d docs emits d² candidate rows,
-   which measured **80.7×** (2.46 s → 198.2 s) for 10× data at HEAD r7
-   on this closed-vocabulary corpus. The registered query now applies
-   a document-frequency cap of 48 (MOSS's stop-fingerprint discard,
-   the `dedup_cosine_capped` move) that bounds per-bucket fan-out at
-   48² at any corpus size; the full pipeline including the cap is
-   still replayed by the DuckDB oracle (hash-identical at both gate
-   SFs, where max df = 34 means the capped report EQUALS the exact
-   one). Measured at this HEAD: {qa['text_winnow_pairs']:.2f} s →
-   {qb['text_winnow_pairs']:.2f} s → {qc['text_winnow_pairs']:.2f} s
-   ({qb['text_winnow_pairs']/qa['text_winnow_pairs']:.1f}× then
-   {qc['text_winnow_pairs']/qb['text_winnow_pairs']:.1f}× per decade —
-   under the bar in BOTH decades).
-2. **The sf10 coverage hole is closed.** Round 7's checked-in sf10
-   artifact covered only 117 of 157 queries (the ~40 newest queries —
-   BPE, MMR, PQ, binary ANN, winnow, TPC-H q2/q8/q9/q21, snapshot
-   diff — had no decade-2 measurement). This run measures the FULL
-   registered suite at all three SFs minus only the explicit per-SF
-   skip lists above: {len(qa)} queries at sf0.1, {len(qb)} at sf1,
-   {len(qc)} at sf10.
-3. **Persisted-IVF queries are serve-priced.** `sim_ivf_index_topk` /
-   `sim_ivf_index_append` rebuilt their index on every invocation
-   (2.5 s each at sf0.1 r7 — the most expensive non-oracle-machinery
-   sim queries). The build is now gated behind a content-stamped
-   completion marker (build-once/query-many, the production shape;
-   append's touched-cells-only file delta is spec-pinned), so the
-   bench medians price the partition-pruned SERVE:
-   {qa['sim_ivf_index_topk']:.2f} / {qa['sim_ivf_index_append']:.2f} s
-   at sf0.1, {qc['sim_ivf_index_topk']:.2f} /
-   {qc['sim_ivf_index_append']:.2f} s at sf10.
-
-## What the gate caught in earlier rounds (all fixed, still held)
-
-Seven super-linearities found and fixed across rounds 5–8, all
-structurally invisible at the correctness SFs — the reason the decade
-runs exist:
-
-1. **ImageIO disk-backed stream cache** — per-stream temp files
-   serialized 32 decode tasks (13–14× at 10× images). Fixed: memory-
-   cached streams; ~2× ratios since.
-2. **n-gram Jaccard candidate blowup** (12.2×) — fixed: PPJoin pair-sum
-   bound + positional filter (lossless, oracle bit-identical).
-3. **Fixed cluster count in SemDeDup** (346× at sf1→sf10) — fixed:
-   k = max(8, n/1000) pins expected cluster size; gate SFs unchanged.
-4. **SimHash all-pairs within blocks** (91×) — fixed: lossless
-   pigeonhole band blocking (Manku et al.), radius-3/16-bit bands.
-5. **Doubled edge-plan evaluation in connectedComponents** — fixed:
-   symmetrize via explode, one evaluation (116 s → ~59 s at sf10).
-6. **Per-row ImageIO codec registry lookups** — a flat multi-second
-   contention floor on media queries; fixed: one lookup per partition.
-7. **Winnowing hot-bucket join** (80.7×, round 7) — fixed this round:
-   df-capped stop-fingerprints (above).
-
-Driver-memory ceiling: every collect site is bounded by construction
-(k-row centroid/codebook tables, O(parts) packing prefix sums,
-≤1M-edge union-find with a distributed fallback, ≤200k-type BPE with a
-distributed fallback) — re-confirmed by the sf10 run completing with 0
-errors.
+| machinery (oracle/exact-edge) | 100× total | production counterpart | 100× total |
+|---|---|---|---|
+{pairs_tbl}{ngram_row}
+Production forms across two decades: `dedup_minhash`
+{hundred('dedup_minhash'):.0f}×, `dedup_simhash`
+{hundred('dedup_simhash'):.0f}×, `sim_neardup_cosine`
+{hundred('sim_neardup_cosine'):.0f}×, `dedup_cosine_capped`
+{hundred('dedup_cosine_capped'):.0f}×, `dedup_ngram_jaccard_capped`
+{hundred('dedup_ngram_jaccard_capped'):.0f}×, `text_winnow_pairs`
+{hundred('text_winnow_pairs'):.0f}×, `dedup_components_minhash` (the
+SAME components loop fed by MinHash edges, correctness oracle-checked
+via `dedup_components_refine`) {hundred('dedup_components_minhash'):.0f}×
+for 100× data. The machinery totals sit under the 144× a true
+two-decade quadratic would show. The `dedup_components`-vs-edge-input
+adjudicating number is the same-session standalone trio
+(`bench_cc_probe.json`): {probe['dedup_ngram_jaccard']:.1f} /
+{probe['dedup_components']:.1f} / {probe['dedup_resolve']:.1f} s for
+jaccard / components / resolve — components at **{probe_ratio:.2f}×**
+its own edge input (criterion ≤ ~1.5×; the loop itself is trivial, 2–10
+edges at every SF per `Test/runMain graft.DevEdges`).
 
 ## This run's per-decade flags
 
@@ -952,98 +661,44 @@ Decade 1 (sf0.1→sf1):
 {flag_lines(f1, "sf0.1", "sf1")}
 Decade 2 (sf1→sf10):
 {flag_lines(f2, "sf1", "sf10")}
-Adjudication of the flags above: the four dedup flags are the
-documented exact-edge ORACLE MACHINERY (`dedup_minhash_superset` /
-`dedup_simhash_superset` are the exact-side + sketch-side + anti-join
-recall proofs; `dedup_components` consumes the exact PPJoin edge list
-those oracles are built on); the fifth, `mm_gif_frames`
-({qc['mm_gif_frames']/qb['mm_gif_frames']:.1f}×, a hair over the bar),
-is a map-only media one-off with NO join or shuffle that grows with N —
-its standalone sf10 re-measure (5.80 s, `bench_mm_probe_sf10.json`,
-rendered in the round-16 probe section above) equals the r15 SUITE
-number (5.75 s), so the flag is the suite neighborhood plus this
-session's 1.138× drift, not growth; at the standalone number its
-decade ratio is {5.80/qb['mm_gif_frames']:.1f}×, under the bar. No
-production path is flagged in either decade.
-`dedup_ngram_jaccard` — the exact edge plan itself — measures
-**{ngr2:.1f}×** for 10× data in-suite this round ({ngr_status}; flat
-round-over-round in the standalone probe — the full attribution is in
-the round-16 section above),
-{hundred('dedup_ngram_jaccard'):.0f}× total for 100×.
-The machinery class is the same quadratic-by-nature story as the
-skipped `dedup_cosine_pairs`: on the generator's
-saturated 31-word vocabulary every shingle's document frequency scales
-with N, so any EXACT all-pairs text-similarity join grows ~N² no
-matter how it is bounded (PPJoin keeps the constant small, not the
-exponent; real corpora grow vocabulary by Heaps' law). They stay
-measured rather than skipped so the growth is visible evidence.
-Machinery vs production two-decade totals, rendered mechanically from
-the artifacts:
+Adjudication, one line per decade-2 flag (computed — a flag without an
+artifact-backed mechanism renders UNADJUDICATED loudly):
 
-| machinery (oracle/exact-edge) | 100× total | production counterpart | 100× total |
-|---|---|---|---|
-{pairs_tbl}
-Decade 1 carries NO flags this round: the machinery's sf0.1→sf1 ratios
-(e.g. `dedup_simhash_superset`
-{qb['dedup_simhash_superset']/qa['dedup_simhash_superset']:.1f}×,
-`dedup_minhash_superset`
-{qb['dedup_minhash_superset']/qa['dedup_minhash_superset']:.1f}×) sit
-under the bar because uniform cold sampling raised the overhead-bound
-sf0.1 denominators to their honest cost; the flags concentrate in
-decade 2 where both columns are data-bound (e.g.
-`dedup_simhash_superset`
-{qc['dedup_simhash_superset']/qb['dedup_simhash_superset']:.1f}×
-against the 144× a true quadratic would show over two decades,
-{hundred('dedup_simhash_superset'):.0f}× total). The PRODUCTION counterparts all measure far below the
-bar for 100× data: `dedup_minhash` {hundred('dedup_minhash'):.0f}×, `dedup_simhash` {hundred('dedup_simhash'):.0f}×,
-`sim_neardup_cosine` {hundred('sim_neardup_cosine'):.0f}×, `dedup_cosine_capped` {hundred('dedup_cosine_capped'):.0f}×,
-`text_winnow_pairs` {hundred('text_winnow_pairs'):.0f}×, and `dedup_components_minhash` (the SAME
-components loop fed by MinHash edges, correctness oracle-checked via
-`dedup_components_refine`) {hundred('dedup_components_minhash'):.0f}× total. The machinery's other two-decade
-totals — `dedup_ngram_jaccard` {hundred('dedup_ngram_jaccard'):.0f}×, `dedup_minhash_superset` {hundred('dedup_minhash_superset'):.0f}×,
-`dedup_components` {hundred('dedup_components'):.0f}×, `dedup_resolve` {hundred('dedup_resolve'):.0f}× for 100× data — sit under
-the 144× two-decade quadratic bar, i.e. the growth an
-exact all-pairs ground truth has on this corpus, not worse.
-Round 10's `dedup_components` eviction-recompute defect — the persisted
-edge list fell out of memory at sf10 and the components query
-re-evaluated the whole PPJoin plan, 2.5× its own input — stays CLOSED
-by round-tripping the edge list through scratch parquet ONCE before the
-loop (`Dedup.materializedManaged`; round 11 pinned the pair alone on a
-fresh JVM at 1.02×, and round 12 additionally materializes the query
-output before the scratch dir is deleted so no lazy plan can ever
-recompute through it). With round 12's uniform cold-per-sample warmth
-both queries price the edge plan cold; the suite medians
-(`dedup_components` {qc['dedup_components']:.0f} s vs
-`dedup_ngram_jaccard` {qc['dedup_ngram_jaccard']:.0f} s at sf10) still
-differ by the suite's NEIGHBORHOOD (executor memory and GC state left
-by the preceding dedup family), so the adjudicating number is
-the same-session standalone trio in `bench_cc_probe.json`:
-{probe.get('dedup_ngram_jaccard', 0):.1f} / {probe.get('dedup_components', 0):.1f} / {probe.get('dedup_resolve', 0):.1f} s for jaccard / components / resolve — components at
-**{probe_ratio:.2f}×** its own edge input. Any flag these queries carry measures the
-exact-edge plan's own cold growth, the quadratic-by-nature machinery
-class above. The
-component LOOP itself is trivial at every SF — the probe
-`Test/runMain graft.DevEdges` measures the actual edge-list sizes (2
-edges at sf1, 10 at sf10, both far under the 1M driver-union-find
-threshold) — and the MinHash-fed production components path
-(`dedup_components_minhash`, {hundred('dedup_components_minhash'):.0f}× for 100× data) stays cheap at
-every SF. `text_train_classifier` trains on rotating
-deterministic 1/k mini-batch slices ({qa['text_train_classifier']:.1f} → {qb['text_train_classifier']:.1f} → {qc['text_train_classifier']:.1f} s,
-{qc['text_train_classifier']/qb['text_train_classifier']:.1f}× per decade, under the bar — see the round-10 section
-above); at fleet scale the per-job overhead dominating the small
-columns amortizes away.
-
+{adjudications}
 {ingest_section()}
+## What the gate caught in earlier rounds (all fixed, still held)
+
+Structural super-linearities found and fixed across rounds 5–8, all
+invisible at the correctness SFs — the reason the decade runs exist:
+ImageIO disk-backed stream caches serializing 32 decode tasks (13–14×);
+n-gram Jaccard candidate blowup (12.2× — PPJoin pair-sum bound +
+positional filter); fixed cluster count in SemDeDup (346×); SimHash
+all-pairs within blocks (91× — pigeonhole band blocking); doubled
+edge-plan evaluation in connectedComponents; per-row ImageIO codec
+registry lookups (flat multi-second contention floor); winnowing
+hot-bucket join (80.7× — df-capped stop-fingerprints). Later rounds:
+storage-cache eviction re-evaluating the PPJoin edge plan inside the
+components loop (fixed by `materializedManaged` scratch round-trip,
+round 10); plan-cache warmth masking honest cold cost on three queries
+(fixed by uniform cold sampling, round 12); O(len²) Column-HOF
+tokenizer and interpreted per-pair verification in the similarity
+joins (fixed by native shingle hashing + codegen'd sorted merges,
+round 14); the classifier's featurize+persist build dominating training
+(fixed by the single-pass native featurization, round 10). Driver-memory
+ceiling: every collect site is bounded by construction (k-row
+centroid/codebook tables, O(parts) packing prefix sums, ≤1M-edge
+union-find with a distributed fallback, ≤200k-type BPE with a
+distributed fallback) — re-confirmed by the sf10 run completing with 0
+errors.
+
 ## Reading the remaining ratios
 
 Ratios well UNDER 10× mean the smaller column still carries fixed
 per-query overhead (scheduling, codegen, exchange setup). Ratios NEAR
 10× are genuinely data-bound and linear — the ideal. The oracle-replay
-companions (`dedup_*_superset`: exact side + sketch side + anti-join)
-and the exact n-gram path are the heaviest by construction and are
-documented small-SF ground-truth machinery; their production
-counterparts (`dedup_minhash`, `dedup_simhash`) are measured beside
-them.
+companions and the exact-edge machinery are the heaviest by
+construction and are documented small-SF ground truth; their production
+counterparts are measured beside them.
 
 ## Decade 1: sf0.1 → sf1{note1}
 
