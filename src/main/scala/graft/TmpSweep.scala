@@ -87,20 +87,20 @@ object TmpSweep {
     var kept = Vector.empty[String]
     var removed = Vector.empty[String]
     var unsure = Vector.empty[String]
-    def delete(p: Path): Unit =
-      try { if (fs.delete(p, true)) removed :+= p.toString else unsure :+= p.toString }
-      catch { case scala.util.control.NonFatal(_) => unsure :+= p.toString }
-
-    def readSmall(p: Path): Option[String] = try {
-      val in = fs.open(p)
+    /** Best-effort recursive delete; reports what actually happened —
+      * a failed delete lands in `unsure` AND returns false so callers
+      * never treat still-on-disk state as gone.
+      */
+    def delete(p: Path): Boolean =
       try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8 * 1024)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(out.toByteArray, "UTF-8"))
-      } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+        val gone = fs.delete(p, true)
+        if (gone) removed :+= p.toString else unsure :+= p.toString
+        gone
+      } catch { case scala.util.control.NonFatal(_) => unsure :+= p.toString; false }
+
+    def readSmall(p: Path): Option[String] =
+      try Some(BuiltOnce.readFully(fs, p))
+      catch { case scala.util.control.NonFatal(_) => None }
 
     // one L* marker file: keep iff its embedded key's stamp field equals
     // the live corpus's current stamp (key layout:
@@ -111,7 +111,9 @@ object TmpSweep {
       liveStamp(liveDir, "ldup") match {
         case None => unsure :+= entry.toString
         case Some(want) =>
-          var left = files.size
+          // count what actually remains on disk: kept markers AND
+          // failed deletes both block the dir cleanup below
+          var remaining = 0
           files.foreach { st =>
             val ok = readSmall(st.getPath).exists { body =>
               body.split("\n", 2).head.split('|') match {
@@ -119,10 +121,14 @@ object TmpSweep {
                 case _ => false
               }
             }
-            if (ok) kept :+= st.getPath.toString
-            else { delete(st.getPath); left -= 1 }
+            if (ok) { kept :+= st.getPath.toString; remaining += 1 }
+            else if (!delete(st.getPath)) remaining += 1
           }
-          if (left <= 0) delete(entry) // nothing live left in the dir
+          // cleanup of the now-EMPTY dir is bookkeeping, not a removal
+          // of state — don't double-report it beside its files
+          if (remaining == 0)
+            try { fs.delete(entry, true); () }
+            catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 

@@ -646,20 +646,27 @@ object Dedup {
     require(dfCap.forall(_ >= 2), "dfCap >= 2 (df=1 shingles never pair)")
     val base = df.select(Seq(col(idCol).as("id"),
       sort_array(hashedShingles(col(textCol), shingleN)).as("sh")) ++ blockCols.map(col): _*)
-    val withSets = dfCap.fold(base) { c =>
-      // stop-shingle removal BEFORE sizes/prefixes, so capped-out
-      // shingles vanish from the sets on both sides of every pair.
-      // Only (id, long) rows reach the shuffles; the rebuilt sh stays
-      // sorted (sort_array) and containsNull=false (collect_list), so
-      // the unchecked merge verify below compiles the same null-free
-      // loop. Docs whose whole set is capped away drop out here — same
-      // outcome as the sz>0 filter on an empty set.
-      val ds = base.select(col("id"), explode(col("sh")).as("s"))
-      val keep = ds.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= c).select("s")
-      val capped = ds.join(keep, "s")
-        .groupBy("id").agg(sort_array(collect_list(col("s"))).as("sh"))
-      base.drop("sh").join(capped, "id")
+    val (withSets, releaseCapped): (DataFrame, () => Unit) = dfCap match {
+      case None => (base, () => ())
+      case Some(c) =>
+        // stop-shingle removal BEFORE sizes/prefixes, so capped-out
+        // shingles vanish from the sets on both sides of every pair.
+        // Only (id, long) rows reach the shuffles; the rebuilt sh stays
+        // sorted (sort_array) and containsNull=false (collect_list), so
+        // the unchecked merge verify below compiles the same null-free
+        // loop. Docs whose whole set is capped away drop out here —
+        // same outcome as the sz>0 filter on an empty set. `ds` feeds
+        // two un-shareable subtrees (the df aggregate and the join
+        // probe side — different child plans, no exchange reuse), so it
+        // is persisted for the duration of the returned plan: without
+        // it the native shingling pass over the whole corpus runs
+        // TWICE when `t` materializes. Released with the main handle.
+        val ds = base.select(col("id"), explode(col("sh")).as("s")).persist()
+        val keep = ds.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= c).select("s")
+        val capped = ds.join(keep, "s")
+          .groupBy("id").agg(sort_array(collect_list(col("s"))).as("sh"))
+        (base.drop("sh").join(capped, "id"), () => { ds.unpersist(); () })
     }
     val t = withSets
       .withColumn("sz", size(col("sh")))
@@ -723,7 +730,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    (out, () => { t.unpersist(); () })
+    (out, () => { t.unpersist(); releaseCapped() })
   }
 
   /** Materialize a (typically expensive) plan to scratch parquet ONCE,

@@ -43,6 +43,23 @@ private[graft] object BuiltOnce {
     d.take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Read a small marker/state file fully as UTF-8 — the one read loop
+    * shared by every marker consumer (here, the L* markers in
+    * TextQueries, the sweeper in [[graft.TmpSweep]]). Throws on I/O
+    * failure; callers own their miss/keep policy.
+    */
+  private[graft] def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   def contentStamp(corpus: DataFrame, keyCols: Seq[Column]): String = {
     val h = xxhash64(keyCols: _*)
     // decimal(38,0) sum: exact and ANSI-overflow-free for any corpus
@@ -64,16 +81,7 @@ private[graft] object BuiltOnce {
     val stamp = contentStamp(corpus, keyCols)
     val current =
       if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8 * 1024)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          Some(new String(out.toByteArray, "UTF-8"))
-        } finally in.close()
-      }
+      else Some(readFully(fs, marker))
     if (!current.contains(stamp)) {
       build
       val out = fs.create(marker, true)

@@ -109,14 +109,7 @@ object TextQueries {
     val text = try {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) return None
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8 * 1024)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        new String(out.toByteArray, "UTF-8")
-      } finally in.close()
+      BuiltOnce.readFully(fs, p)
     } catch {
       case scala.util.control.NonFatal(_) => return None
     }
@@ -146,9 +139,16 @@ object TextQueries {
     try {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       // owner-only marker dir on a world-shared tmp (see the trust
-      // boundary note on [[longestDupMarker]]); mkdirs-with-permission
-      // chmods an already-existing dir on RawLocalFileSystem too
-      fs.mkdirs(p.getParent,
+      // boundary note on [[longestDupMarker]]). setPermission runs
+      // UNCONDITIONALLY after mkdirs: RawLocalFileSystem's
+      // mkdirs(path, perm) chmods only FRESHLY created dirs (verified
+      // against hadoop 3.4.2 — mkOneDirWithMode sets the mode only
+      // when File.mkdir() returns true), so a dir persisted by an
+      // earlier engine version at default umask must be re-permissioned
+      // here, not only at creation
+      val dir = p.getParent
+      fs.mkdirs(dir)
+      fs.setPermission(dir,
         new org.apache.hadoop.fs.permission.FsPermission(448.toShort)) // 0700
       val out = fs.create(p, true)
       try out.write(s"$key\n${value.fold("none")(_.toString)}".getBytes("UTF-8"))

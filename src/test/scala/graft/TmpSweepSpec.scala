@@ -30,10 +30,16 @@ class TmpSweepSpec extends SparkSpec {
     // a second "live" corpus that is just a declared path (no data): its
     // half-written index (no _graft_built) is removable without a stamp
     val corpus2 = tmpDir("sweepcorpus2")
+    // a third live corpus whose ONLY marker is superseded: the emptied
+    // ldup dir is cleaned up as bookkeeping (not double-reported)
+    val corpus3 = tmpDir("sweepcorpus3")
+    Seq((7L, "third corpus text body"))
+      .toDF("doc_id", "text").write.parquet(s"$corpus3/documents.parquet")
 
     val root = Files.createTempDirectory("sweeproot").toString
     val liveKey = BuiltOnce.dirKey(corpus)
     val live2Key = BuiltOnce.dirKey(corpus2)
+    val live3Key = BuiltOnce.dirKey(corpus3)
     val deadKey = BuiltOnce.dirKey("/no/such/corpus/anymore")
 
     val ldupStamp = TextQueries.ldupContentStamp(spark, corpus)
@@ -48,6 +54,7 @@ class TmpSweepSpec extends SparkSpec {
     put(s"$root/graft_ldup_$liveKey/aaaa", s"$liveKey|$ldupStamp|8|100\n20")
     put(s"$root/graft_ldup_$liveKey/bbbb", s"$liveKey|v3 n=9 x=9 s=9|8|100\n7")
     put(s"$root/graft_ldup_$deadKey/cccc", s"$deadKey|$ldupStamp|8|100\n20")
+    put(s"$root/graft_ldup_$live3Key/dddd", s"$live3Key|v3 n=0 x=0 s=0|8|100\n5")
     // BuiltOnce index dirs: live-stamped kept, stale removed, dead
     // removed, live-but-half-written (no marker) removed
     put(s"$root/graft_ivf_idx_$liveKey/_graft_built", ivfStamp)
@@ -64,11 +71,15 @@ class TmpSweepSpec extends SparkSpec {
     mkdir(s"$root/graft_cc_edges_0123456789ab")
     put(s"$root/unrelated_file.txt", "hello")
 
-    val report = TmpSweep.sweep(spark, root, Seq(corpus, corpus2))
+    val report = TmpSweep.sweep(spark, root, Seq(corpus, corpus2, corpus3))
 
     assert(exists(s"$root/graft_ldup_$liveKey/aaaa"), "live marker survives")
     assert(!exists(s"$root/graft_ldup_$liveKey/bbbb"), "superseded marker removed")
     assert(!exists(s"$root/graft_ldup_$deadKey"), "dead-corpus marker dir removed")
+    assert(!exists(s"$root/graft_ldup_$live3Key"),
+      "live dir emptied of superseded markers is cleaned up")
+    assert(report.removed.count(_.contains(s"graft_ldup_$live3Key")) == 1,
+      "the emptied dir's cleanup is not double-reported beside its file")
     assert(exists(s"$root/graft_ivf_idx_$liveKey/part-0.parquet"), "live index survives whole")
     assert(!exists(s"$root/graft_ivf_app_$liveKey"), "stale-stamp index removed")
     assert(exists(s"$root/graft_nd_idx_$liveKey"), "live nd index survives")
@@ -79,8 +90,8 @@ class TmpSweepSpec extends SparkSpec {
     assert(!exists(s"$root/graft_avro_rt_$deadKey"), "dead avro scratch removed")
     assert(exists(s"$root/graft_cc_edges_0123456789ab"), "query scratch untouched")
     assert(exists(s"$root/unrelated_file.txt"), "foreign entries untouched")
-    assert(report.removed.size == 7 && report.unsure.isEmpty,
-      s"expected 7 removals, got $report")
+    assert(report.removed.size == 8 && report.unsure.isEmpty,
+      s"expected 8 removals, got $report")
   }
 
   test("sweep keeps everything when it cannot tell (missing corpus data)") {

@@ -98,15 +98,25 @@ class LongestDupMemoSpec extends SparkSpec {
     assert(lstar(dir).contains(31), "new content, fresh session: re-searched")
   }
 
-  test("marker directory is created owner-only (r17 trust-boundary fix)") {
+  test("marker directory is owner-only — including a PRE-EXISTING dir (r17 trust-boundary fix)") {
     val dir = tmpDir("ldmemo3")
     write(dir, "qqwweerrttyyuuiioopp")
+    // pre-create the marker dir at default perms (the pre-r17 on-disk
+    // state): Hadoop's mkdirs(path, perm) chmods only FRESH dirs, so
+    // the write path must setPermission unconditionally to close the
+    // world-shared-tmp hole for dirs persisted by earlier versions
+    val preDir = TextQueries.longestDupMarker(dir, "probe").getParent
+    val fs = markerFs(preDir)
+    fs.mkdirs(preDir)
+    fs.setPermission(preDir,
+      new org.apache.hadoop.fs.permission.FsPermission(493.toShort)) // 0755
+    assert(fs.getFileStatus(preDir).getPermission.toShort == 493.toShort)
     assert(lstar(dir).contains(20))
     val marker = TextQueries.longestDupMarker(dir, TextQueries.lastLdupKeyForTest)
-    val fs = markerFs(marker)
     assert(fs.exists(marker))
     assert(fs.getFileStatus(marker.getParent).getPermission.toShort == 448.toShort,
-      "graft_ldup_* marker dirs must be 0700 on a world-shared tmp")
+      "graft_ldup_* marker dirs must be 0700 on a world-shared tmp, " +
+        "even when the dir pre-existed at default umask")
   }
 
   test("memo eviction is single-entry LRU, never the entry being served (r17)") {

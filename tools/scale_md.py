@@ -262,16 +262,34 @@ def main(p01, p1, p10):
             return (min(rs), max(rs)) if rs else (0, 0)
         c_lo, c_hi = env(DRIFT_CONTROLS)
         w_lo, w_hi = env(DRIFT_WATCH)
-        verdict_txt = (
-            "Every watch-list query reproduces INSIDE the control "
-            f"envelope (controls {c_lo:.2f}–{c_hi:.2f}× "
-            f"standalone/suite; watch list {w_lo:.2f}–{w_hi:.2f}×): "
-            "the r16→r17 drift on these sub-3 s queries is session "
-            "host state, not a query mechanism — adjudicated noise."
-            if w_hi <= c_hi else
-            "The watch list exceeds the control envelope (controls "
-            f"{c_lo:.2f}–{c_hi:.2f}×, watch {w_lo:.2f}–{w_hi:.2f}×) — "
-            "NOT adjudicated as noise; needs a mechanism next round.")
+        # TWO-SIDED check (round-17 review fix: w_hi-only let a genuine
+        # suite premium slip through as "noise"). Ratios are
+        # standalone/suite: a watch query whose suite median is slower
+        # than a fresh-JVM standalone run (ratio < 1) while no control
+        # shows that is a REAL suite-position mechanism, not host drift.
+        premium = w_lo < min(1.0, c_lo)
+        if w_hi <= c_hi and not premium:
+            verdict_txt = (
+                "Every watch-list query reproduces INSIDE the control "
+                f"envelope (controls {c_lo:.2f}–{c_hi:.2f}× "
+                f"standalone/suite; watch list {w_lo:.2f}–{w_hi:.2f}×, "
+                "and none runs faster standalone than in-suite beyond "
+                "what controls show): the drift on these sub-3 s "
+                "queries is session host state, not a query mechanism "
+                "— adjudicated noise.")
+        elif premium:
+            verdict_txt = (
+                "At least one watch-list query runs FASTER in a fresh "
+                f"standalone JVM than in the suite (watch low "
+                f"{w_lo:.2f}× vs controls {c_lo:.2f}–{c_hi:.2f}×) — a "
+                "genuine suite-position premium, NOT adjudicated as "
+                "noise; needs a mechanism next round.")
+        else:
+            verdict_txt = (
+                "The watch list exceeds the control envelope (controls "
+                f"{c_lo:.2f}–{c_hi:.2f}×, watch {w_lo:.2f}–{w_hi:.2f}×) "
+                "— NOT adjudicated as noise; needs a mechanism next "
+                "round.")
         mm = ""
         pm = sibling("bench_mm_probe_sf10.json")
         if os.path.exists(pm):
