@@ -500,6 +500,28 @@ file-count reduction of the epoch-boundary bin-pack.)
     ngr_capped_1 = qb["dedup_ngram_jaccard_capped"] / qa["dedup_ngram_jaccard_capped"]
     ngr_capped_2 = qc["dedup_ngram_jaccard_capped"] / qb["dedup_ngram_jaccard_capped"]
 
+    # the components-vs-edge-input criterion, rendered honestly: the
+    # reading drifts with host/JVM state between sessions (measured
+    # 1.02× r11 fresh-JVM, 1.40× and 1.93× in the two r17 sittings), so
+    # an above-criterion session renders LOUDLY instead of silently
+    # keeping stale prose
+    if probe_ratio <= 1.6:
+        probe_note = (
+            f"components at **{probe_ratio:.2f}×** its own edge input "
+            "(criterion ≤ ~1.5×; the loop itself is trivial, 2–10 edges "
+            "at every SF per `Test/runMain graft.DevEdges`).")
+    else:
+        probe_note = (
+            f"components at **{probe_ratio:.2f}×** its own edge input "
+            "this sitting — ABOVE the ~1.5× criterion. The loop itself "
+            "stays trivial (2–10 edges at every SF per `Test/runMain "
+            "graft.DevEdges`) and the only structural difference from "
+            "the jaccard probe is evaluating the same edge plan through "
+            "the scratch-parquet round-trip instead of `count()`; prior "
+            "fresh-JVM sittings of the identical pair read 1.02–1.4×, "
+            "so the excess moves with host state, but it goes on next "
+            "round's probe watch list rather than being argued away.")
+
     out = f"""# SCALE — measured sf0.1 → sf1 → sf10 linearity (round {ROUND}, all three SFs at one HEAD commit)
 
 **Method.** All three datasets come from the SAME deterministic generator
@@ -669,9 +691,7 @@ two-decade quadratic would show. The `dedup_components`-vs-edge-input
 adjudicating number is the same-session standalone trio
 (`bench_cc_probe.json`): {probe['dedup_ngram_jaccard']:.1f} /
 {probe['dedup_components']:.1f} / {probe['dedup_resolve']:.1f} s for
-jaccard / components / resolve — components at **{probe_ratio:.2f}×**
-its own edge input (criterion ≤ ~1.5×; the loop itself is trivial, 2–10
-edges at every SF per `Test/runMain graft.DevEdges`).
+jaccard / components / resolve — {probe_note}
 
 ## This run's per-decade flags
 
