@@ -124,6 +124,39 @@ object Bench {
         .withColumn("r", row_number().over(Window.partitionBy("k").orderBy("id")))
         .filter(col("r") <= 5).count()
     } catch { case _: Throwable => () }
+    // r17 measurement fix (guide §1: separate JVM warm-up from plan
+    // cost): the generic pass above leaves the HEAVY operator machinery
+    // cold — array aggregation (collect_list/sort_array/transform),
+    // the native shingle/merge expressions, and the interpreter paths
+    // under them take thousands of invocations to reach C2 steady
+    // state, and that cost was landing on whichever family member runs
+    // first. Measured at sf0.1: `dedup_cosine_pairs` ALONE benches
+    // 9.1 s median, but 3.4 s when ANY sibling ran first in the same
+    // JVM — ~6 s of pure first-touch JIT attributed to one query by
+    // alphabetical accident. One bounded synthetic pass through the
+    // same operator surface (vocab-50 junk text, 3k rows, NO reads of
+    // the benched dataset, nothing cached or persisted — the catalog
+    // is cleared before every timed sample as before) moves that cost
+    // into the session where the header says it belongs. Old-numbers
+    // note: pre-change per-query medians are kept in
+    // OPTIMIZATION_r17.md; this changes attribution, not computation.
+    try {
+      import org.apache.spark.sql.functions._
+      val synth = spark.range(3000).select(col("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(40)),
+          i => conv(pmod(col("id") * (i + lit(7)) + i * i, lit(50)), 10, 36)))
+          .as("text"),
+        lit("en").as("lang"), lit("warm").as("source"))
+      graft.operators.CosinePairs
+        .tfCosinePairs(synth, "text", "id", threshold = 0.6).count()
+      graft.operators.Dedup.ngramJaccardBlocked(
+        synth, "text", "id", Seq("lang", "source"), threshold = 0.5).count()
+      graft.operators.Dedup.minhashNearDups(
+        synth, "text", "id", threshold = 0.5).count()
+      graft.operators.TextAnalysis.withFeatures(synth, "text")
+        .select(col("f.quality")).count()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run while
     // iterating on one query; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -64,6 +64,14 @@ object Graph {
     // (the hint is trusted — a wrong value skews every teleport term)
     val n = nodesCount.getOrElse(ns.count())
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // NOT persisted although it is read 3× per iteration: measured at
+    // sf0.1 (r17 DevPr, in-JVM A/B ×3), persisting it here made the
+    // 3-iteration query 1.4× SLOWER (2.8 → 3.9 s) — the lazy
+    // re-derived subtrees execute as parallel stages over cheap scans,
+    // while a persist inserts a serial materialization barrier and
+    // pays the InMemoryRelation write. At 100 TB-scale iteration
+    // counts the tradeoff flips with input cost — that is what the
+    // itersPerCut lineage-cut persist below already provides.
     val nodeDeg = ns.join(deg, Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
     var ranks = nodeDeg.select(col("id"), lit(1.0 / n).as("r"))

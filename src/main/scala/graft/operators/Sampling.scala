@@ -169,6 +169,27 @@ object Sampling {
   def leakproofSplitNearDup(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5,
       trainPerMille: Int = 900, valPerMille: Int = 950): DataFrame = {
+    val (split, _, release) = leakproofSplitNearDupManaged(
+      df, textCol, idCol, threshold, trainPerMille, valPerMille)
+    // the split does not read the pair list after construction (the
+    // components labelling consumed it eagerly), so its cache can go
+    release()
+    split
+  }
+
+  /** [[leakproofSplitNearDup]] that ALSO returns the verified near-dup
+    * pair list the split's components were built from, materialized —
+    * for callers that audit the split against the pairs (the
+    * `pipe_split_leakproof_neardup_leaks` census joins both), computing
+    * the MinHash signature/band/verify pass ONCE instead of once per
+    * consumer (r17: that query ran the full LSH machinery twice).
+    * Call the release handle after acting on both frames.
+    */
+  def leakproofSplitNearDupManaged(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5,
+      trainPerMille: Int = 900, valPerMille: Int = 950)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(0 < trainPerMille && trainPerMille <= valPerMille && valPerMille <= 1000,
       "0 < trainPerMille <= valPerMille <= 1000")
     Checks.requireIntegralId(df, idCol,
@@ -179,19 +200,23 @@ object Sampling {
     val exactEdges = keyed.join(exactReps, "__sha")
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
-    val (nd, release) =
+    val (nd, sigRelease) =
       Dedup.minhashNearDupsManaged(df, textCol, idCol, threshold)
-    val edges = exactEdges.unionByName(nd.select("id_a", "id_b"))
-    // connectedComponents materializes the edge list eagerly (its
-    // measure-then-choose count), so the near-dup plan is consumed
-    // before the signature cache is released
+    // materialize the pair list (duplicate-pair scale, not corpus
+    // scale) BEFORE the signature cache releases — a lazy plan
+    // surviving the release would silently recompute the whole LSH
+    // pass on the next consumer
+    val pairs = nd.select("id_a", "id_b").persist()
+    pairs.count()
+    val edges = exactEdges.unionByName(pairs)
     val comps = Dedup.connectedComponents(edges)
-    release()
+    sigRelease()
     val assigned = df.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_rep"))
-    splitByRep(assigned, idCol, trainPerMille, valPerMille)
+    (splitByRep(assigned, idCol, trainPerMille, valPerMille), pairs,
+      () => { pairs.unpersist(); () })
   }
 
   /** Shared split-assignment arithmetic: one [[shuffleKey]] bucket per

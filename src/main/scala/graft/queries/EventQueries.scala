@@ -91,6 +91,12 @@ object EventQueries {
         .orderBy("cohort_week", "week_offset")}),
 
     "ev_pagerank" -> ((s, d) => {
+      // deliberately NO persists here: caching users/edges/output was
+      // tried in r17 and measured 1.9× SLOWER in-JVM (DevPr A/B —
+      // persist barriers serialize what the lazy plan runs as parallel
+      // subtree stages over a cheap scan). The one change kept:
+      // `n` is already on the driver, so it is passed down and the
+      // operator skips its own recount of the node spine.
       val users = Tables.events(s, d).select(col("user_id")).distinct()
       val n = users.count() // 1 driver scalar: the edge modulus
       val edges = users.select(col("user_id").as("src"),
@@ -99,7 +105,8 @@ object EventQueries {
         .filter(col("src") =!= col("dst"))
         .dropDuplicates("src", "dst")
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3,
-        nodes = Some(users.select(col("user_id").as("id"))))
+        nodes = Some(users.select(col("user_id").as("id"))),
+        nodesCount = Some(n))
         .withColumn("pr", round(col("pr"), 9))
         .orderBy(desc("pr"), col("id"))
         .limit(30)}),

@@ -264,8 +264,16 @@ object PipelineQueries {
       val (_, _, batch) = ndIngestParts(s, d)
       val docs = Tables.documents(s, d)
       val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      // accepted feeds BOTH violation branches: without a persist the
+      // entire ingest (signature pass, in-batch resolve, exact + band
+      // screens) evaluates twice under the one action (measured at
+      // sf0.1: the plan carried 166 parquet scans / 214 Exchanges;
+      // with it, half — the r17 plan diff). Tiny frame (doc_id, sha),
+      // materialized by the count below, released after the output
+      // materializes (the dedup_components pattern)
       val accepted = ndIngestAccepted(s, d)
         .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+        .persist()
       val histShas = history.select(sha2(col("text"), 256).as("sha")).distinct()
       val viol1 = accepted.join(histShas, Seq("sha"), "left_semi")
         .select(col("doc_id"), lit("exact_in_history").as("reason"))
@@ -275,7 +283,10 @@ object PipelineQueries {
       val viol2 = accepted.join(minPerText, "sha")
         .filter(col("doc_id") =!= col("keep"))
         .select(col("doc_id"), lit("not_min_of_batch_group").as("reason"))
-      viol1.unionByName(viol2).orderBy("doc_id", "reason")}),
+      val out = viol1.unionByName(viol2).orderBy("doc_id", "reason")
+      out.cache().count()
+      accepted.unpersist()
+      out}),
 
     // LEAKAGE-FREE split: same 90/5/5 arithmetic but decided once per
     // content-duplicate CLUSTER (bucket of the min-id representative's
@@ -322,21 +333,31 @@ object PipelineQueries {
     // the strongest pair set the engine can produce
     "pipe_split_leakproof_neardup_leaks" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val split = Sampling.leakproofSplitNearDup(docs, "text", "doc_id")
+      // one MinHash pass serves both the split's components AND the v2
+      // pair audit (r17: the pair list here was a SECOND full LSH
+      // signature/band/verify pass over the corpus — the managed form
+      // returns the identical materialized pair frame the split was
+      // built from). split itself feeds three consumers (v1, sa, sb),
+      // so it persists until the output materializes
+      val (split0, pairs, release) = Sampling
+        .leakproofSplitNearDupManaged(docs, "text", "doc_id", 0.5)
+      val split = split0.persist()
       val v1 = split.groupBy("cluster_rep")
         .agg(countDistinct("split").as("n_splits"))
         .filter(col("n_splits") > 1)
         .select(col("cluster_rep").as("id_a"),
           lit(null).cast("long").as("id_b"),
           lit("cluster_straddles").as("reason"))
-      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 0.5)
       val sa = split.select(col("doc_id").as("id_a"), col("split").as("split_a"))
       val sb = split.select(col("doc_id").as("id_b"), col("split").as("split_b"))
       val v2 = pairs.join(sa, "id_a").join(sb, "id_b")
         .filter(col("split_a") =!= col("split_b"))
         .select(col("id_a"), col("id_b"),
           lit("neardup_pair_straddles").as("reason"))
-      v1.unionByName(v2).orderBy("reason", "id_a", "id_b")}),
+      val out = v1.unionByName(v2).orderBy("reason", "id_a", "id_b")
+      out.cache().count()
+      release(); split.unpersist()
+      out}),
 
     // passage-level duplication census: per doc, distinct 4-gram count
     // and how many of those grams appear in >= 2 docs. Spark counts
@@ -413,16 +434,32 @@ object PipelineQueries {
     // (+ the 6-dp-rounded quality both engines share), so file
     // membership itself is oracle-replayed exactly
     "pipe_zorder_layout" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("qb", graft.operators.Layout.bucketize(
-          TextAnalysis.qualityScore(col("text")), 0.0, 1.0, bits = 4))
-        .withColumn("lb", graft.operators.Layout.bucketize(
-          col("n_chars"), 0.0, 1024.0, bits = 4))
-      val laidOut = graft.operators.Layout.zorderFiles(docs,
+      // r17: (a) quality through the single-pass features struct —
+      // qualityScoreFrom is spec-pinned BIT-identical to the text-column
+      // form, which re-parses the document once per component ratio;
+      // (b) project down to (doc_id, qb, lb) BEFORE zorderFiles, whose
+      // range exchange + internal persist otherwise carry the full
+      // document row (text included) — the curve needs only the z
+      // inputs and the tiebreak (guide §2.3: project before the
+      // exchange). File membership is unchanged: z and tiebreak are
+      // computed from the same values
+      val feat = TextAnalysis
+        .withFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          graft.operators.Layout.bucketize(
+            TextAnalysis.qualityScoreFrom(col("f")), 0.0, 1.0, bits = 4)
+            .as("qb"),
+          graft.operators.Layout.bucketize(
+            col("n_chars"), 0.0, 1024.0, bits = 4).as("lb"))
+      val (laidOut, release) = graft.operators.Layout.zorderFilesManaged(
+        feat,
         graft.operators.Layout.zValue(col("qb"), col("lb"), bits = 4),
         col("doc_id"), nFiles = 8)
-      graft.operators.Layout.fileSpans(laidOut,
-        Seq("q" -> col("qb"), "len" -> col("lb")))}),
+      val out = graft.operators.Layout.fileSpans(laidOut,
+        Seq("q" -> col("qb"), "len" -> col("lb")))
+      out.cache().count() // materialize before the sorted cache releases
+      release()
+      out}),
 
     // per-source document cap (RefinedWeb's "at most N per domain"):
     // rank in deterministic shuffle-key order so the kept set is an
