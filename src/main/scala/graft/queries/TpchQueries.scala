@@ -165,8 +165,15 @@ object TpchQueries {
         .select(col("l_partkey"), rev.as("val"))
       val perPart = li.groupBy("l_partkey")
         .agg(sum(col("val")).as("value_dec"))
-      val total = li.agg(sum(col("val")).as("total_dec"),
-        countDistinct(col("l_partkey")).as("n_parts"))
+      // r17: total derived FROM the per-part aggregate instead of a
+      // second global aggregate over `li` — the latter re-evaluated the
+      // whole lineitem scan + semi-join (its single-partition exchange
+      // shares nothing with perPart's, so exchange reuse cannot fire).
+      // Exact by construction: decimal sums are associative, and
+      // count(l_partkey) over the groups IS countDistinct(l_partkey)
+      // over the rows (one group per distinct non-null key)
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"),
+        count(col("l_partkey")).as("n_parts"))
       perPart.join(broadcast(total))
         .filter(col("value_dec").cast("double") >
           lit(2.0) * col("total_dec").cast("double") /
@@ -246,9 +253,16 @@ object TpchQueries {
       val liB = Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val avgQ = liB.groupBy(col("l_partkey").as("ap"))
-        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-      liB.join(broadcast(avgQ), col("l_partkey") === col("ap"))
+      // r17: per-part average as a WINDOW instead of a groupBy
+      // re-aggregate broadcast-joined back — the join form evaluated
+      // liB (lineitem scan + part broadcast join) twice. Identical
+      // arithmetic: the same sum/count per part key, divided once,
+      // compared with the same predicate (quantities are whole-valued
+      // doubles, so the sums are exact either way)
+      val w = Window.partitionBy("l_partkey")
+      liB
+        .withColumn("avg_qty",
+          sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
         .filter(col("l_quantity") < col("avg_qty") * lit(0.5))
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double") / lit(7.0)).as("avg_yearly"),
@@ -270,10 +284,14 @@ object TpchQueries {
         .select("l_partkey", "l_suppkey", "l_quantity")
       val perSuppPart = li97.groupBy("l_partkey", "l_suppkey")
         .agg(sum(col("l_quantity")).as("supp_qty"))
-      val perPart = li97.groupBy(col("l_partkey").as("pp"))
-        .agg(sum(col("l_quantity")).as("part_qty"))
+      // r17: the part total as a WINDOW over the (part, supplier)
+      // aggregate instead of a second aggregate over li97 + join back —
+      // that form re-evaluated the filtered lineitem join twice. Exact:
+      // part_qty = Σ supp_qty (whole-valued doubles, both groupings sum
+      // the same rows), predicate unchanged
       val dominant = perSuppPart
-        .join(perPart, col("l_partkey") === col("pp"))
+        .withColumn("part_qty",
+          sum(col("supp_qty")).over(Window.partitionBy("l_partkey")))
         .filter(col("supp_qty") > col("part_qty") * lit(0.5))
         .select("l_suppkey").distinct()
       regionSuppliers(s, d, "EUROPE")
