@@ -169,12 +169,23 @@ object Sampling {
   def leakproofSplitNearDup(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5,
       trainPerMille: Int = 900, valPerMille: Int = 950): DataFrame = {
-    val (split, _, release) = leakproofSplitNearDupManaged(
-      df, textCol, idCol, threshold, trainPerMille, valPerMille)
-    // the split does not read the pair list after construction (the
-    // components labelling consumed it eagerly), so its cache can go
+    require(0 < trainPerMille && trainPerMille <= valPerMille && valPerMille <= 1000,
+      "0 < trainPerMille <= valPerMille <= 1000")
+    Checks.requireIntegralId(df, idCol,
+      s"leakproofSplitNearDup: id column '$idCol'")
+    val (nd, release) =
+      Dedup.minhashNearDupsManaged(df, textCol, idCol, threshold)
+    val edges = exactDupEdges(df, textCol, idCol)
+      .unionByName(nd.select("id_a", "id_b"))
+    // connectedComponents materializes the edge list eagerly (its
+    // measure-then-choose count), so the near-dup plan is consumed
+    // before the signature cache is released. Deliberately NOT the
+    // Managed delegate: split-only callers would pay its pair-list
+    // persist + count for a frame they never read (r17: measured +0.7 s
+    // at sf1 on pipe_split_leakproof_neardup)
+    val comps = Dedup.connectedComponents(edges)
     release()
-    split
+    splitFromComponents(df, idCol, comps, trainPerMille, valPerMille)
   }
 
   /** [[leakproofSplitNearDup]] that ALSO returns the verified near-dup
@@ -194,12 +205,6 @@ object Sampling {
       "0 < trainPerMille <= valPerMille <= 1000")
     Checks.requireIntegralId(df, idCol,
       s"leakproofSplitNearDup: id column '$idCol'")
-    val digest = coalesce(sha2(col(textCol), 256), lit("<null>"))
-    val keyed = df.select(col(idCol).as("id"), digest.as("__sha"))
-    val exactReps = keyed.groupBy("__sha").agg(min(col("id")).as("rep"))
-    val exactEdges = keyed.join(exactReps, "__sha")
-      .filter(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
     val (nd, sigRelease) =
       Dedup.minhashNearDupsManaged(df, textCol, idCol, threshold)
     // materialize the pair list (duplicate-pair scale, not corpus
@@ -208,15 +213,36 @@ object Sampling {
     // pass on the next consumer
     val pairs = nd.select("id_a", "id_b").persist()
     pairs.count()
-    val edges = exactEdges.unionByName(pairs)
+    val edges = exactDupEdges(df, textCol, idCol).unionByName(pairs)
     val comps = Dedup.connectedComponents(edges)
     sigRelease()
+    (splitFromComponents(df, idCol, comps, trainPerMille, valPerMille),
+      pairs, () => { pairs.unpersist(); () })
+  }
+
+  /** (rep, member) edges of the exact-content duplicate groups — the
+    * verbatim half of the near-dup split's edge set.
+    */
+  private def exactDupEdges(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val digest = coalesce(sha2(col(textCol), 256), lit("<null>"))
+    val keyed = df.select(col(idCol).as("id"), digest.as("__sha"))
+    val exactReps = keyed.groupBy("__sha").agg(min(col("id")).as("rep"))
+    keyed.join(exactReps, "__sha")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+  }
+
+  /** Component labels → (id, cluster_rep, split) via [[splitByRep]];
+    * unlabelled ids are their own singleton cluster.
+    */
+  private def splitFromComponents(df: DataFrame, idCol: String,
+      comps: DataFrame, trainPerMille: Int, valPerMille: Int): DataFrame = {
     val assigned = df.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_rep"))
-    (splitByRep(assigned, idCol, trainPerMille, valPerMille), pairs,
-      () => { pairs.unpersist(); () })
+    splitByRep(assigned, idCol, trainPerMille, valPerMille)
   }
 
   /** Shared split-assignment arithmetic: one [[shuffleKey]] bucket per
