@@ -524,10 +524,55 @@ object Dedup {
     // `sh` is sorted at build so the LSH candidates' exact-Jaccard
     // verify is a codegen'd sorted merge (MinHash is a min over the
     // set — element order cannot change `sig`)
-    df.select(col(idCol).as("id"),
-      sort_array(hashedShingles(col(textCol), shingleN)).as("sh"))
+    signaturesFromShingled(
+      shingledDocs(df, textCol, idCol, Nil, shingleN), numHashes)
+
+  /** The SHARED hashed-shingle pass (r18): one `(id, sh, blockCols…)`
+    * projection — `sh` = the sorted hashed shingle array every pairwise
+    * dedup stage runs on — that BOTH the exact PPJoin
+    * ([[ngramJaccardFromShingled]]) and the MinHash path
+    * ([[minhashFromShingled]]) consume. A query running both passes over
+    * the same corpus (`dedup_components_refine`,
+    * `dedup_minhash_superset`) persists this frame so the corpus is
+    * tokenized and hash-shingled ONCE instead of once per operator; the
+    * MinHash side computes its `(id, sh, sig)` cache FROM this cache
+    * instead of from a second parquet scan. Expression-identical to what
+    * each operator derived on its own, so results are bit-for-bit
+    * unchanged.
+    *
+    * Deliberately does NOT carry the MinHash signature: a first cut
+    * cached one combined (id, sh, sig, blocks) frame, and the sig
+    * column's 8·numHashes B/row inflated the relation's stats enough
+    * that AQE stopped broadcast-converting the PPJoin's verify joins
+    * (3 SortMergeJoin / 7 Exchange vs 2 BroadcastHashJoin / 5 — measured
+    * 2.5× slower on the exact phase at sf1). Two caches with honest
+    * per-consumer stats beat one cache with inflated ones.
+    */
+  private[graft] def shingledDocs(
+      df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], shingleN: Int = 3): DataFrame =
+    df.select(Seq(col(idCol).as("id"),
+      sort_array(hashedShingles(col(textCol), shingleN)).as("sh")) ++
+      blockCols.map(col): _*)
+
+  private def signaturesFromShingled(
+      shingled: DataFrame, numHashes: Int): DataFrame =
+    shingled.select(col("id"), col("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextHashExprs.minhashSig(col("sh"), numHashes))
+
+  /** [[minhashNearDupsManaged]] over a pre-shingled `(id, sh, …)` frame
+    * ([[shingledDocs]]) — the shared-shingle seam. The returned release
+    * handle frees the internal `(id, sh, sig)` cache; the caller owns
+    * the shingled frame's own lifecycle.
+    */
+  private[graft] def minhashFromShingled(
+      shingled: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16): (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    minhashPairsFromSigs(signaturesFromShingled(shingled, numHashes),
+      threshold, bands, numHashes / bands)
+  }
 
   /** Convenience form of [[minhashNearDupsManaged]] that leaves the
     * internal signature cache to LRU eviction / `catalog.clearCache` /
@@ -641,11 +686,23 @@ object Dedup {
   def ngramJaccardBlockedManaged(
       df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], threshold: Double, shingleN: Int = 3,
-      dfCap: Option[Int] = None): (DataFrame, () => Unit) = {
+      dfCap: Option[Int] = None): (DataFrame, () => Unit) =
+    ngramJaccardFromShingled(
+      shingledDocs(df, textCol, idCol, blockCols, shingleN),
+      blockCols, threshold, dfCap, basePersisted = false)
+
+  /** [[ngramJaccardBlockedManaged]] over a pre-shingled
+    * `(id, sh, blockCols…)` frame ([[shingledDocs]]) — the shared-shingle
+    * seam. With `basePersisted` the caller's persist already covers the
+    * multi-consumer reads (prefix join + both verify joins), so the
+    * internal persist is skipped on the exact (dfCap-less) path; the
+    * dfCap rebuild still manages its own exploded frame either way.
+    */
+  private[graft] def ngramJaccardFromShingled(
+      base: DataFrame, blockCols: Seq[String], threshold: Double,
+      dfCap: Option[Int], basePersisted: Boolean): (DataFrame, () => Unit) = {
     require(threshold > 0.0, "zero-overlap pairs never materialize; threshold must be > 0")
     require(dfCap.forall(_ >= 2), "dfCap >= 2 (df=1 shingles never pair)")
-    val base = df.select(Seq(col(idCol).as("id"),
-      sort_array(hashedShingles(col(textCol), shingleN)).as("sh")) ++ blockCols.map(col): _*)
     val (withSets, releaseCapped): (DataFrame, () => Unit) = dfCap match {
       case None => (base, () => ())
       case Some(c) =>
@@ -668,10 +725,15 @@ object Dedup {
           .groupBy("id").agg(sort_array(collect_list(col("s"))).as("sh"))
         (base.drop("sh").join(capped, "id"), () => { ds.unpersist(); () })
     }
-    val t = withSets
+    val tRaw = withSets
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .persist() // read by the prefix join and both verify joins
+    // read by the prefix join and both verify joins: persist unless the
+    // caller's shingled frame is already cached (the size/filter on top
+    // of a cached array column is per-read noise, not a recompute)
+    val (t, releaseT): (DataFrame, () => Unit) =
+      if (basePersisted && dfCap.isEmpty) (tRaw, () => ())
+      else { val p = tRaw.persist(); (p, () => { p.unpersist(); () }) }
     // minimum overlap a qualifying pair must have with THIS set:
     // |∩| ≥ t·|∪| ≥ t·max(|A|,|B|) ≥ ⌈t·|S|⌉ for each side.
     // The 1e-6 slack absorbs double rounding in t·sz: IEEE can round
@@ -730,7 +792,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    (out, () => { t.unpersist(); releaseCapped() })
+    (out, () => { releaseT(); releaseCapped() })
   }
 
   /** Materialize a (typically expensive) plan to scratch parquet ONCE,

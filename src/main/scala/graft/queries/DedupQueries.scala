@@ -158,25 +158,54 @@ object DedupQueries {
     // violation. The oracle asserts the empty set
     "dedup_components_refine" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val exact = Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
-        Seq("lang", "source"), threshold = 0.5).select("id_a", "id_b")
-      val (pairs, releasePairs) = Dedup.minhashNearDupsManaged(
-        docs, "text", "doc_id", threshold = 0.5)
-      val mh = Dedup.connectedComponents(pairs)
-      releasePairs()
-      val ca = mh.select(col("id").as("id_a"), col("component").as("comp_a"))
-      val cb = mh.select(col("id").as("id_b"), col("component").as("comp_b"))
-      // label tables scale with the paired-doc count — same
-      // never-broadcast discipline as the superset rows
-      exact.join(ca.hint("merge"), Seq("id_a"), "left")
-        .join(cb.hint("merge"), Seq("id_b"), "left")
-        // a missing label (endpoint absent from the MinHash pair list)
-        // is also a violation — coalesce to distinct sentinels so null
-        // never silently equals null
-        .filter(coalesce(col("comp_a"), lit(-1L)) =!=
-          coalesce(col("comp_b"), lit(-2L)))
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")}),
+      // shared shingle pass (r18): the exact PPJoin and the MinHash pass
+      // each derived their own sort_array(hashedShingles(text)) — two
+      // full tokenize+hash passes over the same corpus. One persisted
+      // (id, sh, lang, source) frame now feeds both (the MinHash side
+      // derives its signature cache FROM it instead of from a second
+      // corpus scan); the derivations are expression-identical, so the
+      // pair sets (and this row's asserted empty set) are bit-for-bit
+      // unchanged. EAGER entry: the output is cache()d + counted before
+      // the shared cache is released (a lazy plan would re-shingle on
+      // the consumer's action), so the registry closure executes on
+      // construction — the dedup_components pattern.
+      // EVALUATION ORDER MATTERS: the exact pair list is materialized
+      // FIRST, while the shared cache is still cold — the PPJoin's
+      // prefix self-join then plans against the parquet child's
+      // estimates and keeps its broadcast build (measured at sf1: when
+      // this side plans AFTER the cache materialized, its accurate
+      // in-memory stats flip the self-join to a sort-merge over two
+      // 36 MB exchanges, 2.2× slower). The MinHash pass runs second and
+      // derives its signatures from the now-warm cache.
+      val shared = Dedup.shingledDocs(docs, "text", "doc_id",
+        Seq("lang", "source")).persist()
+      var releasePairs: () => Unit = () => ()
+      var releaseExact: () => Unit = () => ()
+      try {
+        val exact = Dedup.ngramJaccardFromShingled(shared,
+          Seq("lang", "source"), threshold = 0.5, dfCap = None,
+          basePersisted = true)._1.select("id_a", "id_b")
+        exact.cache().count()
+        releaseExact = () => { exact.unpersist(); () }
+        val (pairs, rp) = Dedup.minhashFromShingled(shared, threshold = 0.5)
+        releasePairs = rp
+        val mh = Dedup.connectedComponents(pairs)
+        val ca = mh.select(col("id").as("id_a"), col("component").as("comp_a"))
+        val cb = mh.select(col("id").as("id_b"), col("component").as("comp_b"))
+        // label tables scale with the paired-doc count — same
+        // never-broadcast discipline as the superset rows
+        val out = exact.join(ca.hint("merge"), Seq("id_a"), "left")
+          .join(cb.hint("merge"), Seq("id_b"), "left")
+          // a missing label (endpoint absent from the MinHash pair list)
+          // is also a violation — coalesce to distinct sentinels so null
+          // never silently equals null
+          .filter(coalesce(col("comp_a"), lit(-1L)) =!=
+            coalesce(col("comp_b"), lit(-2L)))
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+        out.cache().count()
+        out
+      } finally { releasePairs(); releaseExact(); shared.unpersist(); () }}),
 
     // SimHash near-dups within blocks (rows-only)
     // radius 3 = the Manku et al. (WWW'07) web-scale setting, and the
@@ -197,6 +226,16 @@ object DedupQueries {
     // subset property is what SQL can express without replaying xxhash64)
     "dedup_minhash_superset" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // r18 shared-shingle NEGATIVE RESULT: threading one persisted
+      // (id, sh, blocks) frame through both sides (the
+      // dedup_components_refine move) measured CONSISTENTLY SLOWER here
+      // — +70% at sf0.1, +8-15% at sf1, under either evaluation order —
+      // because this query's single anti-join action runs the exact and
+      // MinHash subtrees as PARALLEL stage pipelines, and the shared
+      // cache serializes their common prefix (per-partition fill locks)
+      // while its array-column write/read costs more than the one
+      // native-expression tokenize pass it saves. Independent
+      // derivations stand (DevShingle, 3/3 reps each config).
       val exact = Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
         Seq("lang", "source"), threshold = 0.5).select("id_a", "id_b")
       val approx = Dedup.minhashNearDups(docs, "text", "doc_id",
