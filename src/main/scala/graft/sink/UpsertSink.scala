@@ -52,11 +52,35 @@ final class ParquetUpsertSink(
   /** Distinct-set materialization (the summary table's converged upsert
     * semantics, SURVEY.md §2.6 A1): every column is the key; replay is a
     * set-union no-op.
+    *
+    * r18 (guide §2.4/§6): APPEND-only-novel instead of rewrite-all. The
+    * old form unioned the whole existing table with the batch,
+    * re-distinct-ed and OVERWROTE — O(table) bytes rewritten per batch,
+    * O(n²) cumulative over a stream's life. Now the batch's distinct
+    * rows anti-join the existing table (null-safe on every column, so a
+    * row with NULLs cannot be re-appended forever) and only the novel
+    * rows are appended: O(batch) writes per batch, and the table stays
+    * distinct by induction (it only ever receives rows proven absent).
+    * Replay/abort contract unchanged: a replayed batch's rows are all
+    * present, the anti-join drops them, the append writes nothing; an
+    * aborted append publishes nothing (task-commit protocol), so the
+    * retry re-runs against unchanged state. Trade-off: one small file
+    * set per batch instead of a monolith — the compaction story for
+    * long-lived tables is [[Retention.compact]]'s dynamic-overwrite
+    * pattern, which this sink's tables already need for TTL anyway.
     */
   def upsertDistinct(batch: DataFrame): Unit =
     retry.run {
       val existing = ParquetUpsertSink.readExisting(spark, path, batch)
-      write(existing.unionByName(batch).distinct(), path, partitionCol)
+      val fresh = batch.distinct()
+      val cond = batch.columns.toSeq
+        .map(c => fresh(c) <=> existing(c)).reduce(_ && _)
+      val novel = fresh.join(existing, cond, "left_anti")
+      val w = novel.write.mode(SaveMode.Append)
+      partitionCol match {
+        case Some(p) => w.partitionBy(p).parquet(path)
+        case None => w.parquet(path)
+      }
     }
 
   def upsert(batch: DataFrame, keys: Seq[String], versionCol: String): Unit =
@@ -64,11 +88,22 @@ final class ParquetUpsertSink(
       val existing = readExisting(spark, path, batch)
       // restrict the merge to partitions the batch touches — key dedup is
       // therefore per-partition; see the trait contract for the
-      // keys-determine-partition requirement this relies on
+      // keys-determine-partition requirement this relies on.
+      // r18 (guide §6): the touched buckets are COLLECTED (micro-batch-
+      // small by contract — months per batch) and pushed as a partition
+      // filter instead of the old broadcast semi-join: an IN on the
+      // partition column prunes at PLANNING, so the merge lists and
+      // reads only the touched partitions' files — O(touched) scan per
+      // batch where the semi-join form scanned every partition of the
+      // table and filtered rows at runtime. Null parity with the join:
+      // a null bucket never equals anything in either form, so
+      // null-partition rows are never merged by both.
       val merged = partitionCol match {
         case Some(p) =>
-          val touched = batch.select(p).distinct()
-          val relevant = existing.join(broadcast(touched), Seq(p), "left_semi")
+          val touchedVals = batch.select(col(p)).distinct().collect().map(_.get(0))
+          val relevant =
+            if (touchedVals.isEmpty) existing.limit(0)
+            else existing.filter(col(p).isInCollection(touchedVals.toSeq))
           dedupByKey(relevant.unionByName(batch), keys, versionCol)
         case None =>
           dedupByKey(existing.unionByName(batch), keys, versionCol)

@@ -26,6 +26,19 @@ import graft.sink.{ParquetUpsertSink, RetryPolicy}
   */
 object MessagePipeline {
 
+  /** One helper thread for the summary sink (guide §2.6: overlap
+    * independent jobs). Daemon so it never blocks JVM exit; one thread
+    * is enough — each micro-batch runs exactly one summary upsert
+    * beside the detail upsert on the caller's thread.
+    */
+  private lazy val sinkEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(1, r => {
+        val t = new Thread(r, "graft-summary-sink")
+        t.setDaemon(true)
+        t
+      }))
+
   /** raw binary `value` column → decoded message columns (native
     * Catalyst expression; fail-fast on malformed bytes like the
     * reference — use [[decodeWithDeadLetter]] to quarantine instead).
@@ -64,15 +77,41 @@ object MessagePipeline {
       .trigger(trigger)
     queryName.foreach(writer.queryName)
     writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sc = spark.sparkContext
         val b = batch.persist()
         try {
-          new ParquetUpsertSink(spark, detailPath, Some("date_partition"), retry)
-            .upsert(b, Seq("message_id"), "sent_time")
-          new ParquetUpsertSink(spark, summaryPath, None, retry)
-            .upsertDistinct(Enrich.summary(b))
+          // r18 (guide §2.6): the two sinks write DIFFERENT tables from
+          // the same persisted batch — independent jobs, so the summary
+          // upsert runs on a helper thread while the detail upsert runs
+          // here, and the batch's wall-clock is max(detail, summary)
+          // instead of their sum. Effectively-once is untouched: BOTH
+          // writes complete (or fail) before this closure returns — the
+          // Await below is unconditional — so a failure in either sink
+          // still fails the batch before the checkpoint commits, and
+          // the replay re-runs two idempotent upserts exactly as it
+          // re-ran two sequential ones. Job descriptions are
+          // thread-local, so each sink stays labeled in the UI.
+          val summaryF = scala.concurrent.Future {
+            sc.setJobDescription(s"batch $batchId: summary upsert")
+            new ParquetUpsertSink(spark, summaryPath, None, retry)
+              .upsertDistinct(Enrich.summary(b))
+          }(MessagePipeline.sinkEc)
+          val detail = scala.util.Try {
+            sc.setJobDescription(s"batch $batchId: detail upsert")
+            new ParquetUpsertSink(spark, detailPath, Some("date_partition"), retry)
+              .upsert(b, Seq("message_id"), "sent_time")
+          }
+          // both sinks must be QUIESCENT before the closure returns
+          // (returning with a summary write in flight would let the next
+          // batch's writer race it on the same path), so await the
+          // helper unconditionally, then surface the first failure
+          scala.concurrent.Await.ready(summaryF,
+            scala.concurrent.duration.Duration.Inf)
+          detail.get
+          summaryF.value.get.get
           ()
-        } finally { b.unpersist(); () }
+        } finally { sc.setJobDescription(null); b.unpersist(); () }
       }
       .start()
   }

@@ -99,6 +99,56 @@ class UpsertSinkSpec extends SparkSpec {
     assert(sink.read().count() == 2)
   }
 
+  test("distinct-set upsert: append-only-novel equals the rewrite-all reference, nulls included (r18)") {
+    // the r18 form appends only rows proven absent (null-safe anti-join)
+    // instead of rewriting the whole table; the observable contract —
+    // table == distinct union of everything ever delivered — must hold
+    // through replays, and rows carrying NULLs (where a plain equality
+    // anti-join would never match and re-append forever) must converge
+    val dir = tmpDir("upsert_set_ref")
+    val sink = new ParquetUpsertSink(spark, dir)
+    val batches: Seq[Seq[(String, String, String)]] = Seq(
+      Seq(("u1", "j1", "202401M"), ("u2", null, "202401M")),
+      Seq(("u1", "j1", "202401M"), ("u3", "j2", null)), // full replay + new
+      Seq(("u2", null, "202401M"), (null, null, null)), // null replay + all-null row
+      Seq((null, null, null)) // all-null replay: must not duplicate
+    )
+    var ref = Set.empty[(String, String, String)]
+    batches.foreach { b =>
+      sink.upsertDistinct(b.toDF("u", "j", "p"))
+      sink.upsertDistinct(b.toDF("u", "j", "p")) // immediate at-least-once replay
+      ref = ref ++ b
+      val got = sink.read().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(got.size == ref.size, s"duplicates after $b: $got")
+      assert(got.toSet == ref)
+    }
+  }
+
+  test("distinct-set upsert: aborted append publishes nothing; the retry converges (r18)") {
+    val dir = tmpDir("upsert_set_abort")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftflaky.impl", classOf[FlakyRenameFs].getName)
+    val sink = new ParquetUpsertSink(spark, s"graftflaky:$dir",
+      retry = RetryPolicy(maxRetries = 1))
+    val b = Seq(("u1", "j1", "202401M"), ("u2", "j2", "202402M")).toDF("u", "j", "p")
+    FlakyRenameFs.failing.set(true)
+    try {
+      intercept[Throwable] { sink.upsertDistinct(b) }
+      // the aborted commit must not have published any row file (only
+      // _temporary state may exist) — a partially visible append is the
+      // case the anti-join makes safe, but v1 commits publish nothing
+      val visible = Option(new java.io.File(dir).listFiles())
+        .fold(Seq.empty[String])(_.map(_.getName).toSeq)
+        .filter(f => f.endsWith(".parquet") && !f.startsWith("_"))
+      assert(visible.isEmpty, s"aborted append published: $visible")
+    } finally FlakyRenameFs.failing.set(false)
+    // the at-least-once retry of the SAME batch converges to exactly-once
+    sink.upsertDistinct(b)
+    sink.upsertDistinct(b)
+    assert(sink.read().count() == 2)
+  }
+
   test("retention predicate drops expired rows, keeps all when ttl<=0") {
     val df = Seq(
       ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
@@ -128,4 +178,24 @@ class UpsertSinkSpec extends SparkSpec {
 
     intercept[IllegalArgumentException] { RetryPolicy(maxRetries = 0) }
   }
+}
+
+/** Switchable fault-injection filesystem (r18): local semantics, but
+  * every rename throws while [[FlakyRenameFs.failing]] is set — drives
+  * the abort-then-retry path of the sinks (the always-throwing cousin
+  * lives in CorpusIngestSpec). Registered per-test via
+  * `fs.graftflaky.impl`; the flag is static because Hadoop caches FS
+  * instances per scheme.
+  */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftflaky:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FlakyRenameFs.failing.get())
+      throw new java.io.IOException("injected rename fault (flaky)")
+    else super.rename(src, dst)
+}
+
+object FlakyRenameFs {
+  val failing = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

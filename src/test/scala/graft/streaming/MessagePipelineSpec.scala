@@ -109,4 +109,51 @@ class MessagePipelineSpec extends SparkSpec {
     assert(spark.read.parquet(summary).count() ==
       Enrich.summary(Enrich.plain(msgs(0 until 10).toDF())).count())
   }
+
+  test("a failing summary sink fails the batch before commit; redelivery converges (r18 overlapped sinks)") {
+    // r18 runs the summary upsert on a helper thread beside the detail
+    // upsert. The effectively-once contract requires a failure in EITHER
+    // sink to fail the whole batch before its checkpoint commit — a
+    // swallowed helper-thread failure would commit a batch whose summary
+    // rows never landed. Inject: every summary write fails (all retry
+    // rungs), the query must terminate with the injected error; then
+    // heal the filesystem and redeliver — both tables converge to the
+    // reference, including the detail rows the failed batch DID write
+    // (idempotent LWW absorbs them).
+    val detail = tmpDir("detail_f"); val summaryLocal = tmpDir("summary_f")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftflaky.impl", classOf[graft.sink.FlakyRenameFs].getName)
+    val summary = s"graftflaky:$summaryLocal"
+    graft.sink.FlakyRenameFs.failing.set(true)
+    try {
+      val input = MemoryStream[Array[Byte]](spark)
+      input.addData(msgs(0 until 10).map(AvroCodec.encode))
+      val q1 = MessagePipeline.run(input.toDF(), cfg, detail, summary, tmpDir("cp_f1"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      q1.stop()
+      // the injected fault surfaces wrapped (TASK_WRITE_FAILED on the
+      // summary path) — walk the cause chain for it
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString).toSeq
+      assert(chain.exists(m => m.contains("injected rename fault") ||
+        (m.contains("TASK_WRITE_FAILED") && m.contains("summary"))),
+        chain.mkString(" | "))
+      // the failed batch must not have published any summary rows
+      val visible = Option(new java.io.File(summaryLocal).listFiles())
+        .fold(Seq.empty[String])(_.map(_.getName).toSeq)
+        .filter(f => f.endsWith(".parquet") && !f.startsWith("_"))
+      assert(visible.isEmpty, s"failed batch published summary rows: $visible")
+    } finally graft.sink.FlakyRenameFs.failing.set(false)
+
+    // at-least-once redelivery against the healed filesystem
+    val input2 = MemoryStream[Array[Byte]](spark)
+    input2.addData(msgs(0 until 10).map(AvroCodec.encode))
+    val q2 = MessagePipeline.run(input2.toDF(), cfg, detail, summary, tmpDir("cp_f2"))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(detail).count() == 10)
+    assert(spark.read.parquet(summary).count() ==
+      Enrich.summary(Enrich.plain(msgs(0 until 10).toDF())).count())
+  }
 }
